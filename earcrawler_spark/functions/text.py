@@ -1,0 +1,163 @@
+"""Text scalar functions — whitespace normalization, PII scrub, citation
+extraction, tokenization, language-ID heuristics, quality scoring.
+
+Reference semantics (cited file:line are in /root/reference):
+
+- whitespace collapse:  earCrawler/core/ear_crawler.py:111-112 — the
+  reference does ``" ".join(text.split())`` per row in Python; here it is a
+  single codegen'd ``regexp_replace`` + ``trim``.
+- FR-citation regex:    earCrawler/core/ear_crawler.py:76-78 — pattern
+  ``\\b\\d{1,3}\\s+FR\\s+\\d{1,6}\\b`` case-insensitive.
+- PII scrub:            earCrawler/privacy/redaction.py:7-45 — ordered regex
+  substitutions (email, GUID, long token, URL query strip, file path,
+  phone, SSN) then whitespace collapse.
+- content fingerprint:  earCrawler/corpus/identity.py:9-12 — sha256 hex of
+  the normalized text (Spark's native ``sha2``; stays in codegen).
+- HTML strip:           api_clients/federalregister_client.py:567-571.
+- ISO-date mining:      earCrawler/rag/temporal.py:34-44.
+
+All of these are pure Column expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Pattern constants are kept Java/RE2-compatible so the same pattern can be
+# used verbatim in the DuckDB oracle SQL.
+FR_CITATION_PATTERN = r"\b\d{1,3} FR \d{1,6}\b"
+ISO_DATE_PATTERN = r"\d{4}-\d{2}-\d{2}"
+TOKEN_SPLIT_PATTERN = r"\s+"
+
+# A small, fixed English stopword list (reference keeps one in
+# transforms/mentions.py:20-27 for mention scoring). Used for the
+# stopword-ratio quality signal and the language-ID heuristic.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "that", "this", "be", "are",
+)
+
+
+def normalize_ws(col: Column) -> Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def strip_html(col: Column) -> Column:
+    """Drop HTML tags (replace with a space) — federalregister_client.py:567."""
+    return normalize_ws(F.regexp_replace(col, r"<[^>]+>", " "))
+
+
+def extract_fr_citations(col: Column) -> Column:
+    """All 'NN FR NNNNN' citations, in document order."""
+    return F.regexp_extract_all(col, F.lit(FR_CITATION_PATTERN))
+
+
+def extract_iso_dates(col: Column) -> Column:
+    """Distinct ISO dates mined from text (temporal.py:34-44)."""
+    return F.array_distinct(F.regexp_extract_all(col, F.lit(ISO_DATE_PATTERN)))
+
+
+def content_sha256(col: Column) -> Column:
+    """sha256 hex fingerprint of the (already normalized) text."""
+    return F.sha2(col.cast("string"), 256)
+
+
+# --- PII scrub (redaction.py:7-45) -------------------------------------
+# Ordered substitutions; each is a native regexp_replace so the whole chain
+# stays inside whole-stage codegen. Patterns avoid lookaheads so the same
+# regexes run under DuckDB's RE2 for the oracle.
+_PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "<GUID>",
+    ),
+    (r"\b[A-Za-z0-9]{32,}\b", "<TOKEN>"),
+    (r"\?[A-Za-z0-9_=&%.-]+", ""),  # strip URL query strings
+    (r"[A-Za-z]:\\[^\s]+", "<PATH>"),  # windows path
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def pii_scrub(col: Column) -> Column:
+    out = col
+    for pat, repl in _PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return normalize_ws(out)
+
+
+def pii_scrub_sql(expr: str) -> str:
+    """The identical scrub chain as ANSI/DuckDB SQL over ``expr``."""
+    out = expr
+    for pat, repl in _PII_RULES:
+        # DuckDB string literals keep backslashes literal — no re-escaping.
+        pat_sql = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat_sql}', '{repl}', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# --- Tokenization --------------------------------------------------------
+def tokens(col: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens with empties removed (array<string>).
+
+    Matches the reference's ``text.split()`` tokenizer
+    (analytics/reports.py:31-40) — empty strings are filtered so leading /
+    trailing whitespace can't mint phantom tokens.
+    """
+    base = F.lower(col) if lowercase else col
+    return F.filter(F.split(base, TOKEN_SPLIT_PATTERN), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col, lowercase=False))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-gram word shingles as 'w1 w2 w3' strings (array<string>, distinct).
+
+    Built from native array functions: transform over token positions +
+    slice + array_join. No Python.
+    """
+    toks = tokens(col)
+    # positions 1 .. size-n+1; slice(toks, i, n) -> join with spaces
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+# --- Quality / language heuristics --------------------------------------
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    toks = tokens(col)
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality score from length / mean-token-length /
+    stopword signals (the reference gates paragraphs on min length only —
+    nsf_case_parser.py:56-64; this is the scaled-up scoring a training-data
+    pipeline needs)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    mean_len = F.when(n > 0, F.length(F.concat_ws("", toks)) / n).otherwise(F.lit(0.0))
+    len_sig = F.least(n / F.lit(100.0), F.lit(1.0))
+    shape_sig = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_sig = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return F.round((len_sig + shape_sig + stop_sig) / 3.0, 6)
+
+
+def lang_id_en(col: Column) -> Column:
+    """Heuristic language flag: 'en' when stopword ratio >= 0.05 else 'other'.
+
+    A real deployment would plug a fastText model in via pandas UDF; the
+    heuristic keeps the operator SQL-expressible for the oracle gate.
+    """
+    return F.when(stopword_ratio(col) >= 0.05, F.lit("en")).otherwise(F.lit("other"))

@@ -1,0 +1,686 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair over the driver's synthetic tables.
+
+Conventions (driver contract):
+- each spark fn takes ``(spark, sf_dir)`` and returns a DataFrame;
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are ``round(x, 4)`` (or 6) on BOTH sides so the
+  value-hash compare is immune to summation-order ulp drift;
+- rankings follow the reference's deterministic-top-k pattern
+  (retriever_ranking.py:29-40): bucket the score at fixed precision,
+  then break ties on a stable key — identical on both engines.
+
+Scale notes are inline per query: the plan each query produces is the one
+we'd want at 100 TB (broadcast dims, partial aggregation, pushed filters).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from earcrawler_spark.functions import text as TXT
+
+EVENTS_T0 = "2024-01-15 00:00:00"
+EVENTS_T1 = "2024-01-23 00:00:00"
+SHIP_CUTOFF = "1999-01-01"
+
+# DuckDB-side fragments shared by several oracles (must mirror functions/text.py)
+_STOPWORDS_SQL = "[" + ",".join(f"'{s}'" for s in TXT.EN_STOPWORDS) + "]"
+_TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+_TOKENS_RAW_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A. Relational core (aggregation / join / window / anti-join / percentiles)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A10-style grouped aggregation (TPC-H Q1 shape).
+
+    Scale: filter pushes to parquet scan; hash aggregate does map-side
+    partial aggregation, shuffle carries only |groups| rows per partition.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < SHIP_CUTOFF)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                              AS sum_qty,
+       round(sum(l_extendedprice), 4)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
+       round(avg(l_discount), 6)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-style multi-join + aggregation + deterministic top-k.
+
+    Scale: nation (25 rows) and customer (small dim) are broadcast — the
+    only shuffle is the lineitem->orders join and the final aggregation;
+    at 100 TB orders/lineitem would be bucketed on orderkey to kill that
+    shuffle too.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+        .limit(10)
+    )
+
+
+_SQL_TOP_NATIONS = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(DISTINCT o_orderkey)                        AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+LIMIT 10
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + grouped count (reference A10 / TPC-H Q4 shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 anti-join integrity check (kg/queries.py:13-55 FILTER NOT EXISTS)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+_SQL_ORPHAN_ORDERS = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 latest-version-per-identifier (corpus/sources.py:43-63): argmax by
+    (date, key) per group via row_number window — identical tie-break both
+    engines."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+_SQL_LATEST_ORDER = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 percentile metrics: exact linear-interpolated percentiles
+    (utils/perf_report.py:16-55) per group."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("p50_acctbal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.95)), 4).alias("p95_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_SEGMENT_STATS = """
+SELECT c_mktsegment,
+       count(*)                                   AS n_customers,
+       round(avg(c_acctbal), 4)                   AS avg_acctbal,
+       round(quantile_cont(c_acctbal, 0.5), 4)    AS p50_acctbal,
+       round(quantile_cont(c_acctbal, 0.95), 4)   AS p95_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. Events — temporal / incremental semantics
+# ---------------------------------------------------------------------------
+
+def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/W3 as-of selection (rag/temporal.py:226-339): latest event with
+    ts <= as-of per user; deterministic (ts desc, event_id desc) tie-break.
+
+    Scale: the as-of filter pushes to the scan; the window shuffles once on
+    user_id — same layout an event-log table would be partitioned by.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") <= EVENTS_T0)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_ASOF = f"""
+SELECT user_id, event_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '{EVENTS_T0}'
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (streaming §2.10 batch equivalent): hourly
+    counts + sums per event_type. In Structured Streaming this is the same
+    plan with a watermark."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_SQL_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def q_monitor_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 change-detection delta (monitor/state.py:35-73): state = latest
+    value per (user_id, event_type) at T0 vs at T1; emit rows whose content
+    hash changed or appeared. Full-outer-join-free formulation: new-state
+    left join old-state keeps the plan to one shuffle per side."""
+    ev = _t(spark, sf_dir, "events")
+
+    def state(cutoff: str) -> DataFrame:
+        w = W.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            ev.filter(F.col("ts") <= cutoff)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "event_type",
+                TXT.content_sha256(F.round("value", 6)).alias("state_hash"),
+            )
+        )
+
+    old = state(EVENTS_T0).withColumnRenamed("state_hash", "old_hash")
+    new = state(EVENTS_T1)
+    return (
+        new.join(old, ["user_id", "event_type"], "left")
+        .filter(F.col("old_hash").isNull() | (F.col("old_hash") != F.col("state_hash")))
+        .select("user_id", "event_type", "state_hash")
+        .orderBy("user_id", "event_type")
+    )
+
+
+_SQL_MONITOR_DELTA = f"""
+WITH st_old AS (
+  SELECT user_id, event_type,
+         sha256(CAST(round(value, 6) AS VARCHAR)) AS old_hash
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE ts <= TIMESTAMP '{EVENTS_T0}') WHERE rn = 1
+), st_new AS (
+  SELECT user_id, event_type,
+         sha256(CAST(round(value, 6) AS VARCHAR)) AS state_hash
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE ts <= TIMESTAMP '{EVENTS_T1}') WHERE rn = 1
+)
+SELECT n.user_id, n.event_type, n.state_hash
+FROM st_new n LEFT JOIN st_old o USING (user_id, event_type)
+WHERE o.old_hash IS NULL OR o.old_hash <> n.state_hash
+ORDER BY n.user_id, n.event_type
+"""
+
+
+def q_version_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/W2 position-version counter (core/ear_crawler.py:84,97-103): each
+    event gets version = rank within its (user_id, event_type) stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("version", F.row_number().over(w))
+        .select("event_id", "user_id", "event_type", "version")
+        .orderBy("event_id")
+    )
+
+
+_SQL_VERSION = """
+SELECT event_id, user_id, event_type,
+       row_number() OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS version
+FROM events
+ORDER BY event_id
+"""
+
+
+def q_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/SO1 record merge (corpus/records.py:84-125): group by key; first
+    field by deterministic order; union + sort identifier set; aggregate.
+    Modeled per user over the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first_type = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    merged = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("types"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return (
+        merged.join(first_type, "user_id")
+        .select("user_id", "first_type", "types", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+
+
+_SQL_RECORD_MERGE = """
+WITH f AS (
+  SELECT user_id, event_type AS first_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) rn FROM events)
+  WHERE rn = 1
+)
+SELECT e.user_id, f.first_type,
+       list_sort(list(DISTINCT e.event_type)) AS types,
+       count(*)                               AS n_events,
+       round(sum(e.value), 4)                 AS total_value
+FROM events e JOIN f USING (user_id)
+GROUP BY e.user_id, f.first_type
+ORDER BY e.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. Documents — text pipeline (dedup / terms / quality / scrub)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 exact content-hash dedup (ear_crawler.py:176-177): one survivor
+    (min doc_id) per sha256(text) group + group size.
+
+    Scale: sha2 is codegen'd in the scan stage; the groupBy shuffles only
+    (hash, doc_id) pairs, not text. At 100 TB the hash would also be the
+    bucketing key of the documents table, making this shuffle-free.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(TXT.content_sha256(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS content_hash,
+       min(doc_id)  AS keep_doc_id,
+       count(*)     AS dup_count
+FROM documents
+GROUP BY sha256(text)
+ORDER BY keep_doc_id
+"""
+
+
+def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 seen-set skip as a relational anti-join: hashes of the first half
+    of the corpus form the persisted seen-set; the second half anti-joins
+    against it (the crawl engine's exactness backstop behind the bloom
+    pre-filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    seen = (
+        docs.filter(F.col("doc_id") <= half)
+        .select(TXT.content_sha256(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") > half).select(
+        "doc_id", TXT.content_sha256(F.col("text")).alias("content_hash")
+    )
+    return (
+        incoming.join(seen, "content_hash", "left_anti")
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_SEEN_ANTI = """
+WITH half AS (SELECT quantile_cont(doc_id, 0.5) AS h FROM documents),
+seen AS (
+  SELECT DISTINCT sha256(text) AS content_hash
+  FROM documents, half WHERE doc_id <= h
+)
+SELECT doc_id, sha256(text) AS content_hash
+FROM documents, half
+WHERE doc_id > h
+  AND sha256(text) NOT IN (SELECT content_hash FROM seen)
+ORDER BY doc_id
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 term frequency (analytics/reports.py:31-40): tokenize, count,
+    deterministic top-50 (count desc, term asc).
+
+    Scale: explode + partial hash agg; the shuffle carries (term, partial
+    count) — classic map-side-combine word count.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(50)
+    )
+
+
+_SQL_TOP_TERMS = f"""
+SELECT term, count(*) AS freq
+FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+GROUP BY term
+ORDER BY freq DESC, term
+LIMIT 50
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source (training-data pipeline op): doc counts,
+    token sums, avg tokens/doc."""
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select("source", TXT.token_count(F.col("text")).alias("n_tokens"))
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TOKEN_STATS = f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len({_TOKENS_RAW_SQL})) AS total_tokens,
+       round(avg(len({_TOKENS_RAW_SQL})), 4) AS avg_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (training-data pipeline op; reference precedent is
+    the min-length gate at nsf_case_parser.py:56-64): deterministic [0,1]
+    score per doc from length / token-shape / stopword signals."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            TXT.quality_score(F.col("text")).alias("quality"),
+            TXT.lang_id_en(F.col("text")).alias("lang_guess"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DOC_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+), feats AS (
+  SELECT doc_id,
+         len(tk) AS n,
+         CASE WHEN len(tk) > 0
+              THEN length(list_aggregate(tk, 'string_agg', '')) * 1.0 / len(tk)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0 / len(tk)
+              ELSE 0.0 END AS stop_ratio
+  FROM toks
+)
+SELECT doc_id,
+       round((least(n / 100.0, 1.0)
+            + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END)
+            + least(stop_ratio * 5.0, 1.0)) / 3.0, 6) AS quality,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+FROM feats
+ORDER BY doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 PII scrub (privacy/redaction.py:7-45): the 7-rule regex chain +
+    whitespace collapse; emit the scrubbed-content fingerprint so the
+    oracle verifies byte-identical scrubbing."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            TXT.content_sha256(TXT.pii_scrub(F.col("text"))).alias("scrubbed_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_PII_SCRUB = f"""
+SELECT doc_id, sha256({TXT.pii_scrub_sql('text')}) AS scrubbed_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID distribution: heuristic guess vs labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TXT.lang_id_en(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+_SQL_LANG_DIST = f"""
+WITH g AS (
+  SELECT lang,
+         CASE WHEN (CASE WHEN len({_TOKENS_SQL}) > 0
+              THEN len(list_filter({_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0
+                   / len({_TOKENS_SQL})
+              ELSE 0.0 END) >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+  FROM documents
+)
+SELECT lang, lang_guess, count(*) AS n_docs
+FROM g GROUP BY lang, lang_guess
+ORDER BY lang, lang_guess
+"""
+
+
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 co-occurrence: top-25 token pairs co-occurring in a document
+    (t1 < t2, distinct per doc).
+
+    Scale: distinct (doc, term) first so the self-join fan-out is bounded
+    by per-doc vocabulary, not token count; the pair aggregation is a
+    single shuffle on (t1, t2).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("term")
+    )
+    a = doc_terms.alias("a")
+    b = doc_terms.alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "t1", "t2")
+        .limit(25)
+    )
+
+
+_SQL_COOCCUR = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+)
+SELECT a.term AS t1, b.term AS t2, count(*) AS n_docs
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY a.term, b.term
+ORDER BY n_docs DESC, t1, t2
+LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_nations": q_top_revenue_nations,
+    "order_priority": q_order_priority,
+    "orders_without_lineitems": q_orders_without_lineitems,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "segment_stats": q_segment_stats,
+    "asof_latest_event": q_asof_latest_event,
+    "hourly_event_rollup": q_hourly_event_rollup,
+    "monitor_delta": q_monitor_delta,
+    "version_assign": q_version_assign,
+    "record_merge": q_record_merge,
+    "dedup_exact": q_dedup_exact,
+    "seen_anti_join": q_seen_anti_join,
+    "top_terms": q_top_terms,
+    "token_stats": q_token_stats,
+    "doc_quality": q_doc_quality,
+    "pii_scrub": q_pii_scrub,
+    "lang_distribution": q_lang_distribution,
+    "term_cooccurrence": q_term_cooccurrence,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": _SQL_PRICING,
+    "top_revenue_nations": _SQL_TOP_NATIONS,
+    "order_priority": _SQL_ORDER_PRIORITY,
+    "orders_without_lineitems": _SQL_ORPHAN_ORDERS,
+    "latest_order_per_customer": _SQL_LATEST_ORDER,
+    "segment_stats": _SQL_SEGMENT_STATS,
+    "asof_latest_event": _SQL_ASOF,
+    "hourly_event_rollup": _SQL_HOURLY,
+    "monitor_delta": _SQL_MONITOR_DELTA,
+    "version_assign": _SQL_VERSION,
+    "record_merge": _SQL_RECORD_MERGE,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "seen_anti_join": _SQL_SEEN_ANTI,
+    "top_terms": _SQL_TOP_TERMS,
+    "token_stats": _SQL_TOKEN_STATS,
+    "doc_quality": _SQL_DOC_QUALITY,
+    "pii_scrub": _SQL_PII_SCRUB,
+    "lang_distribution": _SQL_LANG_DIST,
+    "term_cooccurrence": _SQL_COOCCUR,
+}
