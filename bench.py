@@ -1,0 +1,207 @@
+"""Benchmark harness.
+
+Default mode (driver-invoked, one JSON line):
+  - times every registered query at $SPARK_GRAFT_SF_DIR (default
+    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+  - runs a fixed synthetic crawl and reports frontier throughput
+    (URLs dequeued+deduped / sec)
+
+Scaling mode (``python bench.py --scaling``): runs the identical crawl
+job at two parallelism levels (local[N] and local[4N], N from
+$SPARK_GRAFT_SCALE_N, default 8) in separate SparkSessions and reports
+both throughputs + efficiency = T(4N) / (4 * T(N))  — the sandbox
+evidence for the north rule's ≥0.8 two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
+
+
+def _fresh_spark(master: str, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from earcrawler_spark.session import get_spark
+
+    return get_spark("bench", master=master, shuffle_partitions=shuffle_partitions)
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from earcrawler_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    return out
+
+
+def run_crawl(spark, n_partitions: int, max_iters: int = 4, wave_seconds: float = 120.0):
+    from earcrawler_spark.crawler import synth
+    from earcrawler_spark.crawler.runner import Crawler, CrawlConfig
+
+    with tempfile.TemporaryDirectory(prefix="bench_crawl_") as d:
+        c = Crawler(
+            spark, d,
+            CrawlConfig(wave_seconds=wave_seconds, max_iters=max_iters,
+                        n_partitions=n_partitions),
+        )
+        t0 = time.perf_counter()
+        c.init_seeds(synth.seed_list())
+        m = c.run()
+        wall = time.perf_counter() - t0
+        visits = c.state.read_all("visits", m["completed_iter"]).count()
+        seen = c.seen_set().count()
+    return {
+        "wall_sec": round(wall, 3),
+        "urls_dequeued": visits,
+        "urls_seen": seen,
+        "throughput_urls_per_sec": round((visits + seen) / wall, 2),
+    }
+
+
+def run_frontier_ops(spark, n_urls: int, n_partitions: int) -> dict:
+    """The north-rule throughput metric: URLs dequeued+deduped per second.
+
+    One full frontier wave over n_urls synthetic URLs with designed host
+    skew (40% bis.doc.gov, 25% federalregister.gov): canonicalization
+    (pandas UDF), sha256 hashing, sharded-bloom build + probe, exact
+    anti-join dedup vs a pre-seen half, salted politeness dequeue.
+    CPU-bound end to end, so it exposes real core scaling.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from earcrawler_spark.crawler.bloom import BloomShard, probe_hashes
+    from earcrawler_spark.crawler.canonicalize import canonical_url, url_hash_col
+
+    n_shards = 32
+    t0 = time.perf_counter()
+
+    base = spark.range(n_urls, numPartitions=n_partitions)
+    host = (
+        F.when(F.pmod("id", 100) < 40, F.lit("bis.doc.gov"))
+        .when(F.pmod("id", 100) < 65, F.lit("federalregister.gov"))
+        .otherwise(F.concat(F.lit("host-"), F.pmod("id", 100).cast("string"), F.lit(".org")))
+    )
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.pmod("id", 7) == 0, F.upper(host)).otherwise(host),
+        F.lit("/page/"), F.col("id").cast("string"),
+        F.when(F.pmod("id", 5) == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(F.lit("")),
+        F.when(F.pmod("id", 11) == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    urls = (
+        base.withColumn("host", host)
+        .withColumn("url", canonical_url(raw))
+        .withColumn("url_hash", url_hash_col(F.col("url")))
+        .withColumn("priority", (F.pmod("id", 10) + 1).cast("int"))
+        .withColumn("seq", F.col("id"))
+    )
+
+    # "seen" half: even ids — build sharded blooms distributed, probe, anti-join
+    seen = urls.filter(F.pmod("id", 2) == 0).select("url_hash")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = BloomShard(1 << 23, 7)
+        b.add_many(pdf["url_hash"].tolist())
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [b.to_bytes()]})
+
+    shards = {
+        r["shard"]: bytes(r["bits"])
+        for r in seen.withColumn(
+            "shard", (F.conv(F.substring("url_hash", 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+        ).groupBy("shard").applyInPandas(build, "shard int, bits binary").collect()
+    }
+    bloom_bc = spark.sparkContext.broadcast(shards)
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(hashes: pd.Series) -> pd.Series:
+        res = probe_hashes(hashes.tolist(), bloom_bc.value, n_shards)
+        return pd.Series(res, index=hashes.index)
+
+    candidates = (
+        urls.filter(F.pmod("id", 2) == 1)
+        .withColumn("_maybe", maybe_seen("url_hash"))
+        .cache()
+    )
+    definitely_new = candidates.filter(~F.col("_maybe"))
+    checked = candidates.filter(F.col("_maybe")).join(seen, "url_hash", "left_anti")
+    new_urls = definitely_new.drop("_maybe").unionByName(checked.drop("_maybe"))
+    n_new = new_urls.count()
+
+    # salted politeness dequeue over the full frontier
+    salt = F.when(F.col("host").isin("bis.doc.gov", "federalregister.gov"),
+                  F.pmod("seq", 64)).otherwise(F.lit(0))
+    w = W.partitionBy("host", salt).orderBy(F.col("priority").desc(), "seq")
+    dequeued = urls.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= 1000)
+    n_deq = dequeued.count()
+
+    wall = time.perf_counter() - t0
+    candidates.unpersist()
+    return {
+        "n_urls": n_urls,
+        "dequeued": n_deq,
+        "deduped_new": n_new,
+        "wall_sec": round(wall, 3),
+        "throughput_urls_per_sec": round((n_deq + n_new) / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "2000000"))
+
+    if "--scaling" in sys.argv:
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+        levels = {}
+        for cores in (n, 4 * n):
+            spark = _fresh_spark(f"local[{cores}]", cores)
+            levels[cores] = run_frontier_ops(spark, n_urls, n_partitions=cores * 2)
+            spark.stop()
+        tn, t4n = (
+            levels[n]["throughput_urls_per_sec"],
+            levels[4 * n]["throughput_urls_per_sec"],
+        )
+        print(json.dumps({
+            "metric": "frontier_scaling_efficiency",
+            "n_cores": n,
+            "throughput_n": tn,
+            "throughput_4n": t4n,
+            "scaling_efficiency": round(t4n / (4 * tn), 3),
+            "detail": levels,
+        }))
+        return
+
+    spark = _fresh_spark(f"local[{cpus}]", cpus)
+    t0 = time.perf_counter()
+    queries = run_queries(spark, sf_dir)
+    frontier = run_frontier_ops(spark, n_urls, n_partitions=cpus * 2)
+    crawl = run_crawl(spark, n_partitions=cpus)
+    total = round(time.perf_counter() - t0, 3)
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "frontier_ops": frontier,
+        "crawl_e2e": crawl,
+    }))
+
+
+if __name__ == "__main__":
+    main()

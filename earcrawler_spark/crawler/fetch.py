@@ -1,0 +1,104 @@
+"""Fetch + parse stage — one ``mapInPandas`` pass per wave.
+
+The dequeued, host-salted frontier arrives already repartitioned by
+``part_key`` (host ⊕ salt); inside each partition rows are processed in
+per-host ``seq`` order, which preserves per-host FIFO (the reference's
+sequential visit order, earCrawler/core/ear_crawler.py:133-201) while
+hosts run in parallel across partitions.
+
+Politeness: the per-host dequeue budget (wave_seconds / crawl_delay) is
+enforced relationally *before* this stage, so the stage itself stays
+deterministic; when ``politeness_sleep`` is on (real crawling, not
+benchmarks) a token bucket additionally spaces requests inside the
+partition — wall-clock behavior that deliberately has no effect on
+outputs.
+
+Transport is pluggable: the synthetic web in this sandbox, batched HTTP
+(requests.Session per partition, retry w/ exponential backoff — reference
+S9, api_clients/tradegov_client.py:144-150) in production. HTML is parsed
+once per page: spans + outgoing links ride the same pass (spans.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from earcrawler_spark.crawler import spans as spans_mod
+from earcrawler_spark.crawler import synth
+
+FETCH_OUTPUT_SCHEMA = (
+    "url string, url_hash string, host string, priority int, seq bigint, "
+    "status int, content_hash string, "
+    f"spans {spans_mod.SPANS_SCHEMA}, links array<string>"
+)
+
+
+def content_hash_of(spans: list[dict]) -> str:
+    """Order-sensitive fingerprint of the span sequence (identity.py:9-12
+    precedent: sha256 over a canonical serialization)."""
+    payload = json.dumps(
+        [[s["kind"], s["text"], s["media_ref"]] for s in spans],
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def synthetic_fetch_one(url: str) -> tuple[int, str]:
+    if not synth.page_exists(url):
+        return 404, ""
+    return 200, synth.page_html(url)
+
+
+def fetch_and_parse(
+    selected: DataFrame,
+    politeness_sleep: bool = False,
+    transport=synthetic_fetch_one,
+) -> DataFrame:
+    """Run the fetch+parse wave. ``selected`` needs columns
+    (url, url_hash, host, priority, seq, crawl_delay)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # per-host FIFO inside the partition
+            pdf = pdf.sort_values(["host", "seq"], kind="mergesort")
+            out = {
+                "url": [], "url_hash": [], "host": [], "priority": [],
+                "seq": [], "status": [], "content_hash": [], "spans": [],
+                "links": [],
+            }
+            last_hit: dict[str, float] = {}
+            for row in pdf.itertuples(index=False):
+                if politeness_sleep:
+                    delay = float(getattr(row, "crawl_delay", 1.0) or 1.0)
+                    now = time.monotonic()
+                    wait = last_hit.get(row.host, -1e9) + delay - now
+                    if wait > 0:
+                        time.sleep(wait)
+                    last_hit[row.host] = time.monotonic()
+                status, html = transport(row.url)
+                spans, links = (
+                    spans_mod.parse_html(html) if status == 200 else ([], [])
+                )
+                out["url"].append(row.url)
+                out["url_hash"].append(row.url_hash)
+                out["host"].append(row.host)
+                out["priority"].append(row.priority)
+                out["seq"].append(row.seq)
+                out["status"].append(status)
+                out["content_hash"].append(content_hash_of(spans))
+                out["spans"].append(
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+                )
+                out["links"].append(links)
+            yield pd.DataFrame(out)
+
+    return selected.mapInPandas(run, schema=FETCH_OUTPUT_SCHEMA)

@@ -1,0 +1,395 @@
+"""The crawl loop — batch-iterative, checkpointed, deterministic.
+
+Each wave:
+
+  1. robots refresh for newly-seen hosts (broadcast dim; robots.py)
+  2. politeness dequeue — per-host budget = wave_seconds / crawl_delay,
+     rank by (priority DESC, seq ASC) inside each host (the reference's
+     per-document politeness loop, ear_crawler.py:133-135,194-195,
+     re-expressed as a relational budget so it is deterministic)
+  3. skew salting — hosts whose dequeue exceeds ``skew_threshold`` get
+     their rows spread over ceil(n/threshold) salted sub-keys before the
+     ``repartition(part_key)`` that feeds the fetch stage (north rule:
+     bis.doc.gov / federalregister.gov dominate by design)
+  4. fetch + parse (mapInPandas; fetch.py) → interleaved text/media spans
+  5. content dedup — wave-internal argmin + anti-join vs content_seen
+     (reference D1, ear_crawler.py:176-177)
+  6. link expansion — canonicalize (pandas UDF), wave-internal argmin per
+     url_hash, bloom pre-filter, exact anti-join vs seen, deterministic
+     seq assignment
+  7. append deltas + per-partition lineage metrics with a chained audit
+     hash (reference audit/ledger.py:41-68), commit manifest
+
+Determinism contract: visit order — sorted by (iteration, -priority,
+host, seq) — and the seen set are invariant to partition count; proven
+vs the sequential model in tests and at local[2] vs local[8].
+
+Scale notes (10^10 URLs):
+- frontier/seen are hash-bucketed by url_hash shard → the anti-join is
+  a co-partitioned join, no wide shuffle;
+- the bloom pre-filter keeps the anti-join's probe side to the (tiny)
+  maybe-seen fraction, so each wave shuffles new-candidate keys only;
+- the per-wave global seq window runs over new URLs only (bounded by
+  wave fan-out, not corpus size); at extreme fan-out swap it for
+  per-partition ranks + partition-offset addition (zipWithIndex trick)
+  — same total order, no single-partition window.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from earcrawler_spark.crawler import synth
+from earcrawler_spark.crawler.bloom import BloomShard, probe_hashes
+from earcrawler_spark.crawler.canonicalize import (
+    canonical_url,
+    canonicalize_one,
+    url_hash_col,
+    url_host,
+)
+from earcrawler_spark.crawler.fetch import fetch_and_parse, synthetic_fetch_one
+from earcrawler_spark.crawler.robots import allowed_filter, fetch_robots
+from earcrawler_spark.crawler.state import CrawlState
+
+def visit_order_cols():
+    return [F.col("iter"), F.col("priority").desc(), F.col("host"), F.col("seq")]
+
+
+@dataclass
+class CrawlConfig:
+    wave_seconds: float = 20.0
+    n_shards: int = 16
+    bloom_bits_per_shard: int = 1 << 20
+    skew_threshold: int = 8
+    n_partitions: int | None = None
+    max_iters: int = 5
+    politeness_sleep: bool = False
+    default_crawl_delay: float = 1.0
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        config: CrawlConfig | None = None,
+        transport=synthetic_fetch_one,
+        robots_fetcher=synth.robots_txt,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.state = CrawlState(spark, state_dir)
+        self.transport = transport
+        self.robots_fetcher = robots_fetcher
+        if self.cfg.n_partitions is None:
+            self.cfg.n_partitions = spark.sparkContext.defaultParallelism
+
+    # ------------------------------------------------------------------
+    def init_seeds(self, seeds: list[tuple[str, int, int]]) -> None:
+        """Iteration 0: canonicalized, deduped seed frontier + seen/bloom."""
+        rows = []
+        best: dict[str, tuple] = {}
+        for url, priority, seq in seeds:
+            cu = canonicalize_one(url)
+            h = hashlib.sha256(cu.encode()).hexdigest()
+            host = cu.split("/")[2].split(":")[0]
+            if h not in best or seq < best[h][4]:
+                best[h] = (cu, h, host, priority, seq)
+        rows = sorted(best.values(), key=lambda r: r[4])
+        frontier = self.spark.createDataFrame(
+            rows, "url string, url_hash string, host string, priority int, seq bigint"
+        )
+        self.state.write("frontier", 0, frontier)
+        self.state.write("seen", 0, frontier.select("url_hash", "url"))
+        self._write_bloom(0, frontier.select("url_hash"), previous=None)
+        robots = fetch_robots(
+            self.spark, [r[2] for r in rows], self.robots_fetcher
+        )
+        self.state.write("robots", 0, robots)
+        max_seq = max(r[4] for r in rows) if rows else -1
+        self.state.commit(0, chain_hash=self._chain("", {"iter": 0, "seeds": len(rows)}),
+                          extra={"max_seq": max_seq})
+
+    # ------------------------------------------------------------------
+    def _chain(self, prev: str, payload: dict) -> str:
+        return hashlib.sha256(
+            (prev + json.dumps(payload, sort_keys=True, separators=(",", ":"))).encode()
+        ).hexdigest()
+
+    def _write_bloom(self, iteration: int, hashes_df: DataFrame, previous: dict | None) -> dict:
+        """Build per-shard bloom deltas with applyInPandas, OR-merge with
+        the previous shards driver-side (n_shards rows), persist."""
+        n_shards = self.cfg.n_shards
+        n_bits = self.cfg.bloom_bits_per_shard
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            b = BloomShard(n_bits, 7)
+            b.add_many(pdf["url_hash"].tolist())
+            return pd.DataFrame({"shard": [shard], "bits": [b.to_bytes()]})
+
+        with_shard = hashes_df.withColumn(
+            "shard", (F.conv(F.substring("url_hash", 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+        )
+        delta = {
+            r["shard"]: BloomShard.from_bytes(bytes(r["bits"]))
+            for r in with_shard.groupBy("shard")
+            .applyInPandas(build, "shard int, bits binary")
+            .collect()
+        }
+        merged: dict[int, BloomShard] = dict(previous or {})
+        for s, b in delta.items():
+            merged[s] = merged[s].union(b) if s in merged else b
+        out = self.spark.createDataFrame(
+            [(s, bytearray(b.to_bytes())) for s, b in sorted(merged.items())],
+            "shard int, bits binary",
+        )
+        self.state.write("bloom", iteration, out)
+        return merged
+
+    def _load_bloom(self, upto_iter: int) -> dict:
+        df = self.state.read_latest("bloom", upto_iter)
+        if df is None:
+            return {}
+        return {r["shard"]: BloomShard.from_bytes(bytes(r["bits"])) for r in df.collect()}
+
+    # ------------------------------------------------------------------
+    def run(self, max_iters: int | None = None) -> dict:
+        """Run waves until the frontier drains or max_iters; resumable —
+        picks up from the last committed manifest."""
+        cfg = self.cfg
+        max_iters = max_iters or cfg.max_iters
+        m = self.state.manifest()
+        assert m["completed_iter"] >= 0, "call init_seeds() first"
+        it = m["completed_iter"]
+        while it - 0 < max_iters:
+            it += 1
+            m = self.state.manifest()
+            frontier = self.state.read_latest("frontier", it - 1)
+            if frontier is None or frontier.rdd.isEmpty():
+                break
+            self._wave(it, frontier, m)
+        return self.state.manifest()
+
+    # ------------------------------------------------------------------
+    def _wave(self, it: int, frontier: DataFrame, manifest: dict) -> None:
+        cfg, spark = self.cfg, self.spark
+        prev_chain = manifest["chain_hash"]
+        max_seq = manifest["max_seq"]
+
+        # 1. robots refresh for new hosts
+        robots = self.state.read_latest("robots", it - 1)
+        known_hosts = {r["host"] for r in robots.select("host").distinct().collect()}
+        hosts_now = {r["host"] for r in frontier.select("host").distinct().collect()}
+        new_hosts = sorted(hosts_now - known_hosts)
+        if new_hosts:
+            robots = robots.unionByName(
+                fetch_robots(spark, new_hosts, self.robots_fetcher)
+            )
+        self.state.write("robots", it, robots)
+        robots = self.state.read_latest("robots", it)
+
+        # 2. politeness dequeue (budget = wave_seconds / crawl_delay)
+        allowed, denied = allowed_filter(frontier, robots)
+        n_denied = denied.count()
+        budget = F.greatest(
+            F.lit(1),
+            F.floor(F.lit(cfg.wave_seconds) / F.coalesce("crawl_delay", F.lit(cfg.default_crawl_delay))),
+        ).cast("int")
+        w_host = W.partitionBy("host").orderBy(F.col("priority").desc(), F.col("seq"))
+        ranked = allowed.withColumn("_rk", F.row_number().over(w_host)).withColumn(
+            "_budget", budget
+        )
+        selected = ranked.filter(F.col("_rk") <= F.col("_budget")).drop("_rk", "_budget")
+        remainder = (
+            ranked.filter(F.col("_rk") > F.col("_budget"))
+            .drop("_rk", "_budget", "crawl_delay")
+        )
+
+        # 3. skew salting: spread hot hosts over salted sub-keys
+        counts = {r["host"]: r["cnt"] for r in
+                  selected.groupBy("host").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        salt_rows = [
+            (h, max(1, -(-c // cfg.skew_threshold))) for h, c in sorted(counts.items())
+        ]
+        salt_df = spark.createDataFrame(salt_rows or [("", 1)], "host string, salt int")
+        selected = (
+            selected.join(F.broadcast(salt_df), "host", "left")
+            .withColumn("part_key", F.concat_ws("#", "host", F.pmod("seq", F.coalesce("salt", F.lit(1)))))
+            .repartition(cfg.n_partitions, "part_key")
+        )
+
+        # 4. fetch + parse
+        fetched = fetch_and_parse(
+            selected, politeness_sleep=cfg.politeness_sleep, transport=self.transport
+        ).withColumn("part_id", F.spark_partition_id()).cache()
+        n_fetched = fetched.count()
+
+        visits = fetched.select(
+            F.lit(it).alias("iter"), "url", "url_hash", "host",
+            "priority", "seq", "status", "content_hash",
+        )
+        self.state.write("visits", it, visits)
+
+        # 5. content dedup (wave-internal argmin by seq, then anti-join)
+        ok = fetched.filter(F.col("status") == 200)
+        w_content = W.partitionBy("content_hash").orderBy("seq")
+        wave_docs = ok.withColumn("_rn", F.row_number().over(w_content)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+        content_seen = self.state.read_all("content_seen", it - 1)
+        if content_seen is not None:
+            new_docs = wave_docs.join(content_seen, "content_hash", "left_anti")
+        else:
+            new_docs = wave_docs
+        documents = new_docs.select(
+            F.col("url").alias("doc_id"), "url_hash", "content_hash", "spans",
+            F.lit(it).alias("iter"),
+        )
+        self.state.write("documents", it, documents)
+        self.state.write(
+            "content_seen", it, documents.select("content_hash").distinct()
+        )
+
+        # 6. link expansion
+        links = (
+            fetched.select(
+                F.col("priority").alias("parent_priority"),
+                F.col("seq").alias("parent_seq"),
+                F.posexplode("links").alias("link_idx", "raw_url"),
+            )
+            .withColumn("url", canonical_url("raw_url"))
+            .withColumn("host", url_host("url"))
+            .withColumn("url_hash", url_hash_col(F.col("url")))
+        )
+        w_link = W.partitionBy("url_hash").orderBy("parent_seq", "link_idx")
+        candidates = (
+            links.withColumn("_rn", F.row_number().over(w_link))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "url", "url_hash", "host",
+                F.greatest(F.col("parent_priority") - 1, F.lit(1)).alias("priority"),
+                "parent_seq", "link_idx",
+            )
+        )
+
+        # bloom pre-filter: only maybe-seen rows pay the anti-join
+        blooms = self._load_bloom(it - 1)
+        bloom_bc = spark.sparkContext.broadcast(
+            {s: b.to_bytes() for s, b in blooms.items()}
+        )
+        n_shards = cfg.n_shards
+
+        @F.pandas_udf("boolean")
+        def maybe_seen(hashes: pd.Series) -> pd.Series:
+            res = probe_hashes(hashes.tolist(), bloom_bc.value, n_shards)
+            return pd.Series(res, index=hashes.index)
+
+        candidates = candidates.withColumn("_maybe", maybe_seen("url_hash")).cache()
+        definitely_new = candidates.filter(~F.col("_maybe")).drop("_maybe")
+        seen = self.state.read_all("seen", it - 1)
+        checked_new = (
+            candidates.filter(F.col("_maybe"))
+            .drop("_maybe")
+            .join(seen, "url_hash", "left_anti")
+        )
+        new_urls = definitely_new.unionByName(checked_new)
+
+        # deterministic seq assignment (global order over this wave's news)
+        w_seq = W.orderBy("parent_seq", "link_idx", "url_hash")
+        new_urls = new_urls.withColumn(
+            "seq", (F.lit(max_seq) + F.row_number().over(w_seq)).cast("long")
+        ).select("url", "url_hash", "host", "priority", "seq").cache()
+        n_new = new_urls.count()
+
+        # 7. persist deltas + next frontier + lineage
+        self.state.write("seen", it, new_urls.select("url_hash", "url"))
+        self._write_bloom(it, new_urls.select("url_hash"), previous=blooms)
+        frontier_next = remainder.select(
+            "url", "url_hash", "host", "priority", "seq"
+        ).unionByName(new_urls)
+        self.state.write("frontier", it, frontier_next)
+
+        part_metrics = (
+            fetched.groupBy("part_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_fetched"),
+                F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
+                F.sum(F.size("links")).alias("n_links"),
+            )
+            .withColumn("iter", F.lit(it))
+        )
+        self.state.write("metrics", it, part_metrics)
+
+        totals = {
+            "iter": it,
+            "fetched": n_fetched,
+            "denied": n_denied,
+            "new_urls": n_new,
+            "new_docs": documents.count(),
+        }
+        chain = self._chain(prev_chain, totals)
+        new_max_seq = max_seq + n_new
+        fetched.unpersist()
+        candidates.unpersist()
+        new_urls.unpersist()
+        self.state.commit(it, chain, extra={"max_seq": new_max_seq, "totals": totals})
+
+    # ------------------------------------------------------------------
+    def visits_ordered(self, upto_iter: int | None = None) -> DataFrame:
+        """The crawl-order log, in the deterministic total order."""
+        upto = upto_iter if upto_iter is not None else self.state.manifest()["completed_iter"]
+        v = self.state.read_all("visits", upto)
+        return v.orderBy(*visit_order_cols()) if v is not None else None
+
+    def seen_set(self, upto_iter: int | None = None) -> DataFrame:
+        upto = upto_iter if upto_iter is not None else self.state.manifest()["completed_iter"]
+        return self.state.read_all("seen", upto)
+
+
+def main() -> None:
+    """CLI: run a fixture-backed synthetic crawl.
+
+    python -m earcrawler_spark.crawler.runner --state-dir /tmp/crawl \
+        --max-iters 3 [--wave-seconds 20] [--partitions 8] [--resume]
+    """
+    import argparse
+
+    from earcrawler_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="PySpark URL-frontier crawler (synthetic web)")
+    ap.add_argument("--state-dir", required=True)
+    ap.add_argument("--max-iters", type=int, default=3)
+    ap.add_argument("--wave-seconds", type=float, default=20.0)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the state dir's manifest instead of seeding")
+    args = ap.parse_args()
+
+    spark = get_spark("crawler")
+    c = Crawler(
+        spark, args.state_dir,
+        CrawlConfig(wave_seconds=args.wave_seconds, max_iters=args.max_iters,
+                    n_partitions=args.partitions),
+    )
+    if not args.resume:
+        c.init_seeds(synth.seed_list())
+    m = c.run(max_iters=args.max_iters)
+    visits = c.visits_ordered()
+    print(json.dumps({
+        "completed_iter": m["completed_iter"],
+        "chain_hash": m["chain_hash"],
+        "totals": m.get("totals"),
+        "visits": visits.count() if visits is not None else 0,
+        "seen": c.seen_set().count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

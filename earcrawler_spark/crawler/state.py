@@ -1,0 +1,88 @@
+"""Checkpointed crawl state with per-iteration deltas + atomic manifest.
+
+Layout (one directory per run):
+
+    state_dir/
+      manifest.json                 # {"completed_iter": N, "chain_hash": …}
+      frontier/iter=NNNNN/          # full rewrite per iteration
+      seen/iter=NNNNN/              # append-only url_hash deltas
+      content_seen/iter=NNNNN/      # append-only content-hash deltas
+      bloom/iter=NNNNN/             # (shard, bits) — full rewrite
+      robots/iter=NNNNN/            # full rewrite (host rules cache)
+      documents/iter=NNNNN/         # append-only crawled docs (spans)
+      visits/iter=NNNNN/            # append-only ordered visit log
+      metrics/iter=NNNNN/           # append-only per-partition lineage
+
+Crash safety: an iteration's directories are written first; the manifest
+(update via write-temp + atomic rename) is the commit point. A run killed
+mid-iteration resumes from the last committed manifest and recomputes the
+partial iteration from identical inputs — determinism makes the redo
+byte-equivalent (proven by tests/test_crawler_resume.py).
+
+On a production deployment every append-only table here is an Iceberg
+table (snapshot = manifest) and `seen` is MERGE'd; the store keeps that
+swap behind ``read_all`` / ``write_delta`` so the engine code is
+layout-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+APPEND_TABLES = ("seen", "content_seen", "documents", "visits", "metrics")
+FULL_TABLES = ("frontier", "bloom", "robots")
+
+
+class CrawlState:
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "manifest.json")
+
+    def manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"completed_iter": -1, "chain_hash": ""}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def commit(self, iteration: int, chain_hash: str, extra: dict | None = None) -> None:
+        m = {"completed_iter": iteration, "chain_hash": chain_hash, **(extra or {})}
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f, sort_keys=True)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    # -- table io -----------------------------------------------------
+    def _iter_dir(self, table: str, iteration: int) -> str:
+        return os.path.join(self.dir, table, f"iter={iteration:05d}")
+
+    def write(self, table: str, iteration: int, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self._iter_dir(table, iteration))
+
+    def read_latest(self, table: str, upto_iter: int) -> DataFrame | None:
+        """Latest full-rewrite snapshot of a FULL_TABLES table."""
+        for i in range(upto_iter, -1, -1):
+            p = self._iter_dir(table, i)
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                return self.spark.read.parquet(p)
+        return None
+
+    def read_all(self, table: str, upto_iter: int) -> DataFrame | None:
+        """Union of committed deltas of an APPEND_TABLES table."""
+        paths = [
+            self._iter_dir(table, i)
+            for i in range(upto_iter + 1)
+            if os.path.exists(os.path.join(self._iter_dir(table, i), "_SUCCESS"))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
