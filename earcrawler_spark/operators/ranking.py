@@ -1,0 +1,125 @@
+"""BM25 scoring + reciprocal-rank fusion — the reference's retrieval core
+re-expressed relationally.
+
+Reference: BM25 statistics + scoring at rag/retriever_ranking.py:109-177
+(k1=1.5, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)), positive-score filter,
+deterministic top-k via score bucketing at 1e-6 + stable tie key,
+retriever_ranking.py:29-40); RRF fusion Σ 1/(60+rank) with per-signal rank
+detail at retriever_ranking.py:190-245.
+
+Plan shape at scale: tokenize+explode → two hash aggregations (postings tf,
+doc lengths) + a tiny df aggregate that is broadcast; scoring is a join of
+the postings against the (broadcast) query-term idf table; final top-k is
+TakeOrderedAndProject. No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from earcrawler_spark.functions.text import tokens
+
+K1 = 1.5
+B = 0.75
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFrame:
+    """Deterministic BM25 top-k of `docs(doc_id, text)` for query_terms."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = W.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )
+
+
+def bm25_sql(query_terms: list[str], k: int = 20, table: str = "documents") -> str:
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ({terms})
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+             * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * dl/avgdl))), 6) AS score
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+  HAVING score > 0
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def rrf_fuse(
+    ranking_a: DataFrame, ranking_b: DataFrame, k: int = 20, c: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (doc_id, rank) rankings.
+
+    Full-outer join on doc_id; missing signals contribute nothing (the
+    reference sums only present signals, retriever_ranking.py:201-223);
+    per-signal ranks kept as detail columns."""
+    a = ranking_a.select("doc_id", F.col("rank").alias("rank_a"))
+    b = ranking_b.select("doc_id", F.col("rank").alias("rank_b"))
+    fused = (
+        a.join(b, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (F.lit(c) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(c) + F.col("rank_b")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = W.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select("doc_id", "rank_a", "rank_b", "rrf", "fused_rank")
+        .orderBy("fused_rank")
+    )

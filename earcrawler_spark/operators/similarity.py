@@ -1,0 +1,259 @@
+"""Near-duplicate detection + similarity search over documents/embeddings.
+
+Everything here is built from native Column expressions (sha2, array
+functions, aggregates) so the hot path stays in whole-stage codegen and —
+critically for the correctness gate — the identical computation is
+expressible in ANSI/DuckDB SQL.
+
+Families (training-data pipeline requirements):
+- exact dedup        → queries.q_dedup_exact (sha256 groupBy)
+- n-gram Jaccard     → ngram_jaccard_pairs (exact; the oracle of record)
+- MinHash + LSH      → minhash_signatures / lsh_candidate_pairs (the scale
+                       path: banding turns O(n²) pair space into
+                       per-band hash-join buckets)
+- SimHash            → simhash64 (bit-vote fingerprint; Hamming buckets)
+- embedding cosine   → cosine_topk (brute-force baseline) and
+                       hyperplane_lsh_buckets (bucketed ANN scale path)
+
+Reference precedent: the reference dedups by exact sha256 only
+(ear_crawler.py:176-177); near-dup families are the scale-up additions.
+MinHash uses sha256(i‖shingle) as the per-permutation hash so the
+signature is reproducible anywhere (same trick as the reference's
+deterministic content addressing, corpus/identity.py:9-12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from earcrawler_spark.functions.text import tokens, word_shingles
+
+
+# --- n-gram Jaccard (exact) ----------------------------------------------
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over two distinct-element arrays: |∩| / (|a|+|b|-|∩|)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def shingle_docs(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", word_shingles(F.col("text"), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold.
+
+    O(n²) — the correctness oracle for the LSH path. Scale note: at 100 TB
+    you never run this; LSH candidates + per-pair verification replace it
+    (same output for pairs above the LSH design threshold).
+    """
+    sh = shingle_docs(docs, n)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard(F.col("a.shingles"), F.col("b.shingles")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signature(shingles: Column, n_hashes: int) -> Column:
+    """array<string> of n_hashes minhash values.
+
+    h_i(doc) = min over shingles s of sha256(i ‖ '|' ‖ s); the min is
+    lexicographic over hex strings — identical in any engine with sha256.
+    Pure Column expressions → codegen'd, no UDF.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.sha2(F.concat(i.cast("string"), F.lit("|"), s), 256),
+            )
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n: int = 3, bands: int = 8, rows: int = 2
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents sharing ≥1 band bucket.
+
+    Scale shape: explode to (band_idx, band_key) → shuffle on the band key
+    → per-bucket pair generation. Catches j with prob 1-(1-j^rows)^bands;
+    hot buckets are bounded because band keys are 256-bit hashes (only true
+    near-dups collide). Pair verification (exact jaccard) joins back the
+    shingle arrays.
+    """
+    sh = shingle_docs(docs, n).withColumn(
+        "sig", minhash_signature(F.col("shingles"), bands * rows)
+    )
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.sha2(
+                        F.concat_ws("#", F.slice(F.col("sig"), b * rows + 1, rows)),
+                        256,
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_sql(n: int, bands: int, rows: int, table: str = "documents") -> str:
+    """The identical LSH pipeline as DuckDB SQL (oracle of record)."""
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS tk FROM {table}
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tk)-{n - 1}, 0)+1),
+             i -> array_to_string(list_slice(tk, i, i+{n - 1}), ' '))) AS shingles
+  FROM toks WHERE len(tk) >= {n}
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {bands * rows}),
+             i -> list_aggregate(list_transform(shingles,
+                      s -> sha256(i::VARCHAR || '|' || s)), 'min')) AS sig
+  FROM sh WHERE len(shingles) > 0
+), banded AS (
+  SELECT doc_id, b AS band_idx,
+         sha256(array_to_string(list_slice(sig, b*{rows}+1, b*{rows}+{rows}), '#')) AS band_key
+  FROM sig, unnest(range(0, {bands})) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash as bigint: per-token sha256 → first 64 bits; each bit
+    votes ±1; sign of the vote is the fingerprint bit. Near-dups differ in
+    few bits (Hamming distance), so bucketing by 4×16-bit slices gives an
+    LSH for Hamming distance ≤ 3. Pure Column expressions."""
+    toks = F.array_distinct(tokens(text_col))
+    tok_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long")
+    )
+    bit_votes = [
+        F.aggregate(
+            tok_hash,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+        for b in range(60)
+    ]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+# --- Embedding similarity ----------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k per query vector.
+
+    Plan shape: the query side (|Q| rows) is broadcast; the big side
+    streams once through a codegen'd projection; per-query top-k is a
+    window over the (tiny) |Q|·n intermediate. Deterministic ranking via
+    the reference's bucket+tie-break pattern (retriever_ranking.py:29-40):
+    bucket = round(sim, 6), tie-break vec_id.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 16) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (cosine ANN scale path).
+
+    Hyperplane p's component d is a deterministic pseudo-random ±1 derived
+    from sha256(p‖d) — reproducible anywhere, no RNG state. Bucket key =
+    n_planes sign bits. ANN search = per-bucket brute force (+ optional
+    multi-probe). Verified against brute force by a recall test, not a SQL
+    oracle (sign-bit parity in SQL is possible but adds nothing).
+    """
+    import hashlib as _hl
+
+    dim = len(embeddings.select("embedding").first()[0])
+    planes = [
+        [
+            1.0 if int(_hl.sha256(f"{p}|{d}".encode()).hexdigest()[:8], 16) % 2 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+    v = F.col("embedding").cast("array<double>")
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return embeddings.select(
+        "vec_id", F.concat(*bits).alias("bucket"), "embedding"
+    )

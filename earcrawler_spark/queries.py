@@ -638,6 +638,263 @@ LIMIT 25
 
 
 # ---------------------------------------------------------------------------
+# D. Similarity / dedup families + ranking + reconcile
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ["spark", "join", "stream"]
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the oracle of
+    record for the LSH path."""
+    from earcrawler_spark.operators.similarity import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tk)-2, 0)+1),
+             i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS s
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND len(list_intersect(a.s, b.s)) * 1.0
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 hashes, 8 bands × 2 rows) — the
+    scale path; sha256-derived permutations make the signature identical
+    in any engine, so the oracle runs the same LSH in SQL."""
+    from earcrawler_spark.operators.similarity import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), n=3, bands=8, rows=2)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 BM25 top-20 for a fixed query (k1=1.5, b=0.75) with the
+    reference's deterministic bucket+tie-break ranking."""
+    from earcrawler_spark.operators.ranking import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), BM25_QUERY, k=20)
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 RRF hybrid fusion: BM25 top-50 ⊕ length-ranking top-50 →
+    Σ 1/(60+rank), fused top-20."""
+    from earcrawler_spark.operators.ranking import bm25_scores, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    bm25 = bm25_scores(docs, BM25_QUERY, k=50).select("doc_id", "rank")
+    w = W.orderBy(F.desc("n_chars"), "doc_id")
+    length_rank = (
+        docs.select("doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse(bm25, length_rank, k=20)
+
+
+def _bm25_sql_cte(k: int) -> str:
+    from earcrawler_spark.operators.ranking import bm25_sql
+
+    return bm25_sql(BM25_QUERY, k=k)
+
+
+_SQL_RRF = """
+WITH bm25 AS (
+    SELECT doc_id, rank FROM ({bm25}) ranked
+), lenrank AS (
+    SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+    FROM documents QUALIFY rank <= 50
+), fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.rank AS rank_a, b.rank AS rank_b,
+         round(coalesce(1.0/(60 + a.rank), 0) + coalesce(1.0/(60 + b.rank), 0), 6) AS rrf
+  FROM bm25 a FULL OUTER JOIN lenrank b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, rank_a, rank_b, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+FROM fused QUALIFY fused_rank <= 20
+ORDER BY fused_rank
+"""
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for query vectors 0..4
+    (similarity-search baseline; broadcast query side)."""
+    from earcrawler_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+_SQL_KNN = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), 'sum'))), 6)
+         AS cosine
+  FROM e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_reconcile_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J6/J7 reconcile: blocking by (p_brand, p_type) composite with the
+    64-bucket cap, token-feature scoring, threshold decisions."""
+    from earcrawler_spark.operators.reconcile import blocking_pairs, score_pairs
+
+    parts = _t(spark, sf_dir, "part")
+    pairs = blocking_pairs(
+        parts, "p_partkey", "p_name",
+        [F.concat_ws("|", "p_brand", "p_type")], max_bucket=64,
+    )
+    return score_pairs(pairs).orderBy("id_a", "id_b")
+
+
+_SQL_RECONCILE = """
+WITH keyed AS (
+  SELECT p_partkey AS id,
+         trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g'),
+              '\\s+', ' ', 'g')) AS name,
+         p_brand || '|' || p_type AS bk
+  FROM part
+), sized AS (
+  SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64
+), ok AS (
+  SELECT keyed.* FROM keyed JOIN sized USING (bk)
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+  FROM ok a JOIN ok b ON a.bk = b.bk AND a.id < b.id
+), feat AS (
+  SELECT *,
+    list_distinct(string_split(name_a, ' ')) AS ta,
+    list_distinct(string_split(name_b, ' ')) AS tb
+  FROM pairs
+), scored AS (
+  SELECT id_a, id_b, name_a, name_b,
+    round(0.4 * (CASE WHEN name_a = name_b THEN 1.0 ELSE 0.0 END)
+        + 0.4 * (len(list_intersect(ta, tb)) * 1.0
+                 / (len(ta) + len(tb) - len(list_intersect(ta, tb))))
+        + 0.2 * (CASE WHEN string_split(name_a, ' ')[1] = string_split(name_b, ' ')[1]
+                 THEN 1.0 ELSE 0.0 END), 6) AS score
+  FROM feat
+)
+SELECT id_a, id_b, name_a, name_b, score,
+       CASE WHEN score >= 0.8 THEN 'auto_merge'
+            WHEN score >= 0.4 THEN 'review'
+            ELSE 'reject' END AS decision
+FROM scored
+ORDER BY id_a, id_b
+"""
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 canonical-ID union: connected components (min-label propagation)
+    over the auto_merge pair graph from q_reconcile_parts."""
+    from earcrawler_spark.operators.reconcile import connected_components
+
+    pairs = q_reconcile_parts(spark, sf_dir).filter(F.col("decision") == "auto_merge")
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
+_SQL_CC = f"""
+WITH scored AS ({_SQL_RECONCILE.replace("ORDER BY id_a, id_b", "")}),
+edges AS (
+  SELECT id_a, id_b FROM scored WHERE decision = 'auto_merge'
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION SELECT id_b, id_a FROM edges
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+)
+SELECT id, least(id, min(b)) AS component
+FROM (SELECT a AS id, b FROM reach) GROUP BY id
+ORDER BY id
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (§2.9): extract props.k, bucket by decile,
+    aggregate (reference parses JSON payloads per row; here it's
+    get_json_object in codegen)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((F.floor(k / 10) * 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+_SQL_EVENTS_JSON = """
+SELECT (CAST(json_extract_string(props, '$.k') AS INT) // 10) * 10 AS k_bucket,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY k_bucket
+"""
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + 16-bit bucket counts (Hamming-LSH family).
+    No SQL oracle (bit-vote aggregation has no portable SQL form);
+    driver records the rows-only check; recall vs exact jaccard is
+    pytest-verified."""
+    from earcrawler_spark.operators.similarity import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+        .withColumn("bucket", (F.col("simhash") % (1 << 16)).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN buckets (cosine scale path). Rows-only check;
+    recall vs brute force is pytest-verified."""
+    from earcrawler_spark.operators.similarity import hyperplane_lsh_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        hyperplane_lsh_buckets(emb, n_planes=12)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy(F.desc("n_vecs"), "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -661,6 +918,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "lang_distribution": q_lang_distribution,
     "term_cooccurrence": q_term_cooccurrence,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "bm25_topk": q_bm25_topk,
+    "rrf_fusion": q_rrf_fusion,
+    "knn_bruteforce": q_knn_bruteforce,
+    "reconcile_parts": q_reconcile_parts,
+    "connected_components": q_connected_components,
+    "events_json": q_events_json,
+    "simhash_buckets": q_simhash_buckets,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -683,4 +950,26 @@ ORACLES: dict[str, str] = {
     "pii_scrub": _SQL_PII_SCRUB,
     "lang_distribution": _SQL_LANG_DIST,
     "term_cooccurrence": _SQL_COOCCUR,
+    "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+    "bm25_topk": None,  # filled below
+    "rrf_fusion": None,
+    "minhash_lsh_pairs": None,
+    "knn_bruteforce": _SQL_KNN,
+    "reconcile_parts": _SQL_RECONCILE,
+    "connected_components": _SQL_CC,
+    "events_json": _SQL_EVENTS_JSON,
+    # simhash_buckets / ann_lsh_buckets: intentionally no oracle
+    # (rows-only driver check; pytest covers recall/equivalence).
 }
+
+
+def _late_oracles() -> None:
+    from earcrawler_spark.operators.ranking import bm25_sql
+    from earcrawler_spark.operators.similarity import minhash_sql
+
+    ORACLES["bm25_topk"] = bm25_sql(BM25_QUERY, k=20)
+    ORACLES["rrf_fusion"] = _SQL_RRF.format(bm25=bm25_sql(BM25_QUERY, k=50))
+    ORACLES["minhash_lsh_pairs"] = minhash_sql(n=3, bands=8, rows=2)
+
+
+_late_oracles()
