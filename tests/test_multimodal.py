@@ -1,0 +1,91 @@
+"""Multimodal plumbing: media sidecar from spans, stubbed decode stage,
+schema/batch-shape guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from earcrawler_spark.crawler.spans import SPANS_SCHEMA
+from earcrawler_spark.multimodal import (
+    decode_stub,
+    extract_features,
+    media_table_from_spans,
+    synthetic_media_bytes,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_with_media(spark):
+    rows = [
+        (
+            "d1",
+            [
+                ("text", "hello world", "", 0),
+                ("media", "", "https://bis.doc.gov/media/2.bin", 1),
+                ("media", "", "https://bis.doc.gov/media/3.bin", 2),
+            ],
+        ),
+        ("d2", [("media", "", "https://bis.doc.gov/media/2.bin", 0)]),  # shared asset
+        ("d3", [("text", "no media here", "", 0)]),
+    ]
+    return spark.createDataFrame(rows, f"doc_id string, spans {SPANS_SCHEMA}")
+
+
+def test_media_table_dedups_assets(spark, docs_with_media):
+    media = media_table_from_spans(docs_with_media)
+    rows = media.collect()
+    assert len(rows) == 2  # media/2.bin shared by d1+d2 decoded once
+    assert {r["kind"] for r in rows} <= {"image", "audio", "video"}
+    for r in rows:
+        assert isinstance(bytes(r["media_bytes"]), bytes)
+        if r["kind"] == "audio":
+            assert r["sample_rate"] == 16000 and r["width"] is None
+        else:
+            assert r["width"] >= 64 and r["height"] >= 64
+
+
+def test_extract_features_deterministic(spark, docs_with_media):
+    media = media_table_from_spans(docs_with_media)
+    f1 = {r["media_id"]: r for r in extract_features(media).collect()}
+    f2 = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert set(f1) == set(f2) and len(f1) == 2
+    for mid, r in f1.items():
+        assert len(r["feature"]) == 8
+        assert r["feature"] == f2[mid]["feature"]
+        if r["kind"] == "audio":
+            assert r["n_frames_sampled"] == 0 and r["thumb_w"] is None
+        else:
+            assert r["n_frames_sampled"] >= 1 and r["thumb_w"] == 32
+
+
+def test_decode_stub_gates_real_codecs():
+    payload = synthetic_media_bytes("x")
+    with pytest.raises(NotImplementedError):
+        decode_stub(payload, "image", deterministic_fake=False)
+    assert decode_stub(payload, "image", deterministic_fake=True) == decode_stub(
+        payload, "image", deterministic_fake=True
+    )
+
+
+def test_media_pipeline_over_synthetic_crawl(spark, tmp_path):
+    """End-to-end: crawl output documents (interleaved spans) → media
+    sidecar → features; every media span resolves to exactly one asset."""
+    from earcrawler_spark.crawler import synth
+    from earcrawler_spark.crawler.runner import Crawler, CrawlConfig
+
+    c = Crawler(spark, str(tmp_path / "mm"), CrawlConfig(max_iters=1, n_partitions=4))
+    c.init_seeds(synth.seed_list())
+    c.run(max_iters=1)
+    docs = c.state.read_all("documents", 1)
+    media = media_table_from_spans(docs)
+    feats = extract_features(media)
+    n_refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("s.media_ref")
+        .distinct()
+        .count()
+    )
+    assert media.count() == n_refs == feats.count()
+    assert n_refs > 0
