@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
+import time
 from dataclasses import dataclass
 
 import pandas as pd
@@ -71,6 +73,11 @@ class CrawlConfig:
     max_iters: int = 5
     politeness_sleep: bool = False
     default_crawl_delay: float = 1.0
+    # checkpoint writes are coalesced to this many files per table per
+    # iteration: at sandbox scale 96-way writes mean ~300 tiny-file commit
+    # renames per wave, which dominates wall time. On a cluster with a real
+    # object store you'd raise this to the write parallelism you want.
+    write_partitions: int = 8
 
 
 class Crawler:
@@ -180,6 +187,15 @@ class Crawler:
     # ------------------------------------------------------------------
     def _wave(self, it: int, frontier: DataFrame, manifest: dict) -> None:
         cfg, spark = self.cfg, self.spark
+        _timing = os.environ.get("EARCRAWLER_TIMING")
+        _t0 = time.perf_counter()
+
+        def _mark(phase: str) -> None:
+            nonlocal _t0
+            if _timing:
+                now = time.perf_counter()
+                print(f"[wave {it}] {phase}: {now - _t0:.2f}s", flush=True)
+                _t0 = now
         prev_chain = manifest["chain_hash"]
         max_seq = manifest["max_seq"]
 
@@ -195,6 +211,7 @@ class Crawler:
         self.state.write("robots", it, robots)
         robots = self.state.read_latest("robots", it)
 
+        _mark("robots")
         # 2. politeness dequeue (budget = wave_seconds / crawl_delay)
         allowed, denied = allowed_filter(frontier, robots)
         n_denied = denied.count()
@@ -212,31 +229,50 @@ class Crawler:
             .drop("_rk", "_budget", "crawl_delay")
         )
 
-        # 3. skew salting: spread hot hosts over salted sub-keys
-        counts = {r["host"]: r["cnt"] for r in
-                  selected.groupBy("host").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-        salt_rows = [
-            (h, max(1, -(-c // cfg.skew_threshold))) for h, c in sorted(counts.items())
-        ]
-        salt_df = spark.createDataFrame(salt_rows or [("", 1)], "host string, salt int")
-        selected = (
-            selected.join(F.broadcast(salt_df), "host", "left")
-            .withColumn("part_key", F.concat_ws("#", "host", F.pmod("seq", F.coalesce("salt", F.lit(1)))))
-            .repartition(cfg.n_partitions, "part_key")
-        )
+        _mark("dequeue")
+        # 3. partitioning for the fetch stage
+        if cfg.politeness_sleep:
+            # wall-clock politeness requires per-host serialization: a host
+            # must live in exactly one partition (salting would let salted
+            # sub-queues of one host sleep in parallel). Range partitioning
+            # on host spreads hosts evenly BY COUNT (hash partitioning is
+            # binomial — its max-loaded partition becomes the wave
+            # straggler); equal keys never straddle a range boundary.
+            # Per-host work is ≈wave_seconds of sleep by construction
+            # (budget = wave_seconds / crawl_delay), so even host counts
+            # mean even partitions.
+            selected = selected.repartitionByRange(cfg.n_partitions, "host")
+        else:
+            # deterministic (budget-based) politeness: salt hot hosts so the
+            # dequeue skew (bis.doc.gov / federalregister.gov) spreads over
+            # ceil(n/threshold) sub-keys
+            counts = {r["host"]: r["cnt"] for r in
+                      selected.groupBy("host").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+            salt_rows = [
+                (h, max(1, -(-c // cfg.skew_threshold))) for h, c in sorted(counts.items())
+            ]
+            salt_df = spark.createDataFrame(salt_rows or [("", 1)], "host string, salt int")
+            selected = (
+                selected.join(F.broadcast(salt_df), "host", "left")
+                .withColumn("part_key", F.concat_ws("#", "host", F.pmod("seq", F.coalesce("salt", F.lit(1)))))
+                .repartition(cfg.n_partitions, "part_key")
+            )
 
+        _mark("partitioning")
         # 4. fetch + parse
         fetched = fetch_and_parse(
             selected, politeness_sleep=cfg.politeness_sleep, transport=self.transport
         ).withColumn("part_id", F.spark_partition_id()).cache()
         n_fetched = fetched.count()
 
+        _mark("fetch+parse")
         visits = fetched.select(
             F.lit(it).alias("iter"), "url", "url_hash", "host",
             "priority", "seq", "status", "content_hash",
         )
-        self.state.write("visits", it, visits)
+        self.state.write("visits", it, visits, n_files=cfg.write_partitions)
 
+        _mark("visits_write")
         # 5. content dedup (wave-internal argmin by seq, then anti-join)
         ok = fetched.filter(F.col("status") == 200)
         w_content = W.partitionBy("content_hash").orderBy("seq")
@@ -252,11 +288,14 @@ class Crawler:
             F.col("url").alias("doc_id"), "url_hash", "content_hash", "spans",
             F.lit(it).alias("iter"),
         )
-        self.state.write("documents", it, documents)
+        self.state.write("documents", it, documents, n_files=cfg.write_partitions)
         self.state.write(
-            "content_seen", it, documents.select("content_hash").distinct()
+            "content_seen", it,
+            documents.select("content_hash").distinct(),
+            n_files=cfg.write_partitions,
         )
 
+        _mark("content_dedup")
         # 6. link expansion
         links = (
             fetched.select(
@@ -279,6 +318,7 @@ class Crawler:
             )
         )
 
+        _mark("link_expand_plan")
         # bloom pre-filter: only maybe-seen rows pay the anti-join
         blooms = self._load_bloom(it - 1)
         bloom_bc = spark.sparkContext.broadcast(
@@ -308,13 +348,14 @@ class Crawler:
         ).select("url", "url_hash", "host", "priority", "seq").cache()
         n_new = new_urls.count()
 
+        _mark("dedup_new_urls")
         # 7. persist deltas + next frontier + lineage
-        self.state.write("seen", it, new_urls.select("url_hash", "url"))
+        self.state.write("seen", it, new_urls.select("url_hash", "url"), n_files=cfg.write_partitions)
         self._write_bloom(it, new_urls.select("url_hash"), previous=blooms)
         frontier_next = remainder.select(
             "url", "url_hash", "host", "priority", "seq"
         ).unionByName(new_urls)
-        self.state.write("frontier", it, frontier_next)
+        self.state.write("frontier", it, frontier_next, n_files=cfg.write_partitions)
 
         part_metrics = (
             fetched.groupBy("part_id")
@@ -325,8 +366,9 @@ class Crawler:
             )
             .withColumn("iter", F.lit(it))
         )
-        self.state.write("metrics", it, part_metrics)
+        self.state.write("metrics", it, part_metrics, n_files=1)
 
+        _mark("persist")
         totals = {
             "iter": it,
             "fetched": n_fetched,
@@ -340,6 +382,7 @@ class Crawler:
         candidates.unpersist()
         new_urls.unpersist()
         self.state.commit(it, chain, extra={"max_seq": new_max_seq, "totals": totals})
+        _mark("metrics+commit")
 
     # ------------------------------------------------------------------
     def visits_ordered(self, upto_iter: int | None = None) -> DataFrame:

@@ -65,7 +65,9 @@ class CrawlState:
     def _iter_dir(self, table: str, iteration: int) -> str:
         return os.path.join(self.dir, table, f"iter={iteration:05d}")
 
-    def write(self, table: str, iteration: int, df: DataFrame) -> None:
+    def write(self, table: str, iteration: int, df: DataFrame, n_files: int | None = None) -> None:
+        if n_files is not None and n_files > 0:
+            df = df.coalesce(n_files)
         df.write.mode("overwrite").parquet(self._iter_dir(table, iteration))
 
     def read_latest(self, table: str, upto_iter: int) -> DataFrame | None:
