@@ -1,0 +1,512 @@
+"""Query batch 3 — corpus/KG operator parity (SURVEY.md §2.2/2.4/2.5).
+
+Covers: entity classification (P7/P8), record normalization + ID minting
+(P11/P12), corpus digest (D9), deterministic chunking (P16), mention
+scoring (P9), IRI minting (P13), truncation (P21), as-of with status
+classification (J9 full + A11), SPARQL-style BGP joins over a triples
+table (J2) with anti-join integrity (J3), perf budget gate (A9),
+soundex blocking key (P20 — Spark-native, rows-only check since DuckDB
+lacks soundex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from earcrawler_spark.functions.text import tokens
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- P7/P8: term extraction + rule classification --------------------------
+
+_CLASSIFY_RULES = [
+    # (bucket, tokens that classify into it) — when/otherwise chain like
+    # corpus/sources.py:116-151 (prefix/keyword rules → GRANT/ORG/PERSON)
+    ("ENGINE", ("spark", "hash", "scan", "sort", "merge", "join")),
+    ("DATA", ("table", "row", "column", "batch", "stream", "vector")),
+    ("QUERY", ("filter", "group", "agg", "window", "order", "query")),
+]
+
+
+def q_entity_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify extracted terms into buckets via rule chain; count
+    mentions + distinct docs per (bucket, term)."""
+    docs = _t(spark, sf_dir, "documents")
+    term = F.col("term")
+    bucket = F.lit("OTHER")
+    for name, toks in reversed(_CLASSIFY_RULES):
+        bucket = F.when(term.isin(*toks), F.lit(name)).otherwise(bucket)
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") != "OTHER")
+        .groupBy("bucket", "term")
+        .agg(
+            F.count(F.lit(1)).alias("mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("bucket", "term")
+    )
+
+
+def _classify_sql() -> str:
+    cases = " ".join(
+        f"WHEN term IN ({', '.join(repr(t) for t in toks)}) THEN '{name}'"
+        for name, toks in _CLASSIFY_RULES
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term
+  FROM documents
+), cls AS (
+  SELECT doc_id, term, CASE {cases} ELSE 'OTHER' END AS bucket FROM tok
+)
+SELECT bucket, term, count(*) AS mentions, count(DISTINCT doc_id) AS n_docs
+FROM cls WHERE bucket <> 'OTHER'
+GROUP BY bucket, term
+ORDER BY bucket, term
+"""
+
+
+# --- P11/P12/P13/D9: record minting, normalization, IRI, digest ------------
+
+def q_corpus_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mint canonical corpus records from documents: record_id =
+    'source:doc_id' (identity.py:15-25), content sha256, identifiers
+    array, percent-encoded IRI (iri.py:21-38 — space-free charset here,
+    so the encoding reduces to ':'→'%3A')."""
+    docs = _t(spark, sf_dir, "documents")
+    rid = F.concat_ws(":", "source", F.col("doc_id").cast("string"))
+    return docs.select(
+        rid.alias("record_id"),
+        F.col("doc_id"),
+        F.col("source"),
+        F.sha2("text", 256).alias("content_sha256"),
+        F.array(rid).alias("identifiers"),
+        F.concat(
+            F.lit("https://ear.example/record/"),
+            F.regexp_replace(rid, ":", "%3A"),
+        ).alias("iri"),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang_norm"),
+    ).orderBy("record_id")
+
+
+_SQL_CORPUS_RECORDS = """
+SELECT source || ':' || CAST(doc_id AS VARCHAR) AS record_id,
+       doc_id, source,
+       sha256(text) AS content_sha256,
+       [source || ':' || CAST(doc_id AS VARCHAR)] AS identifiers,
+       'https://ear.example/record/' ||
+         regexp_replace(source || ':' || CAST(doc_id AS VARCHAR), ':', '%3A', 'g') AS iri,
+       coalesce(lang, 'und') AS lang_norm
+FROM documents
+ORDER BY record_id
+"""
+
+
+def q_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 order-insensitive corpus digest per source: sha256 over the
+    sorted concatenation of content hashes (rag/build_corpus.py
+    compute_corpus_digest semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.sha2("text", 256).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.sha2(F.array_join(F.array_sort(F.collect_list("h")), ""), 256).alias(
+                "digest"
+            ),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_CORPUS_DIGEST = """
+SELECT source,
+       sha256(string_agg(sha256(text), '' ORDER BY sha256(text))) AS digest,
+       count(*) AS n_records
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- P16: deterministic chunking --------------------------------------------
+
+CHUNK_TOKENS = 40
+
+
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic chunking (chunking.py:144-286 re-expressed): split
+    each doc into fixed 40-token chunks with stable '#pNNNN' chunk ids
+    and 1-based ordinals (chunking.py:118-129's suffix scheme)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"), lowercase=False)
+    n_chunks = F.ceil(F.size(toks) / CHUNK_TOKENS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+        lambda i: F.struct(
+            i.alias("ordinal"),
+            F.array_join(
+                F.slice(toks, (i - 1) * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.ordinal").alias("ordinal"),
+            F.format_string("%s#p%04d", F.col("doc_id").cast("string"), F.col("c.ordinal")).alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+        .filter(F.col("chunk_text") != "")
+        .orderBy("doc_id", "ordinal")
+    )
+
+
+_SQL_CHUNKING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id, i AS ordinal,
+         array_to_string(list_slice(tk, (i-1)*{CHUNK_TOKENS}+1, i*{CHUNK_TOKENS}), ' ') AS chunk_text
+  FROM toks,
+       unnest(range(1, greatest(CAST(ceil(len(tk) * 1.0 / {CHUNK_TOKENS}) AS INT), 1) + 1)) AS u(i)
+)
+SELECT doc_id, ordinal,
+       printf('%s#p%04d', CAST(doc_id AS VARCHAR), ordinal) AS chunk_id,
+       chunk_text
+FROM ch WHERE chunk_text <> ''
+ORDER BY doc_id, ordinal
+"""
+
+
+# --- P9: mention scoring -----------------------------------------------------
+
+MENTION_CANDIDATES = ["spark join", "batch stream", "table scan", "hash join", "row group"]
+
+
+def q_mention_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sequence containment scoring (transforms/mentions.py:49-134):
+    contiguous phrase match = 0.85, all-tokens-present = 0.65, else 0.
+    Candidates = a fixed phrase list (broadcast), texts = documents."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = spark.createDataFrame(
+        list(enumerate(MENTION_CANDIDATES)), "cand_id int, cand string"
+    )
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    contiguous = F.instr(padded, F.concat(F.lit(" "), F.col("cand"), F.lit(" "))) > 0
+    toks = tokens(F.col("text"))
+    all_present = F.forall(
+        F.split(F.col("cand"), " "), lambda t: F.array_contains(toks, t)
+    )
+    return (
+        docs.crossJoin(F.broadcast(cands))
+        .select(
+            "doc_id",
+            "cand_id",
+            F.when(contiguous, 0.85).when(all_present, 0.65).otherwise(0.0).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy("doc_id", "cand_id")
+    )
+
+
+_SQL_MENTION = f"""
+WITH cands AS (
+  SELECT * FROM (VALUES {", ".join(f"({i}, '{c}')" for i, c in enumerate(MENTION_CANDIDATES))})
+  AS v(cand_id, cand)
+), scored AS (
+  SELECT d.doc_id, c.cand_id,
+         CASE
+           WHEN position(' ' || c.cand || ' ' IN ' ' || lower(d.text) || ' ') > 0 THEN CAST(0.85 AS DOUBLE)
+           WHEN len(list_filter(string_split(c.cand, ' '),
+                    t -> NOT list_contains(
+                      list_filter(regexp_split_to_array(lower(d.text), '\\s+'), x -> x <> ''), t))) = 0
+             THEN CAST(0.65 AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE)
+         END AS score
+  FROM documents d CROSS JOIN cands c
+)
+SELECT doc_id, cand_id, score FROM scored WHERE score > 0
+ORDER BY doc_id, cand_id
+"""
+
+
+# --- P21: word-boundary truncation -------------------------------------------
+
+def q_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-context truncation (rag_service.py:148-161): keep the first
+    15 tokens, append '[truncated]' when longer."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"), lowercase=False)
+    short = F.array_join(F.slice(toks, 1, 15), " ")
+    return docs.select(
+        "doc_id",
+        F.when(F.size(toks) > 15, F.concat(short, F.lit(" [truncated]")))
+        .otherwise(short)
+        .alias("context"),
+    ).orderBy("doc_id")
+
+
+_SQL_TRUNCATION = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(tk) > 15
+            THEN array_to_string(list_slice(tk, 1, 15), ' ') || ' [truncated]'
+            ELSE array_to_string(list_slice(tk, 1, 15), ' ') END AS context
+FROM toks
+ORDER BY doc_id
+"""
+
+
+# --- J9 full + A11: as-of with effective windows + status classification ----
+
+ASOF_DATE = "1998-06-01"
+
+
+def q_asof_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal selection with status classification (temporal.py:226-339):
+    per customer, the latest order with orderdate <= as-of is
+    'applicable'; later ones 'future'; earlier non-latest 'superseded'.
+    Emits per-status counts (A11, temporal.py:270-321)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    eligible = orders.filter(F.col("o_orderdate") <= ASOF_DATE).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    classified = orders.join(
+        eligible.filter(F.col("rn") == 1).select(
+            "o_orderkey", F.lit("applicable").alias("status0")
+        ),
+        "o_orderkey",
+        "left",
+    ).withColumn(
+        "status",
+        F.when(F.col("status0").isNotNull(), "applicable")
+        .when(F.col("o_orderdate") > ASOF_DATE, "future")
+        .otherwise("superseded"),
+    )
+    return (
+        classified.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("status")
+    )
+
+
+_SQL_ASOF_STATUS = f"""
+WITH eligible AS (
+  SELECT o_orderkey, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders WHERE o_orderdate <= TIMESTAMP '{ASOF_DATE} 00:00:00'
+), classified AS (
+  SELECT o.o_orderkey,
+         CASE WHEN e.o_orderkey IS NOT NULL THEN 'applicable'
+              WHEN o.o_orderdate > TIMESTAMP '{ASOF_DATE} 00:00:00' THEN 'future'
+              ELSE 'superseded' END AS status
+  FROM orders o LEFT JOIN (SELECT o_orderkey FROM eligible WHERE rn = 1) e
+    ON o.o_orderkey = e.o_orderkey
+)
+SELECT status, count(*) AS n_orders FROM classified
+GROUP BY status ORDER BY status
+"""
+
+
+# --- J2/J3: triples BGP joins + integrity anti-join --------------------------
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A KG triples table derived from the star schema: the reference's
+    RDF graph shape (kg/triples.py:12-52) as DataFrame(s, p, o)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    t1 = cust.select(
+        F.concat(F.lit("customer/"), F.col("c_custkey").cast("string")).alias("s"),
+        F.lit("in_nation").alias("p"),
+        F.concat(F.lit("nation/"), F.col("c_nationkey").cast("string")).alias("o"),
+    )
+    t2 = nation.select(
+        F.concat(F.lit("nation/"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("has_name").alias("p"),
+        F.col("n_name").alias("o"),
+    )
+    t3 = orders.select(
+        F.concat(F.lit("order/"), F.col("o_orderkey").cast("string")).alias("s"),
+        F.lit("by_customer").alias("p"),
+        F.concat(F.lit("customer/"), F.col("o_custkey").cast("string")).alias("o"),
+    )
+    return t1.unionByName(t2).unionByName(t3)
+
+
+_SQL_TRIPLES = """
+  SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+         'nation/' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+  UNION ALL
+  SELECT 'nation/' || CAST(n_nationkey AS VARCHAR), 'has_name', n_name FROM nation
+  UNION ALL
+  SELECT 'order/' || CAST(o_orderkey AS VARCHAR), 'by_customer',
+         'customer/' || CAST(o_custkey AS VARCHAR) FROM orders
+"""
+
+
+def q_triples_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BGP as triple self-joins (perf/queries/warm/join.rq shape):
+    ?order by_customer ?c . ?c in_nation ?n . ?n has_name ?name
+    → orders per nation name, top 10."""
+    t = _triples(spark, sf_dir)
+    by_cust = t.filter(F.col("p") == "by_customer").select(
+        F.col("s").alias("order_iri"), F.col("o").alias("cust_iri")
+    )
+    in_nation = t.filter(F.col("p") == "in_nation").select(
+        F.col("s").alias("cust_iri"), F.col("o").alias("nation_iri")
+    )
+    has_name = t.filter(F.col("p") == "has_name").select(
+        F.col("s").alias("nation_iri"), F.col("o").alias("nation_name")
+    )
+    return (
+        by_cust.join(in_nation, "cust_iri")
+        .join(F.broadcast(has_name), "nation_iri")
+        .groupBy("nation_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "nation_name")
+        .limit(10)
+    )
+
+
+_SQL_TRIPLES_BGP = f"""
+WITH triples AS ({_SQL_TRIPLES})
+SELECT n.o AS nation_name, count(*) AS n_orders
+FROM triples o
+JOIN triples c ON c.p = 'in_nation' AND c.s = o.o
+JOIN triples n ON n.p = 'has_name' AND n.s = c.o
+WHERE o.p = 'by_customer'
+GROUP BY n.o
+ORDER BY n_orders DESC, nation_name
+LIMIT 10
+"""
+
+
+def q_triples_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 FILTER NOT EXISTS (kg/queries.py:13-55): customers with no
+    order triples — orphan-subject anti-join over the triples table."""
+    t = _triples(spark, sf_dir)
+    custs = t.filter(F.col("p") == "in_nation").select(F.col("s").alias("cust_iri"))
+    ordered = t.filter(F.col("p") == "by_customer").select(
+        F.col("o").alias("cust_iri")
+    ).distinct()
+    return (
+        custs.join(ordered, "cust_iri", "left_anti")
+        .orderBy("cust_iri")
+    )
+
+
+_SQL_TRIPLES_INTEGRITY = f"""
+WITH triples AS ({_SQL_TRIPLES})
+SELECT s AS cust_iri FROM triples c
+WHERE p = 'in_nation'
+  AND NOT EXISTS (SELECT 1 FROM triples o WHERE o.p = 'by_customer' AND o.o = c.s)
+ORDER BY cust_iri
+"""
+
+
+# --- A9: perf budget gate ----------------------------------------------------
+
+BUDGETS = [("click", 60.0), ("purchase", 65.0), ("signup", 55.0), ("error", 50.0), ("view", 70.0)]
+
+
+def q_budget_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget gate compare (utils/perf_report.py:71-101): per-event-type
+    p95 of value vs a budget table → pass/fail + margin."""
+    ev = _t(spark, sf_dir, "events")
+    budgets = spark.createDataFrame(BUDGETS, "event_type string, p95_budget double")
+    summary = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value")
+    )
+    return (
+        summary.join(F.broadcast(budgets), "event_type", "left")
+        .select(
+            "event_type",
+            "p95_value",
+            "p95_budget",
+            F.when(F.col("p95_budget").isNull(), "no_budget")
+            .when(F.col("p95_value") <= F.col("p95_budget"), "pass")
+            .otherwise("fail")
+            .alias("gate"),
+            F.round(F.col("p95_budget") - F.col("p95_value"), 4).alias("margin"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_BUDGET_GATE = f"""
+WITH budgets AS (
+  SELECT * FROM (VALUES {", ".join(f"('{t}', CAST({b} AS DOUBLE))" for t, b in BUDGETS)})
+  AS v(event_type, p95_budget)
+), summary AS (
+  SELECT event_type, round(quantile_cont(value, 0.95), 4) AS p95_value
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, s.p95_value, b.p95_budget,
+       CASE WHEN b.p95_budget IS NULL THEN 'no_budget'
+            WHEN s.p95_value <= b.p95_budget THEN 'pass'
+            ELSE 'fail' END AS gate,
+       round(b.p95_budget - s.p95_value, 4) AS margin
+FROM summary s LEFT JOIN budgets b USING (event_type)
+ORDER BY s.event_type
+"""
+
+
+# --- P20: soundex blocking (Spark-native; DuckDB lacks soundex) -------------
+
+def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex blocking keys over part names (reconcile.py:74-95's
+    blocking key, via Spark's native soundex). Rows-only driver check;
+    exact values pytest-verified against known soundex codes."""
+    parts = _t(spark, sf_dir, "part")
+    return (
+        parts.select(F.soundex(F.split("p_name", " ")[1]).alias("sdx"))
+        .groupBy("sdx")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.desc("n_parts"), "sdx")
+    )
+
+
+CORPUS_QUERIES = {
+    "entity_classification": q_entity_classification,
+    "corpus_records": q_corpus_records,
+    "corpus_digest": q_corpus_digest,
+    "chunking": q_chunking,
+    "mention_scoring": q_mention_scoring,
+    "truncation": q_truncation,
+    "asof_status": q_asof_status,
+    "triples_bgp": q_triples_bgp,
+    "triples_integrity": q_triples_integrity,
+    "budget_gate": q_budget_gate,
+    "soundex_keys": q_soundex_keys,
+}
+
+CORPUS_ORACLES = {
+    "entity_classification": _classify_sql(),
+    "corpus_records": _SQL_CORPUS_RECORDS,
+    "corpus_digest": _SQL_CORPUS_DIGEST,
+    "chunking": _SQL_CHUNKING,
+    "mention_scoring": _SQL_MENTION,
+    "truncation": _SQL_TRUNCATION,
+    "asof_status": _SQL_ASOF_STATUS,
+    "triples_bgp": _SQL_TRIPLES_BGP,
+    "triples_integrity": _SQL_TRIPLES_INTEGRITY,
+    "budget_gate": _SQL_BUDGET_GATE,
+    # soundex_keys: rows-only (DuckDB has no soundex); pytest-verified
+}

@@ -1,0 +1,53 @@
+"""Unit checks for corpus/KG batch operators without SQL oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_soundex_known_values(spark):
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("Ashcraft",), ("Tymczak",)], "name string"
+    )
+    got = {r["name"]: r["sdx"] for r in df.select("name", F.soundex("name").alias("sdx")).collect()}
+    # canonical soundex test vectors
+    assert got["Robert"] == got["Rupert"] == "R163"
+    assert got["Ashcraft"].startswith("A2")
+    assert got["Tymczak"].startswith("T5")
+
+
+def test_chunking_roundtrip(spark, sf_small):
+    """Chunk texts then reassemble — token sequence must round-trip."""
+    from earcrawler_spark.queries_corpus import q_chunking
+
+    chunks = q_chunking(spark, sf_small)
+    rejoined = (
+        chunks.groupBy("doc_id")
+        .agg(F.array_join(F.collect_list("chunk_text"), " ").alias("re"))
+    )
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm")
+    )
+    bad = rejoined.join(docs, "doc_id").filter(F.col("re") != F.col("norm")).count()
+    assert bad == 0
+
+
+def test_corpus_digest_order_insensitive(spark):
+    from earcrawler_spark.queries_corpus import q_corpus_digest
+
+    # digest must not depend on row order: shuffle input, same digest
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", "en", "s1", 10), (2, "gamma delta", "en", "s1", 11),
+             (3, "epsilon", "en", "s2", 7)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(f"{d}/documents.parquet")
+        d1 = {r["source"]: r["digest"] for r in q_corpus_digest(spark, d).collect()}
+        docs.orderBy(F.desc("doc_id")).repartition(3).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        d2 = {r["source"]: r["digest"] for r in q_corpus_digest(spark, d).collect()}
+    assert d1 == d2 and len(d1) == 2
