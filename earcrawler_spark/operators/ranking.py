@@ -25,36 +25,53 @@ B = 0.75
 
 
 def bm25_scores(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFrame:
-    """Deterministic BM25 top-k of `docs(doc_id, text)` for query_terms."""
+    """Deterministic BM25 top-k of `docs(doc_id, text)` for query_terms.
+
+    Plan shape (checked with .explain): ONE corpus scan — per-doc length
+    and per-query-term tf come out of a single explode+groupBy(doc_id)
+    with pivoted tf columns (query terms are few and fixed), then one
+    tiny corpus-stats aggregate (n_docs, avgdl, per-term df) broadcast
+    back. The naive formulation (separate tf/df/doc-length aggregations)
+    re-scans the corpus per aggregate — 8 scans at 100 TB.
+    """
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = doc_len.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
     )
-    tf = (
-        toks.filter(F.col("term").isin(query_terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(doc_len, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    term_scores = []
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
         )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+        term_scores.append(
+            F.when(
+                tf > 0,
+                idf
+                * (tf * (K1 + 1))
+                / (tf + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+            ).otherwise(F.lit(0.0))
         )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 6).alias("score"))
-        .filter(F.col("score") > 0)
-    )
+    total = term_scores[0]
+    for ts in term_scores[1:]:
+        total = total + ts
+    scored = scored.select(
+        "doc_id", F.round(total, 6).alias("score")
+    ).filter(F.col("score") > 0)
     w = W.orderBy(F.desc("score"), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
