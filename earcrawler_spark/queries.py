@@ -967,12 +967,15 @@ def _late_oracles() -> None:
     from earcrawler_spark.operators.ranking import bm25_sql
     from earcrawler_spark.operators.similarity import minhash_sql
     from earcrawler_spark.queries_corpus import CORPUS_ORACLES, CORPUS_QUERIES
+    from earcrawler_spark.queries_windows import WINDOW_ORACLES, WINDOW_QUERIES
 
     ORACLES["bm25_topk"] = bm25_sql(BM25_QUERY, k=20)
     ORACLES["rrf_fusion"] = _SQL_RRF.format(bm25=bm25_sql(BM25_QUERY, k=50))
     ORACLES["minhash_lsh_pairs"] = minhash_sql(n=3, bands=8, rows=2)
     QUERIES.update(CORPUS_QUERIES)
     ORACLES.update(CORPUS_ORACLES)
+    QUERIES.update(WINDOW_QUERIES)
+    ORACLES.update(WINDOW_ORACLES)
 
 
 _late_oracles()
