@@ -34,7 +34,7 @@ from earcrawler_spark.crawler import synth
 
 FETCH_OUTPUT_SCHEMA = (
     "url string, url_hash string, host string, priority int, seq bigint, "
-    "status int, content_hash string, "
+    "status int, attempts int, content_hash string, "
     f"spans {spans_mod.SPANS_SCHEMA}, links array<string>"
 )
 
@@ -56,13 +56,41 @@ def synthetic_fetch_one(url: str) -> tuple[int, str]:
     return 200, synth.page_html(url)
 
 
+def retrying(transport, max_attempts: int = 3, backoff_base: float = 0.0):
+    """Retry + exponential backoff wrapper (reference S9:
+    tenacity stop_after_attempt(3) / wait_exponential —
+    api_clients/tradegov_client.py:144-150). Retries 5xx; 4xx and 200
+    return immediately. backoff_base=0 keeps tests/benchmarks
+    deterministic; a real deployment sets it to ~1.0.
+
+    → transport'(url) -> (status, html, attempts)
+    """
+
+    def fetch(url: str):
+        attempts = 0
+        status, html = 599, ""
+        while attempts < max_attempts:
+            attempts += 1
+            status, html = transport(url)
+            if status < 500:
+                break
+            if backoff_base and attempts < max_attempts:
+                time.sleep(backoff_base * (2 ** (attempts - 1)))
+        return status, html, attempts
+
+    return fetch
+
+
 def fetch_and_parse(
     selected: DataFrame,
     politeness_sleep: bool = False,
     transport=synthetic_fetch_one,
+    max_attempts: int = 3,
+    backoff_base: float = 0.0,
 ) -> DataFrame:
     """Run the fetch+parse wave. ``selected`` needs columns
     (url, url_hash, host, priority, seq, crawl_delay)."""
+    retry_fetch = retrying(transport, max_attempts, backoff_base)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,8 +100,8 @@ def fetch_and_parse(
             pdf = pdf.sort_values(["host", "seq"], kind="mergesort")
             out = {
                 "url": [], "url_hash": [], "host": [], "priority": [],
-                "seq": [], "status": [], "content_hash": [], "spans": [],
-                "links": [],
+                "seq": [], "status": [], "attempts": [], "content_hash": [],
+                "spans": [], "links": [],
             }
             last_hit: dict[str, float] = {}
             for row in pdf.itertuples(index=False):
@@ -84,7 +112,7 @@ def fetch_and_parse(
                     if wait > 0:
                         time.sleep(wait)
                     last_hit[row.host] = time.monotonic()
-                status, html = transport(row.url)
+                status, html, attempts = retry_fetch(row.url)
                 spans, links = (
                     spans_mod.parse_html(html) if status == 200 else ([], [])
                 )
@@ -94,6 +122,7 @@ def fetch_and_parse(
                 out["priority"].append(row.priority)
                 out["seq"].append(row.seq)
                 out["status"].append(status)
+                out["attempts"].append(attempts)
                 out["content_hash"].append(content_hash_of(spans))
                 out["spans"].append(
                     [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]

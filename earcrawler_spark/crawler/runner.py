@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from earcrawler_spark.crawler import synth
 from earcrawler_spark.crawler.bloom import BloomShard, probe_hashes
+from earcrawler_spark.crawler.cache import merge_cache, split_by_cache
 from earcrawler_spark.crawler.canonicalize import (
     canonical_url,
     canonicalize_one,
@@ -73,6 +74,15 @@ class CrawlConfig:
     max_iters: int = 5
     politeness_sleep: bool = False
     default_crawl_delay: float = 1.0
+    # S8 request budget: global deterministic cap on URLs fetched per wave
+    # (rank over (priority DESC, host, seq); overflow stays in the frontier)
+    max_urls_per_wave: int | None = None
+    # S7/D8 fetch cache: entries younger than this many iterations bypass
+    # the fetch stage (visit recorded with status 304). None = disabled.
+    cache_ttl_iters: int | None = None
+    # S9 retry policy inside the fetch UDF
+    max_attempts: int = 3
+    backoff_base: float = 0.0
     # checkpoint writes are coalesced to this many files per table per
     # iteration: at sandbox scale 96-way writes mean ~300 tiny-file commit
     # renames per wave, which dominates wall time. On a cluster with a real
@@ -88,12 +98,14 @@ class Crawler:
         config: CrawlConfig | None = None,
         transport=synthetic_fetch_one,
         robots_fetcher=synth.robots_txt,
+        cache_bootstrap=None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.state = CrawlState(spark, state_dir)
         self.transport = transport
         self.robots_fetcher = robots_fetcher
+        self.cache_bootstrap = cache_bootstrap
         if self.cfg.n_partitions is None:
             self.cfg.n_partitions = spark.sparkContext.defaultParallelism
 
@@ -119,6 +131,13 @@ class Crawler:
             self.spark, [r[2] for r in rows], self.robots_fetcher
         )
         self.state.write("robots", 0, robots)
+        if self.cache_bootstrap is not None:
+            # recrawl mode: seed the fetch cache from a previous run's
+            # cache table (ages reset so TTL counts from this run's start)
+            self.state.write(
+                "fetch_cache", 0,
+                self.cache_bootstrap.withColumn("fetched_iter", F.lit(0)),
+            )
         max_seq = max(r[4] for r in rows) if rows else -1
         self.state.commit(0, chain_hash=self._chain("", {"iter": 0, "seeds": len(rows)}),
                           extra={"max_seq": max_seq})
@@ -229,6 +248,27 @@ class Crawler:
             .drop("_rk", "_budget", "crawl_delay")
         )
 
+        # S8 global wave budget: deterministic cap in visit order; overflow
+        # returns to the frontier (budget.py:38-50 semantics, relationally)
+        if cfg.max_urls_per_wave is not None:
+            w_global = W.orderBy(F.col("priority").desc(), F.col("host"), F.col("seq"))
+            capped = selected.withColumn("_grk", F.row_number().over(w_global))
+            overflow = (
+                capped.filter(F.col("_grk") > cfg.max_urls_per_wave)
+                .drop("_grk", "crawl_delay")
+            )
+            selected = capped.filter(F.col("_grk") <= cfg.max_urls_per_wave).drop("_grk")
+            remainder = remainder.unionByName(overflow)
+
+        # S7/D8 fetch cache: fresh entries bypass the network (304 visit)
+        cache = None
+        cache_hits = None
+        if cfg.cache_ttl_iters is not None:
+            cache = self.state.read_latest("fetch_cache", it - 1)
+            selected, cache_hits = split_by_cache(selected, cache, it, cfg.cache_ttl_iters)
+            if cache_hits is not None:
+                cache_hits = cache_hits.cache()
+
         _mark("dequeue")
         # 3. partitioning for the fetch stage
         if cfg.politeness_sleep:
@@ -261,7 +301,8 @@ class Crawler:
         _mark("partitioning")
         # 4. fetch + parse
         fetched = fetch_and_parse(
-            selected, politeness_sleep=cfg.politeness_sleep, transport=self.transport
+            selected, politeness_sleep=cfg.politeness_sleep, transport=self.transport,
+            max_attempts=cfg.max_attempts, backoff_base=cfg.backoff_base,
         ).withColumn("part_id", F.spark_partition_id()).cache()
         n_fetched = fetched.count()
 
@@ -270,6 +311,22 @@ class Crawler:
             F.lit(it).alias("iter"), "url", "url_hash", "host",
             "priority", "seq", "status", "content_hash",
         )
+        n_cache_hits = 0
+        if cache_hits is not None:
+            n_cache_hits = cache_hits.count()
+            visits = visits.unionByName(
+                cache_hits.select(
+                    F.lit(it).alias("iter"), "url", "url_hash", "host",
+                    "priority", "seq", F.lit(304).alias("status"),
+                    F.col("cached_content_hash").alias("content_hash"),
+                )
+            )
+        if cfg.cache_ttl_iters is not None:
+            self.state.write(
+                "fetch_cache", it,
+                merge_cache(cache, fetched.select("url_hash", "content_hash", "status"), it),
+                n_files=cfg.write_partitions,
+            )
         self.state.write("visits", it, visits, n_files=cfg.write_partitions)
 
         _mark("visits_write")
@@ -362,6 +419,7 @@ class Crawler:
             .agg(
                 F.count(F.lit(1)).alias("n_fetched"),
                 F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
+                F.sum("attempts").alias("n_attempts"),
                 F.sum(F.size("links")).alias("n_links"),
             )
             .withColumn("iter", F.lit(it))
@@ -376,11 +434,15 @@ class Crawler:
             "new_urls": n_new,
             "new_docs": documents.count(),
         }
+        if cfg.cache_ttl_iters is not None:
+            totals["cache_hits"] = n_cache_hits
         chain = self._chain(prev_chain, totals)
         new_max_seq = max_seq + n_new
         fetched.unpersist()
         candidates.unpersist()
         new_urls.unpersist()
+        if cache_hits is not None:
+            cache_hits.unpersist()
         self.state.commit(it, chain, extra={"max_seq": new_max_seq, "totals": totals})
         _mark("metrics+commit")
 

@@ -34,7 +34,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 APPEND_TABLES = ("seen", "content_seen", "documents", "visits", "metrics")
-FULL_TABLES = ("frontier", "bloom", "robots")
+FULL_TABLES = ("frontier", "bloom", "robots", "fetch_cache")
 
 
 class CrawlState:
@@ -77,6 +77,30 @@ class CrawlState:
             if os.path.exists(os.path.join(p, "_SUCCESS")):
                 return self.spark.read.parquet(p)
         return None
+
+    def expire(self, upto_iter: int, keep_full_last: int = 1) -> list[str]:
+        """Retention GC (reference utils/retention.py:77-130 age-based
+        deletion): full-rewrite tables only need their latest snapshot —
+        drop iteration dirs older than the last ``keep_full_last``
+        committed ones. Append-only tables are history and are kept
+        (Iceberg snapshot expiry would handle both).
+
+        Returns the deleted directory paths."""
+        import shutil
+
+        assert keep_full_last >= 1
+        deleted: list[str] = []
+        for table in FULL_TABLES:
+            committed = [
+                i
+                for i in range(upto_iter + 1)
+                if os.path.exists(os.path.join(self._iter_dir(table, i), "_SUCCESS"))
+            ]
+            for i in committed[:-keep_full_last]:
+                path = self._iter_dir(table, i)
+                shutil.rmtree(path, ignore_errors=True)
+                deleted.append(path)
+        return deleted
 
     def read_all(self, table: str, upto_iter: int) -> DataFrame | None:
         """Union of committed deltas of an APPEND_TABLES table."""
