@@ -976,6 +976,10 @@ def _late_oracles() -> None:
     ORACLES.update(CORPUS_ORACLES)
     QUERIES.update(WINDOW_QUERIES)
     ORACLES.update(WINDOW_ORACLES)
+    from earcrawler_spark.queries_alias import ALIAS_ORACLES, ALIAS_QUERIES
+
+    QUERIES.update(ALIAS_QUERIES)
+    ORACLES.update(ALIAS_ORACLES)
 
 
 _late_oracles()

@@ -51,3 +51,20 @@ def test_corpus_digest_order_insensitive(spark):
         )
         d2 = {r["source"]: r["digest"] for r in q_corpus_digest(spark, d).collect()}
     assert d1 == d2 and len(d1) == 2
+
+
+def test_jaro_winkler_vectors():
+    from earcrawler_spark.functions.similarity_udfs import jaro_winkler
+
+    assert abs(jaro_winkler("MARTHA", "MARHTA") - 0.9611111111) < 1e-9
+    assert abs(jaro_winkler("DWAYNE", "DUANE") - 0.84) < 1e-9
+    assert abs(jaro_winkler("DIXON", "DICKSONX") - 0.8133333333) < 1e-9
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("", "x") == 0.0
+
+
+def test_approx_distinct_within_bound(spark, sf_small):
+    from earcrawler_spark.queries_alias import q_seen_set_cardinality
+
+    r = q_seen_set_cardinality(spark, sf_small).collect()[0]
+    assert abs(r["approx_distinct"] - r["exact_distinct"]) <= 0.1 * r["exact_distinct"]
