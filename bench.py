@@ -35,11 +35,18 @@ def _fresh_spark(master: str, shuffle_partitions: int):
     return get_spark("bench", master=master, shuffle_partitions=shuffle_partitions)
 
 
+# Deliberately-quadratic correctness oracles, never run at scale — the
+# bench times their scale-path replacements instead (minhash_lsh_pairs).
+BENCH_EXCLUDE = {"ngram_jaccard_pairs"}
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from earcrawler_spark.queries import QUERIES
 
     out: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        if name in BENCH_EXCLUDE:
+            continue
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

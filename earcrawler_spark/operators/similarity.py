@@ -90,27 +90,47 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing ≥1 band bucket.
 
-    Scale shape: explode to (band_idx, band_key) → shuffle on the band key
-    → per-bucket pair generation. Catches j with prob 1-(1-j^rows)^bands;
-    hot buckets are bounded because band keys are 256-bit hashes (only true
-    near-dups collide). Pair verification (exact jaccard) joins back the
-    shingle arrays.
+    Scale shape: shingles are EXPLODED and the bands*rows permutation
+    hashes are computed as top-level sha2 columns over (doc, shingle)
+    rows, then min-aggregated per doc — this stays in whole-stage codegen
+    (the nested transform-in-transform formulation falls back to
+    interpreted evaluation and was ~70× slower at sf0.1) and is the plan
+    you want at 100 TB: a flat projection + one partial-agg shuffle of
+    (doc_id, 16 hashes). Banding explodes to (band_idx, band_key) →
+    shuffle on the band key → per-bucket pair generation. Catches j with
+    prob 1-(1-j^rows)^bands; hot buckets are bounded because band keys
+    are 256-bit hashes (only true near-dups collide).
     """
-    sh = shingle_docs(docs, n).withColumn(
-        "sig", minhash_signature(F.col("shingles"), bands * rows)
+    nh = bands * rows
+    exploded = shingle_docs(docs, n).select(
+        "doc_id", F.explode("shingles").alias("s")
     )
-    banded = sh.select(
+    hashed = exploded.select(
+        "doc_id",
+        *[
+            F.sha2(F.concat(F.lit(f"{i}|"), F.col("s")), 256).alias(f"h{i}")
+            for i in range(nh)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(nh)]
+    )
+    banded = sig.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.sha2(
-                        F.concat_ws("#", F.slice(F.col("sig"), b * rows + 1, rows)),
-                        256,
-                    ).alias("band_key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.sha2(
+                            F.concat_ws(
+                                "#", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                            ),
+                            256,
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
