@@ -55,7 +55,16 @@ class CrawlState:
             return json.load(f)
 
     def commit(self, iteration: int, chain_hash: str, extra: dict | None = None) -> None:
-        m = {"completed_iter": iteration, "chain_hash": chain_hash, **(extra or {})}
+        prev = self.manifest()
+        m = {
+            **{k: v for k, v in prev.items() if k == "compacted"},
+            "completed_iter": iteration,
+            "chain_hash": chain_hash,
+            **(extra or {}),
+        }
+        self._write_manifest(m)
+
+    def _write_manifest(self, m: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".manifest")
         with os.fdopen(fd, "w") as f:
             json.dump(m, f, sort_keys=True)
@@ -102,13 +111,58 @@ class CrawlState:
                 deleted.append(path)
         return deleted
 
+    def _base_dir(self, table: str, upto: int) -> str:
+        return os.path.join(self.dir, table, f"base={upto:05d}")
+
     def read_all(self, table: str, upto_iter: int) -> DataFrame | None:
-        """Union of committed deltas of an APPEND_TABLES table."""
-        paths = [
+        """Union of committed deltas of an APPEND_TABLES table — a
+        compacted base (if the manifest records one) plus the deltas
+        after it, so read fan-in stays bounded over long crawls."""
+        base_iter = self.manifest().get("compacted", {}).get(table, -1)
+        paths = []
+        if base_iter >= 0 and base_iter <= upto_iter:
+            base = self._base_dir(table, base_iter)
+            if os.path.exists(os.path.join(base, "_SUCCESS")):
+                paths.append(base)
+        paths += [
             self._iter_dir(table, i)
-            for i in range(upto_iter + 1)
+            for i in range(base_iter + 1, upto_iter + 1)
             if os.path.exists(os.path.join(self._iter_dir(table, i), "_SUCCESS"))
         ]
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def compact(self, tables: tuple[str, ...] = APPEND_TABLES, n_files: int = 8) -> dict:
+        """Compact append-only deltas into one base snapshot per table
+        (Iceberg rewrite_data_files analog). Crash-safe: the base dir is
+        written first; the manifest update is the commit point; old
+        delta dirs are removed only after it. A crash in between leaves
+        both base and deltas readable (read_all prefers base + tail).
+        """
+        import shutil
+
+        m = self.manifest()
+        upto = m["completed_iter"]
+        compacted = dict(m.get("compacted", {}))
+        for table in tables:
+            df = self.read_all(table, upto)
+            if df is None:
+                continue
+            df.coalesce(n_files).write.mode("overwrite").parquet(
+                self._base_dir(table, upto)
+            )
+            compacted[table] = upto
+        m["compacted"] = compacted
+        self._write_manifest(m)
+        # post-commit cleanup of superseded deltas + old bases
+        for table in tables:
+            upto_t = compacted.get(table, -1)
+            for i in range(upto_t + 1):
+                shutil.rmtree(self._iter_dir(table, i), ignore_errors=True)
+            tdir = os.path.join(self.dir, table)
+            if os.path.isdir(tdir):
+                for d in os.listdir(tdir):
+                    if d.startswith("base=") and d != f"base={upto_t:05d}":
+                        shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        return compacted
