@@ -133,7 +133,66 @@ def q_seen_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG path materialization (kg/paths.py:34-148): 2-hop paths
+    order→customer→nation as ordered edge arrays with the reference's
+    stable sha256 path id (sha256 over the canonical edge serialization).
+    Limited to orderkey < 100 to keep the export bounded."""
+    from earcrawler_spark.queries_corpus import _triples
+
+    t = _triples(spark, sf_dir)
+    by_cust = t.filter(F.col("p") == "by_customer").select(
+        F.col("s").alias("order_iri"), F.col("o").alias("cust_iri")
+    ).filter(F.split("order_iri", "/")[1].cast("long") < 100)
+    in_nation = t.filter(F.col("p") == "in_nation").select(
+        F.col("s").alias("cust_iri"), F.col("o").alias("nation_iri")
+    )
+    paths = by_cust.join(in_nation, "cust_iri").select(
+        "order_iri",
+        "cust_iri",
+        "nation_iri",
+        F.array(
+            F.concat_ws("|", "order_iri", F.lit("by_customer"), "cust_iri"),
+            F.concat_ws("|", "cust_iri", F.lit("in_nation"), "nation_iri"),
+        ).alias("edges"),
+    )
+    return paths.select(
+        F.sha2(F.array_join("edges", "||"), 256).alias("path_id"),
+        "order_iri",
+        "nation_iri",
+        "edges",
+    ).orderBy("path_id")
+
+
+_SQL_KG_PATHS = """
+WITH triples AS (
+  SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+         'nation/' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+  UNION ALL
+  SELECT 'nation/' || CAST(n_nationkey AS VARCHAR), 'has_name', n_name FROM nation
+  UNION ALL
+  SELECT 'order/' || CAST(o_orderkey AS VARCHAR), 'by_customer',
+         'customer/' || CAST(o_custkey AS VARCHAR) FROM orders
+), hop1 AS (
+  SELECT s AS order_iri, o AS cust_iri FROM triples
+  WHERE p = 'by_customer' AND CAST(string_split(s, '/')[2] AS BIGINT) < 100
+), hop2 AS (
+  SELECT s AS cust_iri, o AS nation_iri FROM triples WHERE p = 'in_nation'
+), paths AS (
+  SELECT order_iri, h1.cust_iri, nation_iri,
+         [order_iri || '|by_customer|' || h1.cust_iri,
+          h1.cust_iri || '|in_nation|' || nation_iri] AS edges
+  FROM hop1 h1 JOIN hop2 h2 ON h1.cust_iri = h2.cust_iri
+)
+SELECT sha256(array_to_string(edges, '||')) AS path_id,
+       order_iri, nation_iri, edges
+FROM paths
+ORDER BY path_id
+"""
+
+
 ALIAS_QUERIES = {
+    "kg_paths": q_kg_paths,
     "alias_resolution": q_alias_resolution,
     "sliding_window": q_sliding_window,
     "reconcile_jw": q_reconcile_jw,
@@ -141,6 +200,7 @@ ALIAS_QUERIES = {
 }
 
 ALIAS_ORACLES = {
+    "kg_paths": _SQL_KG_PATHS,
     "alias_resolution": _alias_sql(),
     "sliding_window": _SQL_SLIDING,
     # reconcile_jw / seen_set_cardinality: rows-only by design

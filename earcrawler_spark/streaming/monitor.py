@@ -25,6 +25,7 @@ All transformations are source-agnostic: they take a streaming DataFrame
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,6 +54,49 @@ def streaming_dedup(
     (streaming D1). dropDuplicates state is bounded by the watermark."""
     return records.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         [hash_col]
+    )
+
+
+def versioned_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: the reference's position-version counter
+    (D2, ear_crawler.py:84,97-103) as a true stream — per (user_id,
+    event_type) the state holds the last assigned version; each incoming
+    event gets version = state+1. applyInPandasWithState = the
+    flatMapGroupsWithState surface for arbitrary per-key state the
+    built-in aggregations can't express.
+
+    Note: versions are assigned in arrival order within each micro-batch
+    group (sorted by ts inside the batch) — the streaming contract, not
+    the batch total order, when late data crosses batch boundaries.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def assign(key, pdfs, state):
+        last = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            versions = list(range(last + 1, last + 1 + len(pdf)))
+            last += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_type": pdf["event_type"],
+                    "event_id": pdf["event_id"],
+                    "version": versions,
+                }
+            )
+        state.update((last,))
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            assign,
+            outputStructType="user_id long, event_type string, event_id long, version int",
+            stateStructType="last int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

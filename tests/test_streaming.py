@@ -107,3 +107,27 @@ def test_change_detection_emits_latest_state(spark, events_stream):
     for r in rows:
         key = (r["window_start"], r["user_id"], r["event_type"])
         assert want[key] == r["state_hash"]
+
+
+def test_versioned_stream_stateful_counter(spark, events_stream):
+    from earcrawler_spark.streaming.monitor import versioned_stream
+
+    stream, batch = events_stream
+    name = _run_to_memory(versioned_stream(stream), "t_version", "append")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) == batch.count()
+    got = {(r["user_id"], r["event_type"], r["event_id"]): r["version"] for r in rows}
+    # single-file source => one micro-batch per group => versions must
+    # exactly equal the batch row_number semantics
+    from pyspark.sql import Window as W
+
+    want = {
+        (r["user_id"], r["event_type"], r["event_id"]): r["version"]
+        for r in batch.withColumn(
+            "version",
+            F.row_number().over(
+                W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+            ),
+        ).collect()
+    }
+    assert got == want
