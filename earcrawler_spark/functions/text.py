@@ -51,12 +51,14 @@ def strip_html(col: Column) -> Column:
 
 def extract_fr_citations(col: Column) -> Column:
     """All 'NN FR NNNNN' citations, in document order."""
-    return F.regexp_extract_all(col, F.lit(FR_CITATION_PATTERN))
+    return F.regexp_extract_all(col, F.lit(FR_CITATION_PATTERN), F.lit(0))
 
 
 def extract_iso_dates(col: Column) -> Column:
     """Distinct ISO dates mined from text (temporal.py:34-44)."""
-    return F.array_distinct(F.regexp_extract_all(col, F.lit(ISO_DATE_PATTERN)))
+    return F.array_distinct(
+        F.regexp_extract_all(col, F.lit(ISO_DATE_PATTERN), F.lit(0))
+    )
 
 
 def content_sha256(col: Column) -> Column:

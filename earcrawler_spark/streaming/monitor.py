@@ -57,6 +57,25 @@ def streaming_dedup(
     )
 
 
+def session_rollup(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user (F.session_window): the
+    streaming twin of the batch lag+flag-sum sessionizer
+    (queries_windows.q_sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id", F.col("win.start").alias("session_start"),
+            "n_events", "session_value",
+        )
+    )
+
+
 def versioned_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Custom stateful operator: the reference's position-version counter
     (D2, ear_crawler.py:84,97-103) as a true stream — per (user_id,

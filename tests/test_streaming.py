@@ -131,3 +131,36 @@ def test_versioned_stream_stateful_counter(spark, events_stream):
         ).collect()
     }
     assert got == want
+
+
+def test_session_rollup_matches_batch_sessionizer(spark, events_stream):
+    from earcrawler_spark.streaming.monitor import session_rollup
+
+    stream, batch = events_stream
+    name = _run_to_memory(session_rollup(stream), "t_sess", "append")
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    assert got
+    # session_window semantics == batch lag+flag-sum sessionizer: compare
+    # (user, n_events, value) multisets
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) / 60.0
+    sess = (
+        batch.withColumn(
+            "new_session", F.when(gap_min.isNull() | (gap_min >= 30), 1).otherwise(0)
+        )
+        .withColumn("sno", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sno")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("v"))
+    )
+    from collections import Counter
+
+    want = Counter((r["user_id"], r["n_events"], r["v"]) for r in sess.collect())
+    have = Counter((r["user_id"], r["n_events"], r["session_value"]) for r in got)
+    # append mode holds back sessions not yet finalized by the final
+    # watermark — emitted sessions must be a subset of the batch result
+    # and cover nearly all of it
+    assert not (have - want), f"stream emitted sessions absent from batch: {(have - want).most_common(3)}"
+    missing = sum((want - have).values())
+    assert missing <= max(5, 0.05 * sum(want.values())), f"too many unemitted sessions: {missing}"
