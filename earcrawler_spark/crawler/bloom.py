@@ -100,10 +100,10 @@ def shard_of_series(hash_hex_series, n_shards: int) -> np.ndarray:
 # memory traffic dominates the probe. Shards are immutable on the probe
 # path, so each Python worker caches zero-copy (read-only frombuffer)
 # views keyed by (broadcast id, shard).
-_SHARD_CACHE: dict[int, "BloomShard"] = {}
+_SHARD_CACHE: dict[int, object] = {}
 
 
-def _cached_shard(raw: bytes, n_hashes: int = 7) -> "BloomShard":
+def _cached_shard(raw: bytes, kind: str = "bloom", n_hashes: int = 7):
     # Broadcast values are deserialized once per worker process and reused
     # across tasks, so id(raw) is a stable key for the broadcast's lifetime.
     key = id(raw)
@@ -111,18 +111,23 @@ def _cached_shard(raw: bytes, n_hashes: int = 7) -> "BloomShard":
     if b is None:
         if len(_SHARD_CACHE) > 512:
             _SHARD_CACHE.clear()
-        bits = np.frombuffer(raw, dtype=np.uint8)  # zero-copy, read-only
-        b = BloomShard(len(bits) * 8, n_hashes, bits)
+        if kind == "cuckoo":
+            from earcrawler_spark.crawler.cuckoo import CuckooShard
+
+            b = CuckooShard.from_bytes(raw)
+        else:
+            bits = np.frombuffer(raw, dtype=np.uint8)  # zero-copy, read-only
+            b = BloomShard(len(bits) * 8, n_hashes, bits)
         _SHARD_CACHE[key] = b
     return b
 
 
 def probe_hashes(
-    hashes: "list[str]", table: dict[int, bytes], n_shards: int
+    hashes: "list[str]", table: dict[int, bytes], n_shards: int, kind: str = "bloom"
 ) -> np.ndarray:
-    """Vectorized maybe-seen probe for a batch of sha256-hex keys.
-    → bool array; True = maybe seen (must be verified by the exact
-    anti-join), False = definitely new."""
+    """Vectorized maybe-seen probe for a batch of sha256-hex keys against
+    bloom or cuckoo shards. → bool array; True = maybe seen (must be
+    verified by the exact anti-join), False = definitely new."""
     out = np.zeros(len(hashes), dtype=bool)
     if not hashes:
         return out
@@ -132,6 +137,6 @@ def probe_hashes(
         if raw is None:
             continue
         idx = np.nonzero(shards == s)[0]
-        b = _cached_shard(raw)
+        b = _cached_shard(raw, kind)
         out[idx] = b.contains_many([hashes[i] for i in idx])
     return out

@@ -83,6 +83,10 @@ class CrawlConfig:
     # S9 retry policy inside the fetch UDF
     max_attempts: int = 3
     backoff_base: float = 0.0
+    # approximate seen-set filter family (north rule: bloom/cuckoo).
+    # 'cuckoo' supports deletion (seen-set retention / sliding windows).
+    seen_filter: str = "bloom"
+    cuckoo_capacity_per_shard: int = 1 << 17
     # checkpoint writes are coalesced to this many files per table per
     # iteration: at sandbox scale 96-way writes mean ~300 tiny-file commit
     # renames per wave, which dominates wall time. On a cluster with a real
@@ -148,42 +152,62 @@ class Crawler:
             (prev + json.dumps(payload, sort_keys=True, separators=(",", ":"))).encode()
         ).hexdigest()
 
-    def _write_bloom(self, iteration: int, hashes_df: DataFrame, previous: dict | None) -> dict:
-        """Build per-shard bloom deltas with applyInPandas, OR-merge with
-        the previous shards driver-side (n_shards rows), persist."""
-        n_shards = self.cfg.n_shards
-        n_bits = self.cfg.bloom_bits_per_shard
+    def _write_filter(
+        self, iteration: int, hashes_df: DataFrame, previous: dict[int, bytes] | None
+    ) -> dict[int, bytes]:
+        """Extend the per-shard seen filters (bloom or cuckoo —
+        cfg.seen_filter) with this wave's new hashes.
+
+        Each shard's rebuild runs executor-side in applyInPandas: the
+        task loads the previous shard bytes from a broadcast, inserts the
+        group's hashes, and returns the new bytes — no wave-sized data
+        ever lands on the driver; the driver only collects n_shards
+        (shard, bytes) rows to persist them."""
+        cfg = self.cfg
+        n_shards, n_bits = cfg.n_shards, cfg.bloom_bits_per_shard
+        kind = cfg.seen_filter
+        cap = cfg.cuckoo_capacity_per_shard
+        prev = dict(previous or {})
+        prev_bc = self.spark.sparkContext.broadcast(prev)
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
-            b = BloomShard(n_bits, 7)
-            b.add_many(pdf["url_hash"].tolist())
-            return pd.DataFrame({"shard": [shard], "bits": [b.to_bytes()]})
+            raw = prev_bc.value.get(shard)
+            if kind == "cuckoo":
+                from earcrawler_spark.crawler.cuckoo import CuckooShard
+
+                f = CuckooShard.sized_for(cap) if raw is None else CuckooShard.from_bytes(raw)
+            else:
+                f = BloomShard(n_bits, 7) if raw is None else BloomShard.from_bytes(raw)
+            f.add_many(pdf["url_hash"].tolist())
+            return pd.DataFrame({"shard": [shard], "bits": [f.to_bytes()]})
 
         with_shard = hashes_df.withColumn(
             "shard", (F.conv(F.substring("url_hash", 1, 8), 16, 10).cast("long") % n_shards).cast("int")
         )
         delta = {
-            r["shard"]: BloomShard.from_bytes(bytes(r["bits"]))
+            r["shard"]: bytes(r["bits"])
             for r in with_shard.groupBy("shard")
             .applyInPandas(build, "shard int, bits binary")
             .collect()
         }
-        merged: dict[int, BloomShard] = dict(previous or {})
-        for s, b in delta.items():
-            merged[s] = merged[s].union(b) if s in merged else b
+        merged = {**prev, **delta}
         out = self.spark.createDataFrame(
-            [(s, bytearray(b.to_bytes())) for s, b in sorted(merged.items())],
+            [(s, bytearray(b)) for s, b in sorted(merged.items())],
             "shard int, bits binary",
         )
         self.state.write("bloom", iteration, out)
         return merged
 
-    def _load_bloom(self, upto_iter: int) -> dict:
+    # backwards-compatible alias
+    def _write_bloom(self, iteration, hashes_df, previous):
+        return self._write_filter(iteration, hashes_df, previous)
+
+    def _load_bloom(self, upto_iter: int) -> dict[int, bytes]:
         df = self.state.read_latest("bloom", upto_iter)
         if df is None:
             return {}
-        return {r["shard"]: BloomShard.from_bytes(bytes(r["bits"])) for r in df.collect()}
+        return {r["shard"]: bytes(r["bits"]) for r in df.collect()}
 
     # ------------------------------------------------------------------
     def run(self, max_iters: int | None = None) -> dict:
@@ -378,14 +402,13 @@ class Crawler:
         _mark("link_expand_plan")
         # bloom pre-filter: only maybe-seen rows pay the anti-join
         blooms = self._load_bloom(it - 1)
-        bloom_bc = spark.sparkContext.broadcast(
-            {s: b.to_bytes() for s, b in blooms.items()}
-        )
+        bloom_bc = spark.sparkContext.broadcast(blooms)
         n_shards = cfg.n_shards
+        filter_kind = cfg.seen_filter
 
         @F.pandas_udf("boolean")
         def maybe_seen(hashes: pd.Series) -> pd.Series:
-            res = probe_hashes(hashes.tolist(), bloom_bc.value, n_shards)
+            res = probe_hashes(hashes.tolist(), bloom_bc.value, n_shards, filter_kind)
             return pd.Series(res, index=hashes.index)
 
         candidates = candidates.withColumn("_maybe", maybe_seen("url_hash")).cache()
@@ -408,7 +431,7 @@ class Crawler:
         _mark("dedup_new_urls")
         # 7. persist deltas + next frontier + lineage
         self.state.write("seen", it, new_urls.select("url_hash", "url"), n_files=cfg.write_partitions)
-        self._write_bloom(it, new_urls.select("url_hash"), previous=blooms)
+        self._write_filter(it, new_urls.select("url_hash"), previous=blooms)
         frontier_next = remainder.select(
             "url", "url_hash", "host", "priority", "seq"
         ).unionByName(new_urls)

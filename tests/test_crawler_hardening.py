@@ -101,3 +101,45 @@ def test_attempts_metric_recorded(spark, tmp_path):
     m = c.state.read_all("metrics", 1)
     row = m.agg(F.sum("n_attempts").alias("a"), F.sum("n_fetched").alias("f")).collect()[0]
     assert row["a"] == row["f"]  # synthetic transport never 5xxes
+
+
+def test_cuckoo_filter_semantics():
+    import hashlib
+
+    from earcrawler_spark.crawler.cuckoo import CuckooShard
+
+    keys = [hashlib.sha256(f"u{i}".encode()).hexdigest() for i in range(5000)]
+    c = CuckooShard.sized_for(6000)
+    c.add_many(keys)
+    assert c.contains_many(keys).all()  # no false negatives
+    other = [hashlib.sha256(f"o{i}".encode()).hexdigest() for i in range(5000)]
+    assert c.contains_many(other).mean() < 0.02  # 16-bit fp rate
+    # deletion — the capability blooms lack (seen-set retention)
+    assert c.delete_many(keys[:100]) == 100
+    assert not c.contains_many(keys[:100]).any() or c.contains_many(keys[:100]).mean() < 0.05
+    assert c.contains_many(keys[100:]).all()
+    # serialization round-trip
+    back = CuckooShard.from_bytes(c.to_bytes())
+    assert back.contains_many(keys[100:]).all()
+    # determinism: same insertion sequence -> same bytes
+    c2 = CuckooShard.sized_for(6000)
+    c2.add_many(keys)
+    c3 = CuckooShard.sized_for(6000)
+    c3.add_many(keys)
+    assert c2.to_bytes() == c3.to_bytes()
+
+
+def test_crawl_with_cuckoo_filter_matches_bloom(spark, tmp_path):
+    runs = {}
+    for kind in ("bloom", "cuckoo"):
+        c = Crawler(
+            spark, str(tmp_path / kind),
+            CrawlConfig(max_iters=2, n_partitions=4, seen_filter=kind),
+        )
+        c.init_seeds(synth.seed_list())
+        c.run()
+        runs[kind] = (
+            [(v["iter"], v["url"]) for v in c.visits_ordered().collect()],
+            {r["url_hash"] for r in c.seen_set().collect()},
+        )
+    assert runs["bloom"] == runs["cuckoo"]  # filter family is invisible to results
