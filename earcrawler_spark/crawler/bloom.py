@@ -100,25 +100,30 @@ def shard_of_series(hash_hex_series, n_shards: int) -> np.ndarray:
 # memory traffic dominates the probe. Shards are immutable on the probe
 # path, so each Python worker caches zero-copy (read-only frombuffer)
 # views keyed by (broadcast id, shard).
-_SHARD_CACHE: dict[int, object] = {}
+# id(raw) is only a safe cache key while the keyed bytes object is alive —
+# CPython reuses ids after garbage collection, and a recycled id returning a
+# stale filter could produce FALSE NEGATIVES. The cache therefore stores a
+# strong reference to the exact bytes object alongside the parsed shard:
+# while an entry exists, its key's id cannot be recycled, and an identity
+# check guards the lookup.
+_SHARD_CACHE: dict[int, tuple[bytes, object]] = {}
 
 
 def _cached_shard(raw: bytes, kind: str = "bloom", n_hashes: int = 7):
-    # Broadcast values are deserialized once per worker process and reused
-    # across tasks, so id(raw) is a stable key for the broadcast's lifetime.
     key = id(raw)
-    b = _SHARD_CACHE.get(key)
-    if b is None:
-        if len(_SHARD_CACHE) > 512:
-            _SHARD_CACHE.clear()
-        if kind == "cuckoo":
-            from earcrawler_spark.crawler.cuckoo import CuckooShard
+    hit = _SHARD_CACHE.get(key)
+    if hit is not None and hit[0] is raw:
+        return hit[1]
+    if len(_SHARD_CACHE) > 512:
+        _SHARD_CACHE.clear()
+    if kind == "cuckoo":
+        from earcrawler_spark.crawler.cuckoo import CuckooShard
 
-            b = CuckooShard.from_bytes(raw)
-        else:
-            bits = np.frombuffer(raw, dtype=np.uint8)  # zero-copy, read-only
-            b = BloomShard(len(bits) * 8, n_hashes, bits)
-        _SHARD_CACHE[key] = b
+        b = CuckooShard.from_bytes(raw)
+    else:
+        bits = np.frombuffer(raw, dtype=np.uint8)  # zero-copy, read-only
+        b = BloomShard(len(bits) * 8, n_hashes, bits)
+    _SHARD_CACHE[key] = (raw, b)
     return b
 
 
