@@ -129,7 +129,9 @@ class Crawler:
             rows, "url string, url_hash string, host string, priority int, seq bigint"
         )
         self.state.write("frontier", 0, frontier)
-        self.state.write("seen", 0, frontier.select("url_hash", "url"))
+        self.state.write(
+            "seen", 0, frontier.select("url_hash", "url", F.lit(0).alias("iter"))
+        )
         self._write_bloom(0, frontier.select("url_hash"), previous=None)
         robots = fetch_robots(
             self.spark, [r[2] for r in rows], self.robots_fetcher
@@ -430,7 +432,11 @@ class Crawler:
 
         _mark("dedup_new_urls")
         # 7. persist deltas + next frontier + lineage
-        self.state.write("seen", it, new_urls.select("url_hash", "url"), n_files=cfg.write_partitions)
+        self.state.write(
+            "seen", it,
+            new_urls.select("url_hash", "url", F.lit(it).alias("iter")),
+            n_files=cfg.write_partitions,
+        )
         self._write_filter(it, new_urls.select("url_hash"), previous=blooms)
         frontier_next = remainder.select(
             "url", "url_hash", "host", "priority", "seq"
@@ -479,6 +485,73 @@ class Crawler:
     def seen_set(self, upto_iter: int | None = None) -> DataFrame:
         upto = upto_iter if upto_iter is not None else self.state.manifest()["completed_iter"]
         return self.state.read_all("seen", upto)
+
+    # ------------------------------------------------------------------
+    def expire_seen(self, older_than_iter: int) -> dict:
+        """Sliding-window seen-set retention: forget URLs first seen before
+        ``older_than_iter`` so they become re-crawlable (the reference's
+        retention GC, utils/retention.py:77-130, applied to the seen set
+        — and the reason the cuckoo filter family exists here: deletion).
+
+        The exact seen table is compacted to the surviving rows; the
+        approximate filters are rebuilt from them (bloom) or keep their
+        bytes minus the expired fingerprints (cuckoo delete_many — no full
+        rebuild, executor-side per shard). Commit point is the manifest
+        update, same recipe as compaction."""
+        m = self.state.manifest()
+        upto = m["completed_iter"]
+        seen = self.state.read_all("seen", upto)
+        keep = seen.filter(F.col("iter") >= older_than_iter).cache()
+        expired = seen.filter(F.col("iter") < older_than_iter)
+        n_keep, n_expired = keep.count(), expired.count()
+
+        if self.cfg.seen_filter == "cuckoo" and n_expired > 0:
+            blooms = self._load_bloom(upto)
+            bc = self.spark.sparkContext.broadcast(blooms)
+            n_shards = self.cfg.n_shards
+
+            def drop(pdf: pd.DataFrame) -> pd.DataFrame:
+                from earcrawler_spark.crawler.cuckoo import CuckooShard
+
+                shard = int(pdf["shard"].iloc[0])
+                raw = bc.value.get(shard)
+                if raw is None:
+                    return pd.DataFrame({"shard": [], "bits": []})
+                f = CuckooShard.from_bytes(raw)
+                f.delete_many(pdf["url_hash"].tolist())
+                return pd.DataFrame({"shard": [shard], "bits": [f.to_bytes()]})
+
+            delta = {
+                r["shard"]: bytes(r["bits"])
+                for r in expired.withColumn(
+                    "shard",
+                    (F.conv(F.substring("url_hash", 1, 8), 16, 10).cast("long") % n_shards).cast("int"),
+                ).groupBy("shard").applyInPandas(drop, "shard int, bits binary").collect()
+            }
+            merged = {**blooms, **delta}
+            self.state.write(
+                "bloom", upto,
+                self.spark.createDataFrame(
+                    [(sh, bytearray(b)) for sh, b in sorted(merged.items())],
+                    "shard int, bits binary",
+                ),
+            )
+        else:
+            # blooms can't delete: rebuild from the surviving rows
+            self._write_filter(upto, keep.select("url_hash"), previous=None)
+
+        # compact the exact seen table to the survivors (manifest commit)
+        keep.coalesce(self.cfg.write_partitions).write.mode("overwrite").parquet(
+            self.state._base_dir("seen", upto)
+        )
+        m.setdefault("compacted", {})["seen"] = upto
+        self.state._write_manifest(m)
+        import shutil
+
+        for i in range(upto + 1):
+            shutil.rmtree(self.state._iter_dir("seen", i), ignore_errors=True)
+        keep.unpersist()
+        return {"kept": n_keep, "expired": n_expired}
 
 
 def main() -> None:

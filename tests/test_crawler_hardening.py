@@ -143,3 +143,36 @@ def test_crawl_with_cuckoo_filter_matches_bloom(spark, tmp_path):
             {r["url_hash"] for r in c.seen_set().collect()},
         )
     assert runs["bloom"] == runs["cuckoo"]  # filter family is invisible to results
+
+
+def _probe(c, hashes):
+    from earcrawler_spark.crawler.bloom import probe_hashes
+
+    blooms = c._load_bloom(c.state.manifest()["completed_iter"])
+    return probe_hashes(hashes, blooms, c.cfg.n_shards, c.cfg.seen_filter)
+
+
+def test_expire_seen_sliding_window(spark, tmp_path):
+    """URLs first seen before the retention horizon become re-crawlable:
+    gone from the exact seen table AND (for cuckoo) deleted from the
+    approximate filter without a rebuild."""
+    for kind in ("cuckoo", "bloom"):
+        c = Crawler(
+            spark, str(tmp_path / f"exp_{kind}"),
+            CrawlConfig(max_iters=2, n_partitions=4, seen_filter=kind),
+        )
+        c.init_seeds(synth.seed_list())
+        c.run()
+        seen = c.seen_set().collect()
+        old = [r["url_hash"] for r in seen if r["iter"] < 2]
+        recent = [r["url_hash"] for r in seen if r["iter"] >= 2]
+        assert old and recent
+
+        stats = c.expire_seen(older_than_iter=2)
+        assert stats == {"kept": len(recent), "expired": len(old)}
+
+        left = {r["url_hash"] for r in c.seen_set().collect()}
+        assert left == set(recent)
+        # approximate filter: recent still (maybe-)seen; expired mostly gone
+        assert _probe(c, recent).all()
+        assert _probe(c, old).mean() < 0.1
