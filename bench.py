@@ -167,7 +167,7 @@ def run_frontier_ops(spark, n_urls: int, n_partitions: int) -> dict:
     }
 
 
-def run_politeness_crawl(spark, cores: int, wave_seconds: float = 5.0) -> dict:
+def run_politeness_crawl(spark, cores: int, wave_seconds: float = 8.0) -> dict:
     """The end-to-end scaling job: a REAL Crawler.run() wave with
     wall-clock politeness over a wide universe (256 hosts, crawl-delay
     0.02 s). By construction every host's dequeue costs ≈wave_seconds of
@@ -181,7 +181,7 @@ def run_politeness_crawl(spark, cores: int, wave_seconds: float = 5.0) -> dict:
     n_waves = 1
     uni = synth.Universe(
         hot_hosts={},
-        cold_hosts={f"h{i:03d}.example.org": budget * n_waves + 50 for i in range(256)},
+        cold_hosts={f"h{i:03d}.example.org": budget * n_waves + 50 for i in range(240)},
         cold_delay=0.02,
         seeds_per_cold=budget * n_waves,
     )
@@ -200,7 +200,7 @@ def run_politeness_crawl(spark, cores: int, wave_seconds: float = 5.0) -> dict:
         wall = time.perf_counter() - t0
         visits = c.state.read_all("visits", m["completed_iter"]).count()
     return {
-        "hosts": 256,
+        "hosts": 240,
         "crawl_delay_sec": 0.02,
         "waves": n_waves,
         "urls_dequeued": visits,
@@ -209,7 +209,7 @@ def run_politeness_crawl(spark, cores: int, wave_seconds: float = 5.0) -> dict:
     }
 
 
-def run_fetch_parse_pipeline(spark, cores: int, n_pages: int = 400_000) -> dict:
+def run_fetch_parse_pipeline(spark, cores: int, n_pages: int = 600_000) -> dict:
     """CPU-bound map pipeline (no shuffle): synthetic fetch + single-pass
     HTML→spans/links parse in mapInPandas — the dominant compute of a
     crawl wave, isolated for core-scaling measurement."""

@@ -267,7 +267,7 @@ class Crawler:
         w_host = W.partitionBy("host").orderBy(F.col("priority").desc(), F.col("seq"))
         ranked = allowed.withColumn("_rk", F.row_number().over(w_host)).withColumn(
             "_budget", budget
-        )
+        ).cache()  # selected/remainder/frontier_next all reuse this
         selected = ranked.filter(F.col("_rk") <= F.col("_budget")).drop("_rk", "_budget")
         remainder = (
             ranked.filter(F.col("_rk") > F.col("_budget"))
@@ -470,6 +470,7 @@ class Crawler:
         fetched.unpersist()
         candidates.unpersist()
         new_urls.unpersist()
+        ranked.unpersist()
         if cache_hits is not None:
             cache_hits.unpersist()
         self.state.commit(it, chain, extra={"max_seq": new_max_seq, "totals": totals})
