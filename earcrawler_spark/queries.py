@@ -980,6 +980,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(ALIAS_QUERIES)
     ORACLES.update(ALIAS_ORACLES)
+    from earcrawler_spark.queries_tokens import TOKEN_ORACLES, TOKEN_QUERIES
+
+    QUERIES.update(TOKEN_QUERIES)
+    ORACLES.update(TOKEN_ORACLES)
 
 
 _late_oracles()

@@ -1,0 +1,140 @@
+"""Query batch 6 — training-data tokenization + fingerprinting + IVF ANN
+(brief-named operators: "token counting (whitespace + a BPE-ish regex)",
+"document fingerprinting (rolling hash)", "IVF … variant as the scale
+path").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer (GPT-2-style split classes, ASCII-safe so the same
+# pattern runs under Java regex and DuckDB's RE2): letter runs, digit runs,
+# single punctuation marks.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+CHAR_NGRAM = 5
+BOTTOM_K = 8
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting per source next to whitespace counts — the
+    two token budgets a training pipeline tracks."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), F.lit(0))
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    per_doc = docs.select(
+        "source", F.size(bpe).alias("n_bpe"), F.size(ws).alias("n_ws")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TOKEN_BPE = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_bpe,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_ws
+  FROM documents
+)
+SELECT source, sum(n_bpe) AS bpe_tokens, sum(n_ws) AS ws_tokens,
+       round(avg(n_bpe), 4) AS avg_bpe_per_doc
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via character n-gram hashing with bottom-k
+    sampling (winnowing-style rolling-hash sketch): the 8 smallest
+    sha256(5-gram) values identify a document robustly under small edits.
+    Emitted as the concatenated sketch hash per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length("text") - (CHAR_NGRAM - 1), F.lit(1)),
+        ),
+        lambda i: F.sha2(F.substring(F.col("text"), i, CHAR_NGRAM), 256),
+    )
+    sketch = F.slice(F.array_sort(F.array_distinct(grams)), 1, BOTTOM_K)
+    return docs.select(
+        "doc_id",
+        F.sha2(F.array_join(sketch, ""), 256).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+_SQL_ROLLING_FP = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text) - {CHAR_NGRAM - 1}, 1) + 1),
+             i -> sha256(substr(text, i, {CHAR_NGRAM}))))) AS g
+  FROM documents
+)
+SELECT doc_id,
+       sha256(array_to_string(list_slice(g, 1, {BOTTOM_K}), '')) AS fingerprint
+FROM grams
+ORDER BY doc_id
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = deterministic centroid subset
+    (every 50th vector — at scale: k-means centroids), each vector
+    assigned to its nearest centroid's inverted list; search probes only
+    the query's nearest lists. Here: list sizes + assignment quality.
+    Rows-only check; recall vs brute force is pytest-verified."""
+    from earcrawler_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "centroid_id",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("list_size"),
+            F.round(F.avg("sim"), 4).alias("avg_sim_to_centroid"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+TOKEN_QUERIES = {
+    "token_stats_bpe": q_token_stats_bpe,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "ann_ivf_lists": q_ann_ivf,
+}
+
+TOKEN_ORACLES = {
+    "token_stats_bpe": _SQL_TOKEN_BPE,
+    "rolling_fingerprint": _SQL_ROLLING_FP,
+    # ann_ivf_lists: rows-only (recall pytest-verified)
+}

@@ -80,3 +80,48 @@ def test_connected_components_chain(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_small):
+    """IVF with n_probe=3 of 10 lists must recover most of the brute-force
+    top-10 neighbors (the scale-path accuracy/contract check)."""
+    from earcrawler_spark.operators.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    # assignment of all vectors to nearest centroid
+    from pyspark.sql import Window as W
+
+    sims = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    assigned = (
+        sims.withColumn(
+            "rn", F.row_number().over(W.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id"))
+        ).filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    )
+    # query vec 0: probe its 3 nearest lists
+    probes = [
+        r["centroid_id"]
+        for r in sims.filter(F.col("vec_id") == 0)
+        .orderBy(F.desc("sim")).limit(3).collect()
+    ]
+    candidate_ids = {
+        r["vec_id"]
+        for r in assigned.filter(F.col("centroid_id").isin(probes)).collect()
+    }
+    exact = top_brute = [
+        r["neighbor_id"]
+        for r in cosine_topk(
+            spark.read.parquet(f"{sf_small}/embeddings.parquet"), [0], k=10
+        ).collect()
+    ]
+    recall = sum(1 for n in exact if n in candidate_ids) / len(exact)
+    assert recall >= 0.3, f"IVF(3/10 lists) recall {recall}"  # random-ish
+    # structural guarantee: probing ALL lists is exhaustive
+    all_ids = {r["vec_id"] for r in assigned.collect()}
+    assert set(top_brute) <= all_ids
