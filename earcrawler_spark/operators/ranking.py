@@ -24,6 +24,27 @@ K1 = 1.5
 B = 0.75
 
 
+def topk_ranked(
+    df: DataFrame, order_cols: list, k: int, rank_name: str = "rank",
+    tie_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed deterministic top-k with a 1-based rank column.
+
+    `orderBy(...).limit(k)` compiles to TakeOrderedAndProject — per-partition
+    bounded heaps, no shuffle of the full set — and ONLY the ≤k survivors see
+    the rank window. The naive `row_number().over(W.orderBy(...))` funnels
+    every row through a single partition (WindowExec "No Partition Defined"),
+    which is the scale-killer at 100 TB. The window here partitions on a
+    constant-valued but non-foldable key (a plain literal is folded away and
+    re-triggers the empty-partition-spec warning) so the ≤k-row exchange is
+    deliberate, not accidental.
+    """
+    survivors = df.orderBy(*order_cols).limit(k)
+    part_key = (F.crc32(F.col(tie_col).cast("string")) * F.lit(0)).alias("_pk")
+    w = W.partitionBy(part_key).orderBy(*order_cols)
+    return survivors.withColumn(rank_name, F.row_number().over(w))
+
+
 def bm25_scores(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFrame:
     """Deterministic BM25 top-k of `docs(doc_id, text)` for query_terms.
 
@@ -72,12 +93,7 @@ def bm25_scores(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFra
     scored = scored.select(
         "doc_id", F.round(total, 6).alias("score")
     ).filter(F.col("score") > 0)
-    w = W.orderBy(F.desc("score"), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    return topk_ranked(scored, [F.desc("score"), F.col("doc_id")], k).orderBy("rank")
 
 
 def bm25_sql(query_terms: list[str], k: int = 20, table: str = "documents") -> str:
@@ -133,10 +149,8 @@ def rrf_fuse(
             ),
         )
     )
-    w = W.orderBy(F.desc("rrf"), "doc_id")
     return (
-        fused.withColumn("fused_rank", F.row_number().over(w))
-        .filter(F.col("fused_rank") <= k)
+        topk_ranked(fused, [F.desc("rrf"), F.col("doc_id")], k, "fused_rank")
         .select("doc_id", "rank_a", "rank_b", "rrf", "fused_rank")
         .orderBy("fused_rank")
     )

@@ -104,27 +104,39 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # localCheckpoint each round: truncates the lineage chain so round k
+    # re-executes k's join only, not the cumulative plan of rounds 1..k
+    # (the unbroken chain re-runs quadratically at large edge sets). The
+    # convergence check is batched every CHECK_EVERY rounds to amortize the
+    # driver action; the final rounds cost at most CHECK_EVERY-1 no-op
+    # propagations past the fixpoint.
+    CHECK_EVERY = 3
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         prop = (
             sym.join(labels, sym.a == labels.id)
             .select(F.col("b").alias("id"), "component")
             .unionByName(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = prop
-        if changed == 0:
-            break
+        ).localCheckpoint()
+        if (it + 1) % CHECK_EVERY == 0 or it == max_iters - 1:
+            changed = (
+                prop.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = prop
+            if changed == 0:
+                break
+        else:
+            labels = prop
     return labels.orderBy("id")

@@ -181,11 +181,57 @@ ORDER BY doc_a, doc_b
 
 # --- SimHash ----------------------------------------------------------------
 
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash fingerprints as a DataFrame transform — the scale shape.
+
+    Explode distinct tokens → ONE codegen'd 60-bit hash column per
+    (doc, token) row → a single groupBy(doc) with 60 `sum(CASE)` bit-vote
+    aggregates (partial aggregation / map-side combine applies) → combine
+    sign bits into the bigint fingerprint. Identical output to the
+    column-expression `simhash64` below, but the hot path is a flat
+    projection + one hash aggregate instead of 60 interpreted `aggregate`
+    lambdas over a per-row array — the same explode→flat-columns
+    restructuring that took MinHash from 135 s → 10.6 s. Token-less docs
+    get fingerprint 0 (the empty-vote fixpoint of the column form).
+    """
+    ids = docs.select(id_col)
+    toks = docs.select(
+        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+    )
+    hashed = toks.select(
+        id_col,
+        F.conv(F.substring(F.sha2(F.col("t"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    sig = votes.select(id_col, fp.alias("simhash"))
+    return ids.join(sig, id_col, "left").fillna({"simhash": 0})
+
+
 def simhash64(text_col: Column) -> Column:
     """64-bit SimHash as bigint: per-token sha256 → first 64 bits; each bit
     votes ±1; sign of the vote is the fingerprint bit. Near-dups differ in
     few bits (Hamming distance), so bucketing by 4×16-bit slices gives an
-    LSH for Hamming distance ≤ 3. Pure Column expressions."""
+    LSH for Hamming distance ≤ 3. Pure Column expressions.
+
+    NOTE: per-row convenience form (unit tests, single-doc scoring). The
+    corpus-scale path is `simhash_fingerprints` above — this form's 60
+    `F.aggregate` lambdas evaluate interpreted, outside codegen."""
     toks = F.array_distinct(tokens(text_col))
     tok_hash = F.transform(
         toks, lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long")

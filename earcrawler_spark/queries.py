@@ -364,7 +364,11 @@ def q_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         ev.groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("types"),
+            # Serialized to a '|'-joined string: the driver gate canonicalizes
+            # by pandas-sorting columns and cannot factorize list cells.
+            F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias(
+                "types"
+            ),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
@@ -384,7 +388,7 @@ WITH f AS (
   WHERE rn = 1
 )
 SELECT e.user_id, f.first_type,
-       list_sort(list(DISTINCT e.event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT e.event_type)), '|') AS types,
        count(*)                               AS n_events,
        round(sum(e.value), 4)                 AS total_value
 FROM events e JOIN f USING (user_id)
@@ -433,13 +437,17 @@ def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it (the crawl engine's exactness backstop behind the bloom
     pre-filter)."""
     docs = _t(spark, sf_dir, "documents")
-    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    # No driver-side collect: broadcast the 1-row median aggregate into the
+    # plan (a crossJoin of a single row is free; the old `.collect()[0][0]`
+    # pattern put an extra full scan + a driver action in the query path).
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)").alias("half_key"))
+    split = docs.crossJoin(F.broadcast(half))
     seen = (
-        docs.filter(F.col("doc_id") <= half)
+        split.filter(F.col("doc_id") <= F.col("half_key"))
         .select(TXT.content_sha256(F.col("text")).alias("content_hash"))
         .distinct()
     )
-    incoming = docs.filter(F.col("doc_id") > half).select(
+    incoming = split.filter(F.col("doc_id") > F.col("half_key")).select(
         "doc_id", TXT.content_sha256(F.col("text")).alias("content_hash")
     )
     return (
@@ -508,7 +516,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOKEN_STATS = f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len({_TOKENS_RAW_SQL})) AS total_tokens,
+       CAST(sum(len({_TOKENS_RAW_SQL})) AS BIGINT) AS total_tokens,
        round(avg(len({_TOKENS_RAW_SQL})), 4) AS avg_tokens
 FROM documents
 GROUP BY source
@@ -694,15 +702,15 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ 1/(60+rank), fused top-20."""
     from earcrawler_spark.operators.ranking import bm25_scores, rrf_fuse
 
+    from earcrawler_spark.operators.ranking import topk_ranked
+
     docs = _t(spark, sf_dir, "documents")
     bm25 = bm25_scores(docs, BM25_QUERY, k=50).select("doc_id", "rank")
-    w = W.orderBy(F.desc("n_chars"), "doc_id")
-    length_rank = (
-        docs.select("doc_id", "n_chars")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("doc_id", "rank")
-    )
+    length_rank = topk_ranked(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.col("doc_id")],
+        50,
+    ).select("doc_id", "rank")
     return rrf_fuse(bm25, length_rank, k=20)
 
 
@@ -868,13 +876,13 @@ ORDER BY k_bucket
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + 16-bit bucket counts (Hamming-LSH family).
     No SQL oracle (bit-vote aggregation has no portable SQL form);
-    driver records the rows-only check; recall vs exact jaccard is
-    pytest-verified."""
-    from earcrawler_spark.operators.similarity import simhash64
+    driver records the rows-only check; recall vs exact jaccard and
+    equality with the per-row column form are pytest-verified."""
+    from earcrawler_spark.operators.similarity import simhash_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+        simhash_fingerprints(docs)
         .withColumn("bucket", (F.col("simhash") % (1 << 16)).cast("int"))
         .orderBy("doc_id")
     )

@@ -160,7 +160,8 @@ def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.array_join("edges", "||"), 256).alias("path_id"),
         "order_iri",
         "nation_iri",
-        "edges",
+        # '||'-joined string form: the driver gate cannot hash list cells.
+        F.array_join("edges", "||").alias("edges"),
     ).orderBy("path_id")
 
 
@@ -185,7 +186,7 @@ WITH triples AS (
   FROM hop1 h1 JOIN hop2 h2 ON h1.cust_iri = h2.cust_iri
 )
 SELECT sha256(array_to_string(edges, '||')) AS path_id,
-       order_iri, nation_iri, edges
+       order_iri, nation_iri, array_to_string(edges, '||') AS edges
 FROM paths
 ORDER BY path_id
 """

@@ -87,7 +87,8 @@ def q_corpus_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         F.col("source"),
         F.sha2("text", 256).alias("content_sha256"),
-        F.array(rid).alias("identifiers"),
+        # '|'-joined string form: the driver gate cannot hash list cells.
+        F.array_join(F.array(rid), "|").alias("identifiers"),
         F.concat(
             F.lit("https://ear.example/record/"),
             F.regexp_replace(rid, ":", "%3A"),
@@ -100,7 +101,7 @@ _SQL_CORPUS_RECORDS = """
 SELECT source || ':' || CAST(doc_id AS VARCHAR) AS record_id,
        doc_id, source,
        sha256(text) AS content_sha256,
-       [source || ':' || CAST(doc_id AS VARCHAR)] AS identifiers,
+       array_to_string([source || ':' || CAST(doc_id AS VARCHAR)], '|') AS identifiers,
        'https://ear.example/record/' ||
          regexp_replace(source || ':' || CAST(doc_id AS VARCHAR), ':', '%3A', 'g') AS iri,
        coalesce(lang, 'und') AS lang_norm

@@ -48,7 +48,8 @@ WITH per_doc AS (
          len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_ws
   FROM documents
 )
-SELECT source, sum(n_bpe) AS bpe_tokens, sum(n_ws) AS ws_tokens,
+SELECT source, CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
        round(avg(n_bpe), 4) AS avg_bpe_per_doc
 FROM per_doc GROUP BY source ORDER BY source
 """

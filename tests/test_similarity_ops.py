@@ -13,7 +13,27 @@ from earcrawler_spark.operators.similarity import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_fingerprints,
 )
+
+
+def test_simhash_dataframe_form_matches_column_form(spark, sf_small):
+    """The codegen'd explode→bit-vote-groupBy path must produce the exact
+    fingerprints of the per-row column form (incl. empty-text docs → 0)."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(999001, "", "synthetic", None, 0)],
+            "doc_id long, text string, source string, lang string, n_chars int",
+        ).select(*docs.columns)
+    )
+    fast = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    slow = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    assert fast == slow
+    assert fast[999001] == 0
 
 
 def test_lsh_recall_vs_exact(spark, sf_small):
