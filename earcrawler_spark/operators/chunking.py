@@ -1,0 +1,344 @@
+"""Reference-fidelity deterministic chunking (section_subsection strategy).
+
+Reference: earCrawler/rag/chunking.py —
+- `(a)`/`(b)` letter markers at line starts open subsections; single-char
+  roman labels i/v/x are skipped; duplicate top-level letter labels within
+  a section suppress subsection splitting entirely (:176-217);
+- a base section chunk is always emitted (ordinal 0) so children have a
+  parent (:191-201);
+- digit markers `(1)`/`(2)` at line starts inside a letter block open
+  nested `(letter)(digit)` chunks, with the same duplicate-label guard;
+  lead-in text before the first digit marker becomes the letter container
+  (:219-284);
+- any chunk exceeding max_chars splits on blank-line paragraphs (fallback:
+  single newlines, then greedy whitespace packing) into `#p0001`-suffixed
+  paragraph children, keeping a shortened (<= max_chars) container
+  (:18-141).
+
+Spark shape: the document-order scan of `re.finditer` is re-expressed as
+posexplode(lines) -> running marker counts over (section, pos) windows ->
+block reassembly via groupBy + ordered concat. Everything stays in native
+Column expressions; the rare whitespace-packing fallback is an
+`F.aggregate` fold (JVM-side, no Python UDF). Block grouping is equivalent
+to the reference's `[match.start(), next_match.start())` slicing because
+matches start at line starts and every emitted block is `.strip()`ed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Match semantics of the reference's (?m)^-anchored marker regexes: a line
+# is probed with its trailing '\n' restored (so `)` at end-of-line counts
+# as `\)\s`, but `)` at end-of-text does not).
+_LETTER_RE = r"^\s*\(\s*([a-z])\s*\)\s"
+_DIGIT_RE = r"^\s*\(\s*([0-9]+)\s*\)\s"
+_ROMANS = ("i", "v", "x")
+
+
+def _probe(line: Column, pos: Column, n_lines: Column) -> Column:
+    return F.when(pos < n_lines - 1, F.concat(line, F.lit("\n"))).otherwise(line)
+
+
+def _pack_whitespace(text: Column, max_chars: int) -> Column:
+    """Greedy <=max_chars whitespace packing (chunking.py:18-69) as an
+    aggregate fold over the word array; over-long words hard-slice."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+    def slices(w: Column) -> Column:
+        return F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.length(w) / max_chars).cast("int") - 1
+            ),
+            lambda i: F.substring(w, i * max_chars + 1, max_chars),
+        )
+
+    def step(acc: Column, w: Column) -> Column:
+        cur, chs = acc["cur"], acc["chs"]
+        fits_new = F.length(w) <= max_chars
+        fits_cur = F.length(cur) + 1 + F.length(w) <= max_chars
+        return (
+            F.when(
+                (cur == "") & fits_new,
+                F.struct(chs.alias("chs"), w.alias("cur")),
+            )
+            .when(
+                cur == "",
+                F.struct(F.concat(chs, slices(w)).alias("chs"), F.lit("").alias("cur")),
+            )
+            .when(
+                fits_cur,
+                F.struct(chs.alias("chs"), F.concat(cur, F.lit(" "), w).alias("cur")),
+            )
+            .when(
+                fits_new,
+                F.struct(F.concat(chs, F.array(cur)).alias("chs"), w.alias("cur")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(chs, F.array(cur), slices(w)).alias("chs"),
+                    F.lit("").alias("cur"),
+                )
+            )
+        )
+
+    packed = F.aggregate(
+        words,
+        F.struct(
+            F.array().cast("array<string>").alias("chs"), F.lit("").alias("cur")
+        ),
+        step,
+        lambda acc: F.when(
+            acc["cur"] != "", F.concat(acc["chs"], F.array(acc["cur"]))
+        ).otherwise(acc["chs"]),
+    )
+    return packed
+
+
+def _paragraphs(text: Column, max_chars: int) -> Column:
+    """The reference's split-strategy ladder: blank lines, then single
+    newlines, then whitespace packing (chunking.py:72-98)."""
+    blank = F.filter(
+        F.transform(F.split(text, r"\n\s*\n"), F.trim), lambda p: p != ""
+    )
+    nl = F.filter(F.transform(F.split(text, r"\n+"), F.trim), lambda p: p != "")
+    return (
+        F.when(F.size(blank) > 1, blank)
+        .when(F.size(nl) > 1, nl)
+        .otherwise(_pack_whitespace(text, max_chars))
+    )
+
+
+def emit_chunks(containers: DataFrame, max_chars: int) -> DataFrame:
+    """Apply the max_chars contract to container rows
+    (chunk_id, section_id, parent_id, chunk_kind, ordinal, chunk_text,
+    emit_order): oversize containers keep a shortened greedy paragraph
+    prefix and emit `#pNNNN` paragraph children. Rows whose paragraphs
+    cannot satisfy max_chars get split_error=true (the reference raises;
+    a lazy engine surfaces the violation as a flag the caller asserts on).
+    """
+    over = F.length("chunk_text") > max_chars
+    paras = F.when(over, _paragraphs(F.col("chunk_text"), max_chars)).otherwise(
+        F.array().cast("array<string>")
+    )
+    c = containers.withColumn("paras", paras)
+    # Greedy kept prefix: longest prefix whose joined ('\n\n') length fits;
+    # cumulative needs are strictly increasing, so prefix length = count of
+    # indices whose running total fits (min 1, chunking.py:100-110).
+    lens = F.transform(F.col("paras"), lambda p: F.length(p))
+    cum = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("paras"), F.lit(1))),
+        lambda i: F.aggregate(
+            F.slice(lens, 1, i), F.lit(0), lambda a, x: a + x + 2
+        )
+        - 2,
+    )
+    kept_n = F.greatest(
+        F.size(F.filter(cum, lambda t: t <= max_chars)), F.lit(1)
+    )
+    c = c.withColumn(
+        "split_error",
+        over
+        & (
+            (F.size("paras") <= 1)
+            | F.exists("paras", lambda p: F.length(p) > max_chars)
+        ),
+    ).withColumn(
+        "out_text",
+        F.when(
+            over & ~F.col("split_error"),
+            F.array_join(F.slice("paras", 1, kept_n), "\n\n"),
+        ).otherwise(F.trim("chunk_text")),
+    )
+    parents = c.select(
+        "chunk_id",
+        "section_id",
+        "parent_id",
+        "chunk_kind",
+        "ordinal",
+        F.col("out_text").alias("chunk_text"),
+        "emit_order",
+        "split_error",
+    )
+    children = (
+        c.filter(over & ~F.col("split_error"))
+        .select(
+            "chunk_id",
+            "emit_order",
+            F.posexplode("paras").alias("pidx", "ptext"),
+        )
+        .select(
+            F.format_string("%s#p%04d", "chunk_id", F.col("pidx") + 1).alias(
+                "chunk_id"
+            ),
+            F.col("chunk_id").alias("section_id"),
+            F.col("chunk_id").alias("parent_id"),
+            F.lit("paragraph").alias("chunk_kind"),
+            (F.col("pidx") + 1).alias("ordinal"),
+            F.col("ptext").alias("chunk_text"),
+            (F.col("emit_order") + F.col("pidx") + 1).alias("emit_order"),
+            F.lit(False).alias("split_error"),
+        )
+    )
+    return parents.unionByName(children)
+
+
+def chunk_sections(
+    sections: DataFrame,
+    max_chars: int = 1200,
+    id_col: str = "section_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """section_subsection chunking of `sections(id_col, text_col)` →
+    (chunk_id, section_id, parent_id, chunk_kind, ordinal, chunk_text,
+    emit_order, split_error), emit_order reproducing the reference's
+    document-order emission within each section."""
+    base = sections.select(
+        F.col(id_col).alias("sec"), F.col(text_col).alias("raw")
+    )
+    lines = base.select(
+        "sec",
+        "raw",
+        F.size(F.split("raw", "\n")).alias("n_lines"),
+        F.posexplode(F.split("raw", "\n")).alias("pos", "line"),
+    )
+    probe = _probe(F.col("line"), F.col("pos"), F.col("n_lines"))
+    letter = F.regexp_extract(probe, _LETTER_RE, 1)
+    digit = F.regexp_extract(probe, _DIGIT_RE, 1)
+    flagged = lines.select(
+        "sec",
+        "pos",
+        "line",
+        F.when((letter != "") & ~letter.isin(*_ROMANS), letter)
+        .otherwise(F.lit(None))
+        .alias("letter"),
+        F.when(digit != "", digit).otherwise(F.lit(None)).alias("digit"),
+    )
+    wsec = W.partitionBy("sec").orderBy("pos")
+    blocked = flagged.withColumn(
+        "blk", F.count("letter").over(wsec)
+    )
+    wblk = W.partitionBy("sec", "blk").orderBy("pos")
+    blocked = blocked.withColumn(
+        "dblk", F.when(F.col("blk") > 0, F.count("digit").over(wblk)).otherwise(0)
+    )
+
+    # Per-section guard: duplicate (roman-filtered) letter labels suppress
+    # all subsection output (chunking.py:211-217).
+    letter_guard = (
+        blocked.filter(F.col("letter").isNotNull())
+        .groupBy("sec")
+        .agg(
+            (F.count("letter") == F.countDistinct("letter")).alias("letters_ok")
+        )
+    )
+    # Per-letter-block guard: duplicate digit labels keep the block whole.
+    digit_guard = (
+        blocked.filter(F.col("digit").isNotNull() & (F.col("blk") > 0))
+        .groupBy("sec", "blk")
+        .agg((F.count("digit") == F.countDistinct("digit")).alias("digits_ok"))
+    )
+
+    base_containers = base.select(
+        F.col("sec").alias("chunk_id"),
+        F.col("sec").alias("section_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit("section").alias("chunk_kind"),
+        F.lit(0).alias("ordinal"),
+        F.trim("raw").alias("chunk_text"),
+        F.lit(0).cast("long").alias("emit_order"),
+    )
+
+    # Letter blocks (blk >= 1), only for sections passing the letter guard.
+    letter_rows = (
+        blocked.filter(F.col("blk") > 0)
+        .join(letter_guard, "sec")
+        .filter(F.col("letters_ok"))
+    )
+    letter_blocks = (
+        letter_rows.groupBy("sec", "blk")
+        .agg(
+            F.max("letter").alias("letter"),
+            F.trim(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("block_text"),
+            F.max(F.when(F.col("digit").isNotNull(), 1).otherwise(0)).alias(
+                "has_digits"
+            ),
+        )
+        .join(digit_guard, ["sec", "blk"], "left")
+        .withColumn(
+            "split_digits",
+            (F.col("has_digits") == 1) & F.coalesce("digits_ok", F.lit(False)),
+        )
+        .withColumn("letter_id", F.concat("sec", F.lit("("), "letter", F.lit(")")))
+    )
+
+    whole_letter = letter_blocks.filter(~F.col("split_digits")).select(
+        F.col("letter_id").alias("chunk_id"),
+        F.col("letter_id").alias("section_id"),
+        F.col("sec").alias("parent_id"),
+        F.lit("subsection").alias("chunk_kind"),
+        F.col("blk").alias("ordinal"),
+        F.col("block_text").alias("chunk_text"),
+        (F.col("blk") * 1000000).cast("long").alias("emit_order"),
+    )
+
+    # Digit-split blocks: lead-in (dblk == 0 lines) + one chunk per digit
+    # group, all from the same exploded pass.
+    split_keys = letter_blocks.filter(F.col("split_digits")).select(
+        "sec", "blk", "letter_id"
+    )
+    digit_rows = letter_rows.join(split_keys, ["sec", "blk"])
+    digit_groups = digit_rows.groupBy("sec", "blk", "letter_id", "dblk").agg(
+        F.max("digit").alias("digit"),
+        F.trim(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("block_text"),
+    )
+    letter_lead = digit_groups.filter(
+        (F.col("dblk") == 0) & (F.col("block_text") != "")
+    ).select(
+        F.col("letter_id").alias("chunk_id"),
+        F.col("letter_id").alias("section_id"),
+        F.col("sec").alias("parent_id"),
+        F.lit("subsection").alias("chunk_kind"),
+        F.col("blk").alias("ordinal"),
+        F.col("block_text").alias("chunk_text"),
+        (F.col("blk") * 1000000).cast("long").alias("emit_order"),
+    )
+    digit_chunks = digit_groups.filter(F.col("dblk") > 0).select(
+        F.concat("letter_id", F.lit("("), "digit", F.lit(")")).alias("chunk_id"),
+        F.concat("letter_id", F.lit("("), "digit", F.lit(")")).alias(
+            "section_id"
+        ),
+        F.col("letter_id").alias("parent_id"),
+        F.lit("subsection").alias("chunk_kind"),
+        F.col("dblk").alias("ordinal"),
+        F.col("block_text").alias("chunk_text"),
+        (F.col("blk") * 1000000 + F.col("dblk") * 1000).cast("long").alias(
+            "emit_order"
+        ),
+    )
+
+    containers = (
+        base_containers.unionByName(whole_letter)
+        .unionByName(letter_lead)
+        .unionByName(digit_chunks)
+    )
+    return emit_chunks(containers, max_chars)

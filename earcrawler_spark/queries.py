@@ -992,6 +992,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(TOKEN_QUERIES)
     ORACLES.update(TOKEN_ORACLES)
+    from earcrawler_spark.queries_fidelity import FIDELITY_ORACLES, FIDELITY_QUERIES
+
+    QUERIES.update(FIDELITY_QUERIES)
+    ORACLES.update(FIDELITY_ORACLES)
 
 
 _late_oracles()
