@@ -193,54 +193,61 @@ ORDER BY doc_id, ordinal
 
 # --- P9: mention scoring -----------------------------------------------------
 
-MENTION_CANDIDATES = ["spark join", "batch stream", "table scan", "hash join", "row group"]
+# Candidates chosen so each of the reference's 4 tiers fires somewhere in
+# the corpus: plain bigrams (exact tier), corporate-stopword suffixes
+# (core-contiguous tier), rarely-adjacent token pairs (window tier), and
+# initials-only hits (acronym tier).
+MENTION_CANDIDATES = [
+    "spark join",
+    "batch stream inc",
+    "table scan company",
+    "hash join",
+    "row group holdings",
+]
 
 
 def q_mention_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-sequence containment scoring (transforms/mentions.py:49-134):
-    contiguous phrase match = 0.85, all-tokens-present = 0.65, else 0.
+    """P9 4-tier mention scoring — full reference parity
+    (transforms/mentions.py:82-134): exact sequence 1.0, core-contiguous
+    0.85, core-in-window(8) 0.65, acronym 0.45, with the reference's
+    stopword-filtered core tokens and [A-Za-z0-9']+ tokenization.
     Candidates = a fixed phrase list (broadcast), texts = documents."""
+    from earcrawler_spark.operators.mentions import mention_score
+
     docs = _t(spark, sf_dir, "documents")
     cands = spark.createDataFrame(
         list(enumerate(MENTION_CANDIDATES)), "cand_id int, cand string"
-    )
-    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
-    contiguous = F.instr(padded, F.concat(F.lit(" "), F.col("cand"), F.lit(" "))) > 0
-    toks = tokens(F.col("text"))
-    all_present = F.forall(
-        F.split(F.col("cand"), " "), lambda t: F.array_contains(toks, t)
     )
     return (
         docs.crossJoin(F.broadcast(cands))
         .select(
             "doc_id",
             "cand_id",
-            F.when(contiguous, 0.85).when(all_present, 0.65).otherwise(0.0).alias("score"),
+            mention_score(F.col("text"), F.col("cand")).alias("score"),
         )
         .filter(F.col("score") > 0)
         .orderBy("doc_id", "cand_id")
     )
 
 
-_SQL_MENTION = f"""
+def _mention_sql() -> str:
+    from earcrawler_spark.operators.mentions import mention_score_sql
+
+    values = ", ".join(f"({i}, '{c}')" for i, c in enumerate(MENTION_CANDIDATES))
+    return f"""
 WITH cands AS (
-  SELECT * FROM (VALUES {", ".join(f"({i}, '{c}')" for i, c in enumerate(MENTION_CANDIDATES))})
-  AS v(cand_id, cand)
+  SELECT * FROM (VALUES {values}) AS v(cand_id, cand)
 ), scored AS (
   SELECT d.doc_id, c.cand_id,
-         CASE
-           WHEN position(' ' || c.cand || ' ' IN ' ' || lower(d.text) || ' ') > 0 THEN CAST(0.85 AS DOUBLE)
-           WHEN len(list_filter(string_split(c.cand, ' '),
-                    t -> NOT list_contains(
-                      list_filter(regexp_split_to_array(lower(d.text), '\\s+'), x -> x <> ''), t))) = 0
-             THEN CAST(0.65 AS DOUBLE)
-           ELSE CAST(0.0 AS DOUBLE)
-         END AS score
+         {mention_score_sql("d.text", "c.cand")} AS score
   FROM documents d CROSS JOIN cands c
 )
 SELECT doc_id, cand_id, score FROM scored WHERE score > 0
 ORDER BY doc_id, cand_id
 """
+
+
+_SQL_MENTION = _mention_sql()
 
 
 # --- P21: word-boundary truncation -------------------------------------------
