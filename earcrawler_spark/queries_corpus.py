@@ -285,50 +285,111 @@ ORDER BY doc_id
 ASOF_DATE = "1998-06-01"
 
 
-def q_asof_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal selection with status classification (temporal.py:226-339):
-    per customer, the latest order with orderdate <= as-of is
-    'applicable'; later ones 'future'; earlier non-latest 'superseded'.
-    Emits per-status counts (A11, temporal.py:270-321)."""
-    orders = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
-    eligible = orders.filter(F.col("o_orderdate") <= ASOF_DATE).withColumn(
-        "rn", F.row_number().over(w)
-    )
-    classified = orders.join(
-        eligible.filter(F.col("rn") == 1).select(
-            "o_orderkey", F.lit("applicable").alias("status0")
+def _temporal_docs(orders: DataFrame) -> DataFrame:
+    """Deterministic temporal metadata from the orders table: sections =
+    customer keys; snapshots = order dates; every 4th doc gets a bounded
+    effective window, every (4k+1)th an open-ended one, every 17th no
+    metadata at all (the 'unknown' path)."""
+    k = F.col("o_orderkey")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        k.alias("doc_id"),
+        F.when(k % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("SEC"), (F.col("o_custkey") % 50).cast("string")))
+        .alias("section_id"),
+        F.when(k % 17 == 0, F.lit(None).cast("date")).otherwise(od).alias(
+            "snapshot_date"
         ),
-        "o_orderkey",
-        "left",
-    ).withColumn(
-        "status",
-        F.when(F.col("status0").isNotNull(), "applicable")
-        .when(F.col("o_orderdate") > ASOF_DATE, "future")
-        .otherwise("superseded"),
+        F.when((k % 17 != 0) & (k % 4 < 2), F.date_sub(od, 30))
+        .otherwise(F.lit(None).cast("date"))
+        .alias("effective_from"),
+        F.when((k % 17 != 0) & (k % 4 == 0), F.date_add(od, 60))
+        .otherwise(F.lit(None).cast("date"))
+        .alias("effective_to"),
+    )
+
+
+def q_asof_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/A11 full temporal selection (temporal.py:226-339): effective
+    windows take precedence (future/expired/applicable), snapshot lineage
+    argmax per section (applicable/future/superseded), 'unknown' for
+    missing metadata, plus the conservative refusal flag. Emits
+    (status, reason, n_docs, refusal_reason) — all 5 statuses fire on
+    this domain."""
+    from earcrawler_spark.operators.temporal import (
+        classify_temporal,
+        refusal_reason_col,
+    )
+
+    docs = _temporal_docs(_t(spark, sf_dir, "orders"))
+    classified = classify_temporal(docs, ASOF_DATE)
+    counts = (
+        classified.groupBy("temporal_status", "temporal_reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     return (
-        classified.groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("status")
+        counts.crossJoin(F.broadcast(refusal_reason_col(classified)))
+        .select(
+            F.col("temporal_status").alias("status"),
+            F.col("temporal_reason").alias("reason"),
+            "n_docs",
+            "refusal_reason",
+        )
+        .orderBy("status", "reason")
     )
 
 
 _SQL_ASOF_STATUS = f"""
-WITH eligible AS (
-  SELECT o_orderkey, row_number() OVER (
-      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-  FROM orders WHERE o_orderdate <= TIMESTAMP '{ASOF_DATE} 00:00:00'
+WITH docs AS (
+  SELECT o_orderkey AS doc_id,
+         CASE WHEN o_orderkey % 17 = 0 THEN NULL
+              ELSE 'SEC' || CAST(o_custkey % 50 AS VARCHAR) END AS section_id,
+         CASE WHEN o_orderkey % 17 = 0 THEN NULL
+              ELSE CAST(o_orderdate AS DATE) END AS snapshot_date,
+         CASE WHEN o_orderkey % 17 <> 0 AND o_orderkey % 4 < 2
+              THEN CAST(o_orderdate AS DATE) - 30 END AS effective_from,
+         CASE WHEN o_orderkey % 17 <> 0 AND o_orderkey % 4 = 0
+              THEN CAST(o_orderdate AS DATE) + 60 END AS effective_to
+  FROM orders
+), chosen AS (
+  SELECT section_id, max(snapshot_date) AS chosen_snapshot
+  FROM docs
+  WHERE section_id IS NOT NULL AND snapshot_date IS NOT NULL
+    AND snapshot_date <= DATE '{ASOF_DATE}'
+  GROUP BY section_id
 ), classified AS (
-  SELECT o.o_orderkey,
-         CASE WHEN e.o_orderkey IS NOT NULL THEN 'applicable'
-              WHEN o.o_orderdate > TIMESTAMP '{ASOF_DATE} 00:00:00' THEN 'future'
-              ELSE 'superseded' END AS status
-  FROM orders o LEFT JOIN (SELECT o_orderkey FROM eligible WHERE rn = 1) e
-    ON o.o_orderkey = e.o_orderkey
+  SELECT d.doc_id,
+    CASE
+      WHEN d.effective_from IS NOT NULL OR d.effective_to IS NOT NULL THEN
+        CASE WHEN d.effective_from IS NOT NULL AND DATE '{ASOF_DATE}' < d.effective_from
+               THEN ['future', 'effective_from_after_query_date']
+             WHEN d.effective_to IS NOT NULL AND DATE '{ASOF_DATE}' > d.effective_to
+               THEN ['expired', 'effective_to_before_query_date']
+             ELSE ['applicable', 'within_effective_window'] END
+      WHEN d.section_id IS NOT NULL AND d.snapshot_date IS NOT NULL THEN
+        CASE WHEN c.chosen_snapshot IS NULL
+               THEN ['future', 'no_snapshot_at_or_before_query_date']
+             WHEN d.snapshot_date = c.chosen_snapshot
+               THEN ['applicable', 'latest_snapshot_at_or_before_query_date']
+             WHEN d.snapshot_date > DATE '{ASOF_DATE}'
+               THEN ['future', 'snapshot_after_query_date']
+             ELSE ['superseded', 'older_snapshot_superseded_for_query_date'] END
+      ELSE ['unknown', 'no_temporal_metadata']
+    END AS sr
+  FROM docs d LEFT JOIN chosen c ON d.section_id = c.section_id
+), refusal AS (
+  SELECT CASE
+      WHEN sum(CASE WHEN sr[1] = 'applicable' THEN 1 ELSE 0 END) > 0 THEN NULL
+      WHEN sum(CASE WHEN sr[1] = 'unknown' THEN 1 ELSE 0 END) > 0
+        THEN 'temporal_evidence_ambiguous'
+      ELSE 'no_temporally_applicable_evidence' END AS refusal_reason
+  FROM classified
 )
-SELECT status, count(*) AS n_orders FROM classified
-GROUP BY status ORDER BY status
+SELECT sr[1] AS status, sr[2] AS reason,
+       count(*) AS n_docs, r.refusal_reason
+FROM classified, refusal r
+GROUP BY status, reason, r.refusal_reason
+ORDER BY status, reason
 """
 
 
