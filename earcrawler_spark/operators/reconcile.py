@@ -89,6 +89,236 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Reconcile v2 — full reference feature/blocking/override parity
+# (kg/reconcile.py:63-108 normalize/soundex/blocking_keys, :156-202
+# score_pair, :209-217 overrides, :224-265 blocked candidates,
+# :293-304 decisions with the hard country reject; default weights and
+# thresholds from kg/reconcile/rules.yml).
+
+RECONCILE_STOPWORDS = ["inc", "corp", "corporation", "ltd", "llc", "company"]
+RECONCILE_WEIGHTS = {
+    "name_exact": 0.25,
+    "token_jaccard": 0.2,
+    "jaro_winkler": 0.2,
+    "prefix_overlap": 0.05,
+    "suffix_overlap": 0.05,
+    "country_match": 0.15,
+    "id_equal": 0.4,
+    "url_host": 0.1,
+    "source_bonus": 0.1,
+}
+RECONCILE_THRESHOLDS = {"high": 0.82, "low": 0.50}
+RECONCILE_SOURCE_BONUS = {"tradegov": 0.5, "federalregister": 0.5}
+MAX_LEXICAL_BLOCK = 64
+
+
+def normalize_name_v2(col):
+    """Reference normalize (reconcile.py:63-71): casefold, punctuation to
+    space, whitespace collapse, corporate-stopword removal. (NFC is a
+    no-op on the ASCII synthetic domain.)"""
+    cleaned = F.regexp_replace(F.lower(col), r"[^\w\s]", " ")
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(cleaned, r"\s+", " ")), " "),
+        lambda t: (t != "") & ~t.isin(*RECONCILE_STOPWORDS),
+    )
+    return F.array_join(toks, " ")
+
+
+def soundex_v2(norm_col):
+    """The reference's simplified soundex (reconcile.py:74-95): first char
+    + consonant digits (no adjacent-dedup, vowels/digits/spaces dropped),
+    4 chars right-padded with '0'; empty input stays empty."""
+    up = F.upper(norm_col)
+    tail = up.substr(F.lit(2), F.length(up))
+    digits = F.regexp_replace(
+        F.translate(tail, "BFPVCGJKQSXZDTLMNR", "111122222222334556"),
+        "[^1-6]",
+        "",
+    )
+    key = F.rpad(F.substring(F.concat(F.substring(up, 1, 1), digits), 1, 4), 4, "0")
+    return F.when(norm_col == "", F.lit("")).otherwise(key)
+
+
+def soundex_v2_sql(norm_expr: str) -> str:
+    return (
+        f"CASE WHEN {norm_expr} = '' THEN '' ELSE "
+        f"rpad(substr(upper({norm_expr})[1] || regexp_replace(translate("
+        f"substr(upper({norm_expr}), 2), 'BFPVCGJKQSXZDTLMNR', "
+        f"'111122222222334556'), '[^1-6]', '', 'g'), 1, 4), 4, '0') END"
+    )
+
+
+def url_host(col):
+    """Host extraction (reconcile.py:149-153); null when absent."""
+    h = F.lower(F.regexp_extract(col, r"https?://([^/]+)/?", 1))
+    return F.when(col.isNull() | (h == ""), F.lit(None).cast("string")).otherwise(h)
+
+
+def _common_prefix_len(a, b):
+    """Length of the common prefix: count of i where the i-prefixes are
+    equal (monotone, so the count IS the length). O(n^2) on short names."""
+    n = F.least(F.length(a), F.length(b))
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: (n > 0) & (a.substr(F.lit(1), i) == b.substr(F.lit(1), i)),
+        )
+    )
+
+
+def blocking_pairs_v2(entities: DataFrame) -> DataFrame:
+    """Candidate pairs from the reference's multi-key blocking: 4 lexical
+    keys capped at 64 members, plus uncapped duns/cage/fr_doc and
+    url_host buckets; pair ids ordered (reconcile.py:224-265).
+
+    Scale: one explode to (key_type, key_value) rows, a broadcast
+    hot-bucket filter for the lexical families, a single self equi-join on
+    the key, distinct on the pair."""
+    norm = normalize_name_v2(F.col("name"))
+    alnum = F.regexp_replace(norm, "[^0-9a-z]", "")
+    token0 = F.element_at(F.split(norm, " "), 1)
+    keyed = entities.select(
+        "id",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("lexical:country_name").alias("kt"),
+                             F.concat_ws("-", "country", alnum).alias("kv")),
+                    F.struct(F.lit("lexical:alnum").alias("kt"), alnum.alias("kv")),
+                    F.struct(F.lit("lexical:country_soundex").alias("kt"),
+                             F.concat_ws("-", "country", soundex_v2(norm)).alias("kv")),
+                    F.struct(F.lit("lexical:country_token0").alias("kt"),
+                             F.when(token0.isNotNull() & (token0 != ""),
+                                    F.concat_ws("-", "country", token0)).alias("kv")),
+                    F.struct(F.lit("id:duns").alias("kt"), F.col("duns").alias("kv")),
+                    F.struct(F.lit("id:cage").alias("kt"), F.col("cage").alias("kv")),
+                    F.struct(F.lit("id:fr_doc").alias("kt"), F.col("fr_doc").alias("kv")),
+                    F.struct(F.lit("url_host").alias("kt"),
+                             url_host(F.col("url")).alias("kv")),
+                ),
+                lambda s: s["kv"].isNotNull() & (s["kv"] != ""),
+            )
+        ).alias("k"),
+    ).select("id", F.col("k.kt").alias("kt"), F.col("k.kv").alias("kv"))
+    sizes = keyed.groupBy("kt", "kv").agg(F.countDistinct("id").alias("n"))
+    ok = keyed.join(
+        F.broadcast(
+            sizes.filter(
+                (F.col("n") >= 2)
+                & (
+                    ~F.col("kt").startswith("lexical:")
+                    | (F.col("n") <= MAX_LEXICAL_BLOCK)
+                )
+            ).drop("n")
+        ),
+        ["kt", "kv"],
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.kt") == F.col("b.kt"))
+            & (F.col("a.kv") == F.col("b.kv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def score_pairs_v2(pairs_with_attrs: DataFrame) -> DataFrame:
+    """Full 9-feature weighted score (reconcile.py:156-202). Input columns:
+    id/name/country/source/duns/cage/fr_doc/url suffixed _a/_b."""
+    from earcrawler_spark.functions.similarity_udfs import jaro_winkler_udf
+
+    na, nb = normalize_name_v2(F.col("name_a")), normalize_name_v2(F.col("name_b"))
+    d = pairs_with_attrs.withColumn("norm_a", na).withColumn("norm_b", nb)
+    a, b = F.col("norm_a"), F.col("norm_b")
+    ta = F.array_distinct(F.filter(F.split(a, " "), lambda t: t != ""))
+    tb = F.array_distinct(F.filter(F.split(b, " "), lambda t: t != ""))
+    union_n = F.size(F.array_union(ta, tb))
+    jac = F.when(union_n > 0, F.size(F.array_intersect(ta, tb)) / union_n).otherwise(0.0)
+    maxlen = F.greatest(F.length(a), F.length(b))
+    nonempty = (F.length(a) > 0) & (F.length(b) > 0)
+    prefix = F.when(nonempty, _common_prefix_len(a, b) / maxlen).otherwise(0.0)
+    suffix = F.when(
+        nonempty, _common_prefix_len(F.reverse(a), F.reverse(b)) / maxlen
+    ).otherwise(0.0)
+    def _both_eq(x, y):
+        # null-safe: a missing attribute on either side is a non-match,
+        # never a null feature (reference treats None as falsy)
+        return F.col(x).isNotNull() & F.col(y).isNotNull() & (F.col(x) == F.col(y))
+
+    id_eq = (
+        _both_eq("duns_a", "duns_b")
+        | _both_eq("cage_a", "cage_b")
+        | _both_eq("fr_doc_a", "fr_doc_b")
+    ).cast("double")
+    ha, hb = url_host(F.col("url_a")), url_host(F.col("url_b"))
+    host_eq = (ha.isNotNull() & hb.isNotNull() & (ha == hb)).cast("double")
+
+    def bonus(src):
+        expr = F.lit(0.0)
+        for s, v in RECONCILE_SOURCE_BONUS.items():
+            expr = F.when(src == s, F.lit(v)).otherwise(expr)
+        return expr
+
+    feats = {
+        "name_exact": (a == b).cast("double"),
+        "token_jaccard": jac,
+        "jaro_winkler": jaro_winkler_udf(a, b),
+        "prefix_overlap": prefix,
+        "suffix_overlap": suffix,
+        "country_match": (F.col("country_a") == F.col("country_b")).cast("double"),
+        "id_equal": id_eq,
+        "url_host": host_eq,
+        "source_bonus": bonus(F.col("source_a")) + bonus(F.col("source_b")),
+    }
+    out = d
+    for k, v in feats.items():
+        out = out.withColumn(k, F.round(v, 6))
+    score = None
+    for k, w in RECONCILE_WEIGHTS.items():
+        term = F.col(k) * F.lit(w)
+        score = term if score is None else score + term
+    return out.withColumn("score", F.round(score, 6))
+
+
+def decide_pairs_v2(
+    scored: DataFrame,
+    whitelist: list[tuple[str, str, str]] | None = None,
+    blacklist: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Overrides + hard country reject + thresholds (reconcile.py:293-304).
+    Whitelist/blacklist are (left_id, right_id, reason) rows, broadcast."""
+    spark = scored.sparkSession
+    schema = "id_a string, id_b string, ov_reason string"
+    wl = spark.createDataFrame(whitelist or [], schema).withColumn(
+        "ov", F.lit("auto_merge")
+    )
+    bl = spark.createDataFrame(blacklist or [], schema).withColumn(
+        "ov", F.lit("reject")
+    )
+    ov = wl.unionByName(bl)
+    d = scored.join(F.broadcast(ov), ["id_a", "id_b"], "left")
+    decision = (
+        F.when(F.col("ov").isNotNull(), F.col("ov"))
+        .when(F.col("country_match") < 1.0, F.lit("reject"))
+        .when(F.col("score") >= RECONCILE_THRESHOLDS["high"], F.lit("auto_merge"))
+        .when(F.col("score") >= RECONCILE_THRESHOLDS["low"], F.lit("review"))
+        .otherwise(F.lit("reject"))
+    )
+    reason = (
+        F.when(F.col("ov").isNotNull(), F.col("ov_reason"))
+        .when(F.col("country_match") < 1.0, F.lit("country mismatch"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.withColumn("decision", decision).withColumn("reason", reason).drop(
+        "ov", "ov_reason"
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iters: int = 20
 ) -> DataFrame:

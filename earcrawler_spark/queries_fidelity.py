@@ -204,10 +204,244 @@ ORDER BY section_id, emit_order, chunk_id
 """
 
 
+# --- J6/J7 fidelity: reconcile v2 (9 features, multi-key blocking,
+# whitelist/blacklist overrides, hard country reject) ------------------------
+
+RECONCILE_WHITELIST = [("PA000010", "PB000010", "manual whitelist")]
+RECONCILE_BLACKLIST = [("PA000020", "PB000020", "manual blacklist")]
+
+
+def _synth_entities(part: DataFrame) -> DataFrame:
+    """Two entities per part row: 'PA' originals and 'PB' variants (exact /
+    stopword-suffixed / token-perturbed names, occasional country flips,
+    shared duns/cage ids, shared url hosts) — a deterministic domain where
+    every feature, block key family, and decision branch fires."""
+    k = F.col("p_partkey")
+    pad = F.lpad(k.cast("string"), 6, "0")
+    country_a = F.concat(F.lit("C"), (k % 4).cast("string"))
+    country_b = F.concat(
+        F.lit("C"),
+        F.when(k % 13 == 0, (k + 1) % 4).otherwise(k % 4).cast("string"),
+    )
+    duns = F.when(k % 5 == 0, F.concat(F.lit("D"), k.cast("string")))
+    cage = F.when(k % 11 == 0, F.concat(F.lit("G"), k.cast("string")))
+    host = F.concat(F.lit("https://h"), (k % 97).cast("string"), F.lit(".example.com/"))
+    name_b = (
+        F.when(k % 3 == 0, F.concat(F.col("p_name"), F.lit(" Inc")))
+        .when(k % 3 == 1, F.col("p_name"))
+        .otherwise(F.concat(F.col("p_name"), F.lit(" xtra")))
+    )
+    a = part.select(
+        F.concat(F.lit("PA"), pad).alias("id"),
+        F.col("p_name").alias("name"),
+        country_a.alias("country"),
+        F.when(k % 2 == 0, F.lit("tradegov")).otherwise(F.lit("other")).alias("source"),
+        duns.alias("duns"),
+        cage.alias("cage"),
+        F.lit(None).cast("string").alias("fr_doc"),
+        F.when(k % 10 < 2, F.concat(host, F.lit("x/"), k.cast("string"))).alias("url"),
+    )
+    b = part.select(
+        F.concat(F.lit("PB"), pad).alias("id"),
+        name_b.alias("name"),
+        country_b.alias("country"),
+        F.when(k % 2 == 0, F.lit("federalregister")).otherwise(F.lit("other")).alias("source"),
+        duns.alias("duns"),
+        cage.alias("cage"),
+        F.lit(None).cast("string").alias("fr_doc"),
+        F.when(k % 10 < 2, F.concat(host, F.lit("y/"), k.cast("string"))).alias("url"),
+    )
+    return a.unionByName(b)
+
+
+def q_reconcile_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7 full reconcile parity (kg/reconcile.py:156-304): multi-key
+    blocking (4 lexical keys capped at 64 + duns/cage/fr_doc + url_host),
+    9 weighted features incl. Jaro-Winkler / prefix / suffix / attribute
+    equality, whitelist/blacklist pair overrides, hard country-mismatch
+    reject, rules.yml default weights and thresholds."""
+    from earcrawler_spark.operators.reconcile import (
+        blocking_pairs_v2,
+        decide_pairs_v2,
+        score_pairs_v2,
+    )
+
+    ents = _synth_entities(_t(spark, sf_dir, "part"))
+    pairs = blocking_pairs_v2(ents)
+    attrs = ents
+    left = attrs.select(*[F.col(c).alias(f"{c}_a") for c in attrs.columns])
+    right = attrs.select(*[F.col(c).alias(f"{c}_b") for c in attrs.columns])
+    enriched = pairs.join(left, "id_a").join(right, "id_b")
+    scored = score_pairs_v2(enriched)
+    decided = decide_pairs_v2(
+        scored, whitelist=RECONCILE_WHITELIST, blacklist=RECONCILE_BLACKLIST
+    )
+    return decided.select(
+        "id_a", "id_b", "name_exact", "token_jaccard", "jaro_winkler",
+        "prefix_overlap", "suffix_overlap", "country_match", "id_equal",
+        "url_host", "source_bonus", "score", "decision",
+        F.coalesce("reason", F.lit("")).alias("reason"),
+    ).orderBy("id_a", "id_b")
+
+
+def _reconcile_v2_sql() -> str:
+    from earcrawler_spark.operators.reconcile import (
+        MAX_LEXICAL_BLOCK,
+        RECONCILE_SOURCE_BONUS,
+        RECONCILE_STOPWORDS,
+        RECONCILE_THRESHOLDS,
+        RECONCILE_WEIGHTS,
+        soundex_v2_sql,
+    )
+
+    stop = ", ".join(f"'{s}'" for s in RECONCILE_STOPWORDS)
+
+    def norm(x):
+        return (
+            "array_to_string(list_filter(regexp_split_to_array(trim("
+            f"regexp_replace(regexp_replace(lower({x}), '[^\\w\\s]', ' ', 'g'),"
+            " '\\s+', ' ', 'g')), ' '), "
+            f"t -> t <> '' AND t NOT IN ({stop})), ' ')"
+        )
+
+    def prefix_len(a, b):
+        return (
+            f"len(list_filter(range(1, greatest(least(length({a}), length({b})), 1) + 1), "
+            f"i -> length({a}) > 0 AND length({b}) > 0 AND "
+            f"substr({a}, 1, CAST(i AS INT)) = substr({b}, 1, CAST(i AS INT))))"
+        )
+
+    host = "lower(coalesce(regexp_extract({u}, 'https?://([^/]+)/?', 1), ''))"
+    bonus_cases = " ".join(
+        f"WHEN {{s}} = '{k}' THEN {v}" for k, v in RECONCILE_SOURCE_BONUS.items()
+    )
+    bonus = f"CAST((CASE {bonus_cases} ELSE 0.0 END) AS DOUBLE)"
+    weights = RECONCILE_WEIGHTS
+    wl = ", ".join(f"('{a}', '{b}', '{r}', 'auto_merge')" for a, b, r in RECONCILE_WHITELIST)
+    bl = ", ".join(f"('{a}', '{b}', '{r}', 'reject')" for a, b, r in RECONCILE_BLACKLIST)
+
+    return f"""
+WITH ents AS (
+  SELECT 'PA' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS id,
+         p_name AS name,
+         'C' || CAST(p_partkey % 4 AS VARCHAR) AS country,
+         CASE WHEN p_partkey % 2 = 0 THEN 'tradegov' ELSE 'other' END AS source,
+         CASE WHEN p_partkey % 5 = 0 THEN 'D' || CAST(p_partkey AS VARCHAR) END AS duns,
+         CASE WHEN p_partkey % 11 = 0 THEN 'G' || CAST(p_partkey AS VARCHAR) END AS cage,
+         CAST(NULL AS VARCHAR) AS fr_doc,
+         CASE WHEN p_partkey % 10 < 2 THEN 'https://h' || CAST(p_partkey % 97 AS VARCHAR)
+              || '.example.com/x/' || CAST(p_partkey AS VARCHAR) END AS url
+  FROM part
+  UNION ALL
+  SELECT 'PB' || lpad(CAST(p_partkey AS VARCHAR), 6, '0'),
+         CASE WHEN p_partkey % 3 = 0 THEN p_name || ' Inc'
+              WHEN p_partkey % 3 = 1 THEN p_name
+              ELSE p_name || ' xtra' END,
+         'C' || CAST(CASE WHEN p_partkey % 13 = 0 THEN (p_partkey + 1) % 4
+                          ELSE p_partkey % 4 END AS VARCHAR),
+         CASE WHEN p_partkey % 2 = 0 THEN 'federalregister' ELSE 'other' END,
+         CASE WHEN p_partkey % 5 = 0 THEN 'D' || CAST(p_partkey AS VARCHAR) END,
+         CASE WHEN p_partkey % 11 = 0 THEN 'G' || CAST(p_partkey AS VARCHAR) END,
+         CAST(NULL AS VARCHAR),
+         CASE WHEN p_partkey % 10 < 2 THEN 'https://h' || CAST(p_partkey % 97 AS VARCHAR)
+              || '.example.com/y/' || CAST(p_partkey AS VARCHAR) END
+  FROM part
+), normed AS (
+  SELECT *, {norm('name')} AS norm,
+         regexp_replace({norm('name')}, '[^0-9a-z]', '', 'g') AS alnum
+  FROM ents
+), keys AS (
+  SELECT id, kt, kv FROM (
+    SELECT id, 'lexical:country_name' AS kt, country || '-' || alnum AS kv FROM normed
+    UNION ALL SELECT id, 'lexical:alnum', alnum FROM normed
+    UNION ALL SELECT id, 'lexical:country_soundex',
+           country || '-' || {soundex_v2_sql('norm')} FROM normed
+    UNION ALL SELECT id, 'lexical:country_token0',
+           CASE WHEN norm <> '' THEN country || '-' || string_split(norm, ' ')[1] END
+           FROM normed
+    UNION ALL SELECT id, 'id:duns', duns FROM normed
+    UNION ALL SELECT id, 'id:cage', cage FROM normed
+    UNION ALL SELECT id, 'id:fr_doc', fr_doc FROM normed
+    UNION ALL SELECT id, 'url_host',
+           CASE WHEN url IS NOT NULL THEN {host.format(u='url')} END FROM normed
+  ) WHERE kv IS NOT NULL AND kv <> ''
+), sizes AS (
+  SELECT kt, kv, count(DISTINCT id) AS n FROM keys GROUP BY kt, kv
+), ok AS (
+  SELECT k.id, k.kt, k.kv FROM keys k JOIN sizes s ON k.kt = s.kt AND k.kv = s.kv
+  WHERE s.n >= 2 AND (NOT starts_with(k.kt, 'lexical:') OR s.n <= {MAX_LEXICAL_BLOCK})
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM ok a JOIN ok b ON a.kt = b.kt AND a.kv = b.kv AND a.id < b.id
+), enriched AS (
+  SELECT p.id_a, p.id_b,
+         ea.norm AS na, eb.norm AS nb,
+         ea.country AS country_a, eb.country AS country_b,
+         ea.source AS source_a, eb.source AS source_b,
+         ea.duns AS duns_a, eb.duns AS duns_b,
+         ea.cage AS cage_a, eb.cage AS cage_b,
+         ea.fr_doc AS fr_doc_a, eb.fr_doc AS fr_doc_b,
+         ea.url AS url_a, eb.url AS url_b
+  FROM pairs p JOIN normed ea ON p.id_a = ea.id JOIN normed eb ON p.id_b = eb.id
+), feats AS (
+  SELECT id_a, id_b,
+    round(CAST(na = nb AS DOUBLE), 6) AS name_exact,
+    round(CASE WHEN len(list_distinct(list_concat(
+            list_filter(string_split(na, ' '), t -> t <> ''),
+            list_filter(string_split(nb, ' '), t -> t <> '')))) > 0
+      THEN len(list_intersect(list_distinct(list_filter(string_split(na, ' '), t -> t <> '')),
+                              list_distinct(list_filter(string_split(nb, ' '), t -> t <> ''))))
+           * 1.0 /
+           len(list_distinct(list_concat(
+             list_filter(string_split(na, ' '), t -> t <> ''),
+             list_filter(string_split(nb, ' '), t -> t <> ''))))
+      ELSE 0.0 END, 6) AS token_jaccard,
+    round(CAST(jaro_winkler_similarity(na, nb) AS DOUBLE), 6) AS jaro_winkler,
+    round(CASE WHEN length(na) > 0 AND length(nb) > 0
+      THEN {prefix_len('na', 'nb')} * 1.0 / greatest(length(na), length(nb))
+      ELSE 0.0 END, 6) AS prefix_overlap,
+    round(CASE WHEN length(na) > 0 AND length(nb) > 0
+      THEN {prefix_len('reverse(na)', 'reverse(nb)')} * 1.0 / greatest(length(na), length(nb))
+      ELSE 0.0 END, 6) AS suffix_overlap,
+    round(CAST(country_a = country_b AS DOUBLE), 6) AS country_match,
+    round(CAST(coalesce(duns_a IS NOT NULL AND duns_b IS NOT NULL AND duns_a = duns_b, false)
+       OR coalesce(cage_a IS NOT NULL AND cage_b IS NOT NULL AND cage_a = cage_b, false)
+       OR coalesce(fr_doc_a IS NOT NULL AND fr_doc_b IS NOT NULL AND fr_doc_a = fr_doc_b, false)
+       AS DOUBLE), 6) AS id_equal,
+    round(CAST(url_a IS NOT NULL AND {host.format(u='url_a')} <> ''
+       AND {host.format(u='url_a')} = {host.format(u='url_b')} AS DOUBLE), 6) AS url_host,
+    round({bonus.format(s='source_a')} + {bonus.format(s='source_b')}, 6) AS source_bonus
+  FROM enriched
+), scored AS (
+  SELECT *, round({' + '.join(f'{k} * {w}' for k, w in weights.items())}, 6) AS score
+  FROM feats
+), ov AS (
+  SELECT * FROM (VALUES {wl}, {bl}) AS v(id_a, id_b, ov_reason, ov)
+), decided AS (
+  SELECT f.*,
+    CASE WHEN o.ov IS NOT NULL THEN o.ov
+         WHEN f.country_match < 1.0 THEN 'reject'
+         WHEN f.score >= {RECONCILE_THRESHOLDS['high']} THEN 'auto_merge'
+         WHEN f.score >= {RECONCILE_THRESHOLDS['low']} THEN 'review'
+         ELSE 'reject' END AS decision,
+    CASE WHEN o.ov IS NOT NULL THEN o.ov_reason
+         WHEN f.country_match < 1.0 THEN 'country mismatch'
+         ELSE '' END AS reason
+  FROM scored f LEFT JOIN ov o ON f.id_a = o.id_a AND f.id_b = o.id_b
+)
+SELECT id_a, id_b, name_exact, token_jaccard, jaro_winkler, prefix_overlap,
+       suffix_overlap, country_match, id_equal, url_host, source_bonus,
+       CAST(score AS DOUBLE) AS score, decision, reason
+FROM decided ORDER BY id_a, id_b
+"""
+
+
 FIDELITY_QUERIES = {
     "chunking_sections": q_chunking_sections,
+    "reconcile_v2": q_reconcile_v2,
 }
 
 FIDELITY_ORACLES = {
     "chunking_sections": _SQL_CHUNKING_SECTIONS,
+    "reconcile_v2": _reconcile_v2_sql(),
 }
