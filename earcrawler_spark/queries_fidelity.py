@@ -436,12 +436,143 @@ FROM decided ORDER BY id_a, id_b
 """
 
 
+# --- D4/D5/SO1 fidelity: record merge + entity-map merge --------------------
+
+def _synth_fragments(docs: DataFrame) -> DataFrame:
+    """Multi-provider record fragments from documents: ~300 record groups,
+    per-fragment scalars that are only sometimes populated (first-non-empty
+    semantics), shared-per-group content fingerprints with a planted
+    conflict in every 37th group, and map<bucket, names> entities with
+    dirty buckets/values (' org ', blanks) to exercise normalization."""
+    d = F.col("doc_id")
+    gid = (d % 300).cast("string")
+    tk = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    e = lambda i: F.try_element_at(tk, F.lit(i))
+    b1 = F.when(d % 2 == 0, F.lit("ORG")).otherwise(F.lit(" org "))
+    entries = F.filter(
+        F.array(
+            F.struct(b1.alias("key"), F.array(e(1), e(2), F.lit(" ")).alias("value")),
+            F.struct(
+                F.when(d % 3 == 0, F.lit("PROGRAM")).alias("key"),
+                F.array(e(3)).alias("value"),
+            ),
+        ),
+        lambda s: s["key"].isNotNull(),
+    )
+    return docs.select(
+        F.concat(F.lit("R"), gid).alias("record_id"),
+        d.alias("seq"),
+        F.concat(F.lit("src"), (d % 3).cast("string"), F.lit(":"), d.cast("string")).alias("identifier"),
+        F.when(
+            (d % 300 % 37 == 0) & (d % 5 == 0),
+            F.sha2(F.concat(F.lit("fp-"), d.cast("string")), 256),
+        )
+        .otherwise(F.sha2(F.concat(F.lit("fp-"), gid), 256))
+        .alias("content_sha256"),
+        F.when(d % 2 == 0, F.concat(F.lit("https://ex.org/"), d.cast("string"))).alias("source_url"),
+        F.when(d % 6 == 0, F.concat(F.lit("2024-01-0"), (d % 9 + 1).cast("string"))).alias("date"),
+        F.concat(F.lit("p"), (d % 3).cast("string")).alias("provider"),
+        F.when(d % 4 == 0, F.concat(F.lit("sec"), (d % 7).cast("string"))).alias("section"),
+        F.when(d % 3 == 1, F.lit("")).otherwise(F.concat(F.lit("text for R"), gid)).alias("paragraph"),
+        F.map_from_entries(entries).alias("entities"),
+    )
+
+
+def q_record_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D5/SO1 full record merge (corpus/records.py:84-125 +
+    corpus/entities.py:30-66): identifiers union+sort, first-non-empty
+    scalars in fragment order, bucket-wise map<string,array<string>>
+    entity merge with bucket/value normalization, conflicting-fingerprint
+    detection (flag mode here; 'error' mode raises in-plan and is
+    pytest-verified)."""
+    from earcrawler_spark.operators.records import (
+        entities_json,
+        merge_corpus_records,
+    )
+
+    frags = _synth_fragments(_t(spark, sf_dir, "documents"))
+    merged = merge_corpus_records(frags, on_conflict="flag")
+    return merged.select(
+        "record_id",
+        F.array_join("identifiers", "|").alias("identifiers"),
+        "content_sha256",
+        "source_url",
+        "date",
+        "provider",
+        "section",
+        "paragraph",
+        "n_fragments",
+        "conflict",
+        entities_json(F.col("entities")).alias("entities_json"),
+    ).orderBy("record_id")
+
+
+_SQL_RECORD_MERGE_FULL = """
+WITH frags AS (
+  SELECT doc_id, doc_id AS seq,
+         'R' || CAST(doc_id % 300 AS VARCHAR) AS record_id,
+         'src' || CAST(doc_id % 3 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS identifier,
+         CASE WHEN (doc_id % 300) % 37 = 0 AND doc_id % 5 = 0
+              THEN sha256('fp-' || CAST(doc_id AS VARCHAR))
+              ELSE sha256('fp-' || CAST(doc_id % 300 AS VARCHAR)) END AS content_sha256,
+         CASE WHEN doc_id % 2 = 0 THEN 'https://ex.org/' || CAST(doc_id AS VARCHAR) END AS source_url,
+         CASE WHEN doc_id % 6 = 0 THEN '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) END AS date_s,
+         'p' || CAST(doc_id % 3 AS VARCHAR) AS provider,
+         CASE WHEN doc_id % 4 = 0 THEN 'sec' || CAST(doc_id % 7 AS VARCHAR) END AS section,
+         CASE WHEN doc_id % 3 = 1 THEN ''
+              ELSE 'text for R' || CAST(doc_id % 300 AS VARCHAR) END AS paragraph,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), ent_rows AS (
+  SELECT record_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'ORG' ELSE ' org ' END AS bucket_raw, tk[1] AS v
+  FROM frags
+  UNION ALL SELECT record_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'ORG' ELSE ' org ' END, tk[2] FROM frags
+  UNION ALL SELECT record_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'ORG' ELSE ' org ' END, ' ' FROM frags
+  UNION ALL SELECT record_id, 'PROGRAM', tk[3] FROM frags WHERE doc_id % 3 = 0
+), cleaned AS (
+  SELECT record_id, upper(trim(bucket_raw)) AS bucket, trim(v) AS v
+  FROM ent_rows
+  WHERE trim(coalesce(bucket_raw, '')) <> '' AND trim(coalesce(v, '')) <> ''
+), buckets AS (
+  SELECT record_id, bucket, list_sort(list_distinct(list(v))) AS names
+  FROM cleaned GROUP BY record_id, bucket
+), ejson AS (
+  SELECT record_id,
+         '{' || string_agg('"' || bucket || '":["' || array_to_string(names, '","') || '"]',
+                           ',' ORDER BY bucket) || '}' AS entities_json
+  FROM buckets GROUP BY record_id
+), scal AS (
+  SELECT record_id,
+         array_to_string(list_sort(list(DISTINCT identifier)), '|') AS identifiers,
+         min(content_sha256) AS content_sha256,
+         arg_min(source_url, seq) FILTER (WHERE source_url IS NOT NULL AND source_url <> '') AS source_url,
+         arg_min(date_s, seq) FILTER (WHERE date_s IS NOT NULL AND date_s <> '') AS "date",
+         arg_min(provider, seq) FILTER (WHERE provider IS NOT NULL AND provider <> '') AS provider,
+         arg_min(section, seq) FILTER (WHERE section IS NOT NULL AND section <> '') AS section,
+         arg_min(paragraph, seq) FILTER (WHERE paragraph IS NOT NULL AND paragraph <> '') AS paragraph,
+         count(*) AS n_fragments,
+         count(DISTINCT content_sha256) > 1 AS conflict
+  FROM frags GROUP BY record_id
+)
+SELECT s.record_id, s.identifiers, s.content_sha256, s.source_url, s."date",
+       s.provider, s.section, s.paragraph, s.n_fragments, s.conflict,
+       coalesce(e.entities_json, '{}') AS entities_json
+FROM scal s LEFT JOIN ejson e ON s.record_id = e.record_id
+ORDER BY s.record_id
+"""
+
+
 FIDELITY_QUERIES = {
     "chunking_sections": q_chunking_sections,
     "reconcile_v2": q_reconcile_v2,
+    "record_merge_full": q_record_merge_full,
 }
 
 FIDELITY_ORACLES = {
     "chunking_sections": _SQL_CHUNKING_SECTIONS,
     "reconcile_v2": _reconcile_v2_sql(),
+    "record_merge_full": _SQL_RECORD_MERGE_FULL,
 }
