@@ -67,19 +67,31 @@ def content_sha256(col: Column) -> Column:
 
 
 # --- PII scrub (redaction.py:7-45) -------------------------------------
-# Ordered substitutions; each is a native regexp_replace so the whole chain
-# stays inside whole-stage codegen. Patterns avoid lookaheads so the same
-# regexes run under DuckDB's RE2 for the oracle.
+# Ordered substitutions matching the reference chain rule-for-rule: email,
+# GUID, bearer/long token (20+ of [A-Za-z0-9-_=], optional 'bearer '
+# prefix, case-insensitive), URL query/fragment strip, paths (windows
+# drive, UNC, ~/ home, absolute unix with the reference's
+# not-preceded-by-[A-Za-z0-9:/] guard re-expressed as a captured
+# separator — RE2 has no lookbehind), NANP phone incl. +1 / (ddd) /
+# dot-space separators, SSN. Each is a native regexp_replace so the whole
+# chain stays inside whole-stage codegen; the same patterns run under
+# DuckDB's RE2 for the oracle ($N group refs become \N there).
 _PII_RULES: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (
         r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
         "<GUID>",
     ),
-    (r"\b[A-Za-z0-9]{32,}\b", "<TOKEN>"),
-    (r"\?[A-Za-z0-9_=&%.-]+", ""),  # strip URL query strings
-    (r"[A-Za-z]:\\[^\s]+", "<PATH>"),  # windows path
-    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"(?i)(?:bearer\s+)?[A-Za-z0-9_=-]{20,}", "<TOKEN>"),
+    (r"(https?://[^\s?]+)\?[^\s#]+", "$1"),  # strip URL query strings
+    (r"[A-Za-z]:\\[^\s]+", "<PATH>"),  # windows drive path
+    (r"\\\\[^\s]+", "<PATH>"),  # UNC path
+    (r"~/[^\s]+", "<PATH>"),  # home path
+    (r"(^|[^A-Za-z0-9:/])/[^\s/][^\s]*", "$1<PATH>"),  # absolute unix path
+    (
+        r"\b(?:\+?1[-.\s]?)?(?:\(\d{3}\)|\d{3})[-.\s]?\d{3}[-.\s]?\d{4}\b",
+        "<PHONE>",
+    ),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
 ]
 
@@ -95,9 +107,11 @@ def pii_scrub_sql(expr: str) -> str:
     """The identical scrub chain as ANSI/DuckDB SQL over ``expr``."""
     out = expr
     for pat, repl in _PII_RULES:
-        # DuckDB string literals keep backslashes literal — no re-escaping.
+        # DuckDB string literals keep backslashes literal — no re-escaping;
+        # RE2 rewrite strings use \N where Java uses $N.
         pat_sql = pat.replace("'", "''")
-        out = f"regexp_replace({out}, '{pat_sql}', '{repl}', 'g')"
+        repl_sql = repl.replace("$1", "\\1")
+        out = f"regexp_replace({out}, '{pat_sql}', '{repl_sql}', 'g')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
 
 
