@@ -50,28 +50,54 @@ def content_hash_of(spans: list[dict]) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()
 
 
-def synthetic_fetch_one(url: str) -> tuple[int, str]:
+def synthetic_fetch_one(url: str, etag: str | None = None) -> tuple[int, str]:
+    """Synthetic transport with conditional-GET support: when the caller
+    presents a validator (If-None-Match) that still matches the page's
+    current content fingerprint, the server answers 304 with no body —
+    the reference's revalidation round-trip (http_cache.py:107-141)."""
     if not synth.page_exists(url):
         return 404, ""
-    return 200, synth.page_html(url)
+    html = synth.page_html(url)
+    if etag is not None and etag == synthetic_etag(html):
+        return 304, ""
+    return 200, html
+
+
+def synthetic_etag(html: str) -> str:
+    """Deterministic validator for the synthetic server: fingerprint of
+    the parsed span sequence (equals the row's content_hash, so the cache
+    can use content_hash as the stored etag)."""
+    spans, _ = spans_mod.parse_html(html)
+    return content_hash_of(spans)
 
 
 def retrying(transport, max_attempts: int = 3, backoff_base: float = 0.0):
     """Retry + exponential backoff wrapper (reference S9:
     tenacity stop_after_attempt(3) / wait_exponential —
-    api_clients/tradegov_client.py:144-150). Retries 5xx; 4xx and 200
-    return immediately. backoff_base=0 keeps tests/benchmarks
+    api_clients/tradegov_client.py:144-150). Retries 5xx; 4xx, 304 and
+    200 return immediately. backoff_base=0 keeps tests/benchmarks
     deterministic; a real deployment sets it to ~1.0.
 
-    → transport'(url) -> (status, html, attempts)
-    """
+    → transport'(url, etag) -> (status, html, attempts)
 
-    def fetch(url: str):
+    Transports may be conditional (url, etag) or simple (url) — simple
+    ones never answer 304 and are wrapped transparently.
+    """
+    import inspect
+
+    try:
+        conditional = len(inspect.signature(transport).parameters) >= 2
+    except (TypeError, ValueError):
+        conditional = False
+
+    def fetch(url: str, etag: str | None = None):
         attempts = 0
         status, html = 599, ""
         while attempts < max_attempts:
             attempts += 1
-            status, html = transport(url)
+            status, html = (
+                transport(url, etag) if conditional else transport(url)
+            )
             if status < 500:
                 break
             if backoff_base and attempts < max_attempts:
@@ -112,7 +138,10 @@ def fetch_and_parse(
                     if wait > 0:
                         time.sleep(wait)
                     last_hit[row.host] = time.monotonic()
-                status, html, attempts = retry_fetch(row.url)
+                etag = getattr(row, "etag", None)
+                status, html, attempts = retry_fetch(
+                    row.url, etag if isinstance(etag, str) and etag else None
+                )
                 spans, links = (
                     spans_mod.parse_html(html) if status == 200 else ([], [])
                 )

@@ -22,24 +22,52 @@ ROBOTS_SCHEMA = T.StructType(
 )
 
 
-def parse_robots_txt(txt: str, default_delay: float = 1.0) -> tuple[list[str], float]:
-    """Minimal robots.txt parse: User-agent:* Disallow + Crawl-delay."""
-    disallow: list[str] = []
-    delay = default_delay
+def parse_robots_txt(
+    txt: str, default_delay: float = 1.0, user_agent: str = "*"
+) -> tuple[list[str], float]:
+    """robots.txt parse with User-agent group scoping (RFC 9309 grouping):
+    only Disallow / Crawl-delay rules inside a group whose User-agent line
+    matches ``user_agent`` (or ``*``) apply. A group scoped to another bot
+    must not deny URLs for this crawler — denied URLs drop out of the
+    frontier permanently, so over-blocking is irreversible within a run.
+    A specific-agent group overrides the ``*`` group entirely (standard
+    most-specific-group-wins), including its crawl delay."""
+    ua = user_agent.lower()
+    groups: dict[str, tuple[list[str], float | None]] = {}
+    cur_agents: list[str] = []
+    in_group_body = False
     for line in (txt or "").splitlines():
         line = line.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                cur_agents = []
+                in_group_body = False
+            agent = val.lower()
+            cur_agents.append(agent)
+            groups.setdefault(agent, ([], None))
+            continue
+        if not cur_agents:
+            continue  # rules before any User-agent line have no group
+        in_group_body = True
         if key == "disallow" and val:
-            disallow.append(val)
+            for agent in cur_agents:
+                groups[agent][0].append(val)
         elif key == "crawl-delay":
             try:
-                delay = float(val)
+                d = float(val)
             except ValueError:
-                pass
-    return disallow, delay
+                continue
+            for agent in cur_agents:
+                groups[agent] = (groups[agent][0], d)
+    chosen = groups.get(ua, groups.get("*"))
+    if chosen is None:
+        return [], default_delay
+    disallow, delay = chosen
+    return list(disallow), default_delay if delay is None else delay
 
 
 def fetch_robots(spark: SparkSession, hosts: list[str], fetcher) -> DataFrame:

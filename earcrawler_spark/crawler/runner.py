@@ -112,6 +112,26 @@ class Crawler:
         self.cache_bootstrap = cache_bootstrap
         if self.cfg.n_partitions is None:
             self.cfg.n_partitions = spark.sparkContext.defaultParallelism
+        # Filter-critical parameters are persisted in the manifest at
+        # init_seeds; attaching to an existing state dir with different
+        # values would silently remap shard ids / change the filter family
+        # and produce false-negative probes that bypass the exact anti-join.
+        persisted = self.state.manifest().get("filter_config")
+        if persisted is not None and persisted != self._filter_config():
+            raise ValueError(
+                "CrawlConfig filter parameters do not match the state dir's "
+                f"persisted values: persisted={persisted} "
+                f"configured={self._filter_config()}. Use the persisted "
+                "values (or a fresh state dir) to resume."
+            )
+
+    def _filter_config(self) -> dict:
+        return {
+            "n_shards": self.cfg.n_shards,
+            "seen_filter": self.cfg.seen_filter,
+            "bloom_bits_per_shard": self.cfg.bloom_bits_per_shard,
+            "cuckoo_capacity_per_shard": self.cfg.cuckoo_capacity_per_shard,
+        }
 
     # ------------------------------------------------------------------
     def init_seeds(self, seeds: list[tuple[str, int, int]]) -> None:
@@ -146,7 +166,8 @@ class Crawler:
             )
         max_seq = max(r[4] for r in rows) if rows else -1
         self.state.commit(0, chain_hash=self._chain("", {"iter": 0, "seeds": len(rows)}),
-                          extra={"max_seq": max_seq})
+                          extra={"max_seq": max_seq,
+                                 "filter_config": self._filter_config()})
 
     # ------------------------------------------------------------------
     def _chain(self, prev: str, payload: dict) -> str:
@@ -154,11 +175,11 @@ class Crawler:
             (prev + json.dumps(payload, sort_keys=True, separators=(",", ":"))).encode()
         ).hexdigest()
 
-    def _write_filter(
-        self, iteration: int, hashes_df: DataFrame, previous: dict[int, bytes] | None
+    def _build_filter_shards(
+        self, hashes_df: DataFrame, previous: dict[int, bytes] | None
     ) -> dict[int, bytes]:
         """Extend the per-shard seen filters (bloom or cuckoo —
-        cfg.seen_filter) with this wave's new hashes.
+        cfg.seen_filter) with new hashes, returning the merged shard map.
 
         Each shard's rebuild runs executor-side in applyInPandas: the
         task loads the previous shard bytes from a broadcast, inserts the
@@ -194,6 +215,12 @@ class Crawler:
             .collect()
         }
         merged = {**prev, **delta}
+        return merged
+
+    def _write_filter(
+        self, iteration: int, hashes_df: DataFrame, previous: dict[int, bytes] | None
+    ) -> dict[int, bytes]:
+        merged = self._build_filter_shards(hashes_df, previous)
         out = self.spark.createDataFrame(
             [(s, bytearray(b)) for s, b in sorted(merged.items())],
             "shard int, bits binary",
@@ -286,7 +313,9 @@ class Crawler:
             selected = capped.filter(F.col("_grk") <= cfg.max_urls_per_wave).drop("_grk")
             remainder = remainder.unionByName(overflow)
 
-        # S7/D8 fetch cache: fresh entries bypass the network (304 visit)
+        # S7/D8 fetch cache: fresh entries bypass the network and replay
+        # the cached parse; stale entries carry their stored etag into the
+        # fetch stage (If-None-Match) and may come back 304.
         cache = None
         cache_hits = None
         if cfg.cache_ttl_iters is not None:
@@ -333,10 +362,33 @@ class Crawler:
         n_fetched = fetched.count()
 
         _mark("fetch+parse")
-        visits = fetched.select(
+        # 304s from conditional revalidation replay the cached parse and
+        # slide their TTL window (merge_cache refreshes fetched_iter)
+        revalidated = None
+        n_revalidated = 0
+        if cache is not None:
+            revalidated = (
+                fetched.filter(F.col("status") == 304)
+                .drop("content_hash", "spans", "links")
+                .join(
+                    cache.select("url_hash", "content_hash", "spans", "links"),
+                    "url_hash",
+                )
+                .cache()
+            )
+            n_revalidated = revalidated.count()
+
+        visits = fetched.filter(F.col("status") != 304).select(
             F.lit(it).alias("iter"), "url", "url_hash", "host",
             "priority", "seq", "status", "content_hash",
         )
+        if revalidated is not None:
+            visits = visits.unionByName(
+                revalidated.select(
+                    F.lit(it).alias("iter"), "url", "url_hash", "host",
+                    "priority", "seq", F.lit(304).alias("status"), "content_hash",
+                )
+            )
         n_cache_hits = 0
         if cache_hits is not None:
             n_cache_hits = cache_hits.count()
@@ -350,14 +402,34 @@ class Crawler:
         if cfg.cache_ttl_iters is not None:
             self.state.write(
                 "fetch_cache", it,
-                merge_cache(cache, fetched.select("url_hash", "content_hash", "status"), it),
+                merge_cache(
+                    cache,
+                    fetched.select("url_hash", "content_hash", "status", "spans", "links"),
+                    it,
+                ),
                 n_files=cfg.write_partitions,
             )
         self.state.write("visits", it, visits, n_files=cfg.write_partitions)
 
         _mark("visits_write")
-        # 5. content dedup (wave-internal argmin by seq, then anti-join)
-        ok = fetched.filter(F.col("status") == 200)
+        # 5. content dedup (wave-internal argmin by seq, then anti-join).
+        # Fresh hits and revalidated 304s REPLAY their cached parse here
+        # and in link expansion, so cached pages keep contributing
+        # documents (deduped by content_seen) and outlinks.
+        parse_cols = ["url", "url_hash", "host", "priority", "seq",
+                      "content_hash", "spans", "links"]
+        ok = fetched.filter(F.col("status") == 200).select(*parse_cols)
+        if revalidated is not None:
+            ok = ok.unionByName(revalidated.select(*parse_cols))
+        if cache_hits is not None:
+            ok = ok.unionByName(
+                cache_hits.select(
+                    "url", "url_hash", "host", "priority", "seq",
+                    F.col("cached_content_hash").alias("content_hash"),
+                    F.col("cached_spans").alias("spans"),
+                    F.col("cached_links").alias("links"),
+                )
+            )
         w_content = W.partitionBy("content_hash").orderBy("seq")
         wave_docs = ok.withColumn("_rn", F.row_number().over(w_content)).filter(
             F.col("_rn") == 1
@@ -379,9 +451,9 @@ class Crawler:
         )
 
         _mark("content_dedup")
-        # 6. link expansion
+        # 6. link expansion (ok includes replayed cache hits / 304s)
         links = (
-            fetched.select(
+            ok.select(
                 F.col("priority").alias("parent_priority"),
                 F.col("seq").alias("parent_seq"),
                 F.posexplode("links").alias("link_idx", "raw_url"),
@@ -465,6 +537,7 @@ class Crawler:
         }
         if cfg.cache_ttl_iters is not None:
             totals["cache_hits"] = n_cache_hits
+            totals["revalidated"] = n_revalidated
         chain = self._chain(prev_chain, totals)
         new_max_seq = max_seq + n_new
         fetched.unpersist()
@@ -473,6 +546,8 @@ class Crawler:
         ranked.unpersist()
         if cache_hits is not None:
             cache_hits.unpersist()
+        if revalidated is not None:
+            revalidated.unpersist()
         self.state.commit(it, chain, extra={"max_seq": new_max_seq, "totals": totals})
         _mark("metrics+commit")
 
@@ -506,6 +581,13 @@ class Crawler:
         expired = seen.filter(F.col("iter") < older_than_iter)
         n_keep, n_expired = keep.count(), expired.count()
 
+        # Stage 1 — write the rebuilt filter and the compacted seen base to
+        # FRESH generation directories. Nothing committed yet touches the
+        # snapshots read_all / read_latest are sourcing, so a crash anywhere
+        # in this stage leaves the previous state fully valid (the old
+        # in-place overwrite could delete the only filter snapshot and the
+        # very base dir `keep` was being read from).
+        bloom_gen = self.state.fresh_gen("bloom", "iter", upto)
         if self.cfg.seen_filter == "cuckoo" and n_expired > 0:
             blooms = self._load_bloom(upto)
             bc = self.spark.sparkContext.broadcast(blooms)
@@ -530,27 +612,43 @@ class Crawler:
                 ).groupBy("shard").applyInPandas(drop, "shard int, bits binary").collect()
             }
             merged = {**blooms, **delta}
-            self.state.write(
-                "bloom", upto,
-                self.spark.createDataFrame(
-                    [(sh, bytearray(b)) for sh, b in sorted(merged.items())],
-                    "shard int, bits binary",
-                ),
+            self.spark.createDataFrame(
+                [(sh, bytearray(b)) for sh, b in sorted(merged.items())],
+                "shard int, bits binary",
+            ).write.mode("overwrite").parquet(
+                self.state._iter_dir("bloom", upto, bloom_gen)
             )
         else:
-            # blooms can't delete: rebuild from the surviving rows
-            self._write_filter(upto, keep.select("url_hash"), previous=None)
-
-        # compact the exact seen table to the survivors (manifest commit)
+            # blooms can't delete: rebuild from the surviving rows into the
+            # staged generation dir (same build as _write_filter, staged)
+            rebuilt = self._build_filter_shards(keep.select("url_hash"), previous=None)
+            self.spark.createDataFrame(
+                [(s, bytearray(b)) for s, b in sorted(rebuilt.items())],
+                "shard int, bits binary",
+            ).write.mode("overwrite").parquet(
+                self.state._iter_dir("bloom", upto, bloom_gen)
+            )
+        seen_gen = self.state.fresh_gen("seen", "base", upto)
         keep.coalesce(self.cfg.write_partitions).write.mode("overwrite").parquet(
-            self.state._base_dir("seen", upto)
+            self.state._base_dir("seen", upto, seen_gen)
         )
+
+        # Stage 2 — the manifest rename is the single visibility switch.
         m.setdefault("compacted", {})["seen"] = upto
+        gens = m.setdefault("gens", {})
+        gens[f"bloom:iter:{upto}"] = bloom_gen
+        gens[f"seen:base:{upto}"] = seen_gen
         self.state._write_manifest(m)
+
+        # Stage 3 — only now delete superseded directories.
         import shutil
 
         for i in range(upto + 1):
             shutil.rmtree(self.state._iter_dir("seen", i), ignore_errors=True)
+        for g in range(bloom_gen):
+            shutil.rmtree(self.state._iter_dir("bloom", upto, g), ignore_errors=True)
+        for g in range(seen_gen):
+            shutil.rmtree(self.state._base_dir("seen", upto, g), ignore_errors=True)
         keep.unpersist()
         return {"kept": n_keep, "expired": n_expired}
 

@@ -1,0 +1,178 @@
+"""Round-2 crawler hardening: ETag conditional revalidation, staged
+expire_seen commit safety, robots User-agent grouping, filter-config
+resume validation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from earcrawler_spark.crawler import synth
+from earcrawler_spark.crawler.fetch import (
+    retrying,
+    synthetic_etag,
+    synthetic_fetch_one,
+)
+from earcrawler_spark.crawler.robots import parse_robots_txt
+from earcrawler_spark.crawler.runner import Crawler, CrawlConfig
+
+
+def test_conditional_transport_304_vs_changed():
+    url = synth.seed_list()[0][0]
+    status, html = synthetic_fetch_one(url)
+    assert status == 200 and html
+    tag = synthetic_etag(html)
+    # matching validator -> 304 with no body
+    assert synthetic_fetch_one(url, tag) == (304, "")
+    # stale validator (content changed) -> full 200
+    status2, html2 = synthetic_fetch_one(url, "not-the-current-etag")
+    assert status2 == 200 and html2 == html
+    # retrying wrapper threads the validator through
+    fetch = retrying(synthetic_fetch_one)
+    assert fetch(url, tag)[0] == 304
+    assert fetch(url, None)[0] == 200
+
+
+def test_stale_entries_revalidate_and_slide(spark, tmp_path):
+    # ttl=0: every cached entry is stale next wave -> conditional fetch.
+    # Unchanged synthetic pages answer 304; merge_cache must refresh
+    # fetched_iter (sliding revalidation) and the visit log records 304s.
+    cfg = CrawlConfig(max_iters=3, n_partitions=4, cache_ttl_iters=0)
+    c = Crawler(spark, str(tmp_path / "s"), cfg)
+    c.init_seeds(synth.seed_list())
+    c.run()
+    m = c.state.manifest()
+    upto = m["completed_iter"]
+    assert upto >= 2
+    # some pages revisited? seen-set prevents URL revisits; bootstrap a
+    # second run against the same cache to force revisits of the seeds
+    cache = c.state.read_latest("fetch_cache", upto)
+    assert "spans" in cache.columns and "links" in cache.columns
+    b = Crawler(spark, str(tmp_path / "s2"), cfg, cache_bootstrap=cache)
+    b.init_seeds(synth.seed_list())
+    b.run(max_iters=1)
+    visits = b.state.read_all("visits", 1)
+    n304 = visits.filter(F.col("status") == 304).count()
+    assert n304 > 0, "stale seeds should revalidate via etag -> 304"
+    # revalidated entries slide: fetched_iter refreshed to wave 1
+    cache_b = b.state.read_latest("fetch_cache", 1)
+    revalidated = cache_b.join(
+        visits.filter(F.col("status") == 304).select("url_hash"), "url_hash"
+    )
+    assert revalidated.filter(F.col("fetched_iter") == 1).count() == revalidated.count()
+    # replayed parses keep contributing link expansion: wave 1 discovered
+    # new urls even though all fetches were 304s
+    totals = b.state.manifest()["totals"]
+    assert totals["revalidated"] == n304
+    assert totals["new_urls"] > 0
+
+
+def test_expire_seen_staged_commit_leaves_no_window(spark, tmp_path):
+    cfg = CrawlConfig(max_iters=2, n_partitions=4)
+    c = Crawler(spark, str(tmp_path / "e"), cfg)
+    c.init_seeds(synth.seed_list())
+    c.run()
+    m0 = c.state.manifest()
+    upto = m0["completed_iter"]
+    seen_before = {r["url_hash"] for r in c.seen_set().collect()}
+    stats = c.expire_seen(older_than_iter=1)
+    m1 = c.state.manifest()
+    # staged dirs are fresh generations recorded in the manifest
+    gens = m1.get("gens", {})
+    assert f"seen:base:{upto}" in gens and f"bloom:iter:{upto}" in gens
+    base = c.state._base_dir("seen", upto, gens[f"seen:base:{upto}"])
+    bloom = c.state._iter_dir("bloom", upto, gens[f"bloom:iter:{upto}"])
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))
+    assert os.path.exists(os.path.join(bloom, "_SUCCESS"))
+    # survivors = rows first seen at iter >= 1
+    kept = {r["url_hash"] for r in c.seen_set().collect()}
+    assert len(kept) == stats["kept"] and kept <= seen_before
+    # a second expiry bumps generations again without touching the
+    # committed snapshot until its own manifest flip
+    c.expire_seen(older_than_iter=2)
+    gens2 = c.state.manifest()["gens"]
+    assert gens2[f"seen:base:{upto}"] > gens[f"seen:base:{upto}"]
+    # filter still loads (no lost snapshot) and matches the seen table
+    blooms = c._load_bloom(upto)
+    assert blooms, "filter snapshot must survive staged rewrites"
+
+
+def test_expire_seen_crash_before_manifest_is_invisible(spark, tmp_path):
+    cfg = CrawlConfig(max_iters=2, n_partitions=4)
+    c = Crawler(spark, str(tmp_path / "crash"), cfg)
+    c.init_seeds(synth.seed_list())
+    c.run()
+    upto = c.state.manifest()["completed_iter"]
+    seen_before = sorted(r["url_hash"] for r in c.seen_set().collect())
+    manifest_before = c.state.manifest()
+    # simulate the crash: stage the new snapshots (gen dirs) but never
+    # write the manifest — exactly what a kill between stage 1 and 2 does
+    keep = c.seen_set().filter(F.col("iter") >= 1)
+    keep.write.mode("overwrite").parquet(
+        c.state._base_dir("seen", upto, c.state.fresh_gen("seen", "base", upto))
+    )
+    # state must be unchanged: reads resolve via the committed manifest
+    assert c.state.manifest() == manifest_before
+    assert sorted(r["url_hash"] for r in c.seen_set().collect()) == seen_before
+    assert c._load_bloom(upto), "committed filter snapshot untouched"
+
+
+ROBOTS_GROUPED = """
+User-agent: BadBot
+Disallow: /
+Crawl-delay: 30
+
+User-agent: *
+Disallow: /private
+Crawl-delay: 2
+"""
+
+ROBOTS_SPECIFIC = """
+User-agent: *
+Disallow: /everything
+
+User-agent: earcrawler
+Disallow: /only-this
+Crawl-delay: 0.5
+"""
+
+ROBOTS_STACKED = """
+User-agent: a
+User-agent: *
+Disallow: /shared
+"""
+
+
+def test_robots_user_agent_grouping():
+    dis, delay = parse_robots_txt(ROBOTS_GROUPED, default_delay=1.0)
+    assert dis == ["/private"], "BadBot's Disallow:/ must not apply to us"
+    assert delay == 2.0, "BadBot's crawl-delay must not win"
+    dis, delay = parse_robots_txt(ROBOTS_SPECIFIC, user_agent="earcrawler")
+    assert dis == ["/only-this"] and delay == 0.5
+    dis, delay = parse_robots_txt(ROBOTS_SPECIFIC)  # default agent '*'
+    assert dis == ["/everything"]
+    dis, _ = parse_robots_txt(ROBOTS_STACKED)
+    assert dis == ["/shared"], "stacked User-agent lines share one group"
+    dis, delay = parse_robots_txt("", default_delay=1.5)
+    assert dis == [] and delay == 1.5
+
+
+def test_filter_config_persisted_and_validated(spark, tmp_path):
+    state = str(tmp_path / "fc")
+    c = Crawler(spark, state, CrawlConfig(max_iters=1, n_partitions=4, n_shards=16))
+    c.init_seeds(synth.seed_list())
+    assert c.state.manifest()["filter_config"]["n_shards"] == 16
+    # same config re-attaches fine
+    Crawler(spark, state, CrawlConfig(max_iters=1, n_partitions=4, n_shards=16))
+    # different shard count / filter family refuses to attach
+    import pytest
+
+    with pytest.raises(ValueError, match="filter parameters"):
+        Crawler(spark, state, CrawlConfig(max_iters=1, n_partitions=4, n_shards=8))
+    with pytest.raises(ValueError, match="filter parameters"):
+        Crawler(
+            spark, state,
+            CrawlConfig(max_iters=1, n_partitions=4, n_shards=16, seen_filter="cuckoo"),
+        )
