@@ -296,6 +296,106 @@ def cosine_topk(
     )
 
 
+def normalize_vec(v: Column) -> Column:
+    n = F.sqrt(dot(v, v))
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd) for IVF coarse quantizers —
+    (centroid_id, cv array<double>).
+
+    Init = the k smallest ids (seedless, reproducible; a TakeOrdered of
+    k rows — at real scale you'd swap in a k-means|| sample, the Lloyd
+    loop below is unchanged). Each round: broadcast the k centroids,
+    argmax-cosine assignment (struct-min, no window), then the
+    per-dimension mean via posexplode -> groupBy(centroid, dim)
+    partial-avg -> array rebuild — the shuffle carries (cid, dim,
+    partial sums) only, never whole vectors to a single node. Centroids
+    are localCheckpointed per round (k rows) so the lineage stays flat.
+    Empty clusters keep their previous centroid.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        normalize_vec(F.col(vec_col).cast("array<double>")).alias("v"),
+    )
+    cents = (
+        e.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("centroid_id"), F.col("v").alias("cv"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        best = (
+            e.crossJoin(F.broadcast(cents))
+            .select(
+                "vid", "v",
+                F.struct(
+                    (-cosine(F.col("v"), F.col("cv"))).alias("negsim"),
+                    F.col("centroid_id").alias("cid"),
+                ).alias("cand"),
+            )
+            .groupBy("vid")
+            .agg(F.min("cand").alias("best"), F.first("v").alias("v"))
+            .select("vid", F.col("best.cid").alias("centroid_id"), "v")
+        )
+        dims = best.select(
+            "centroid_id", F.posexplode("v").alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv_raw")
+            )
+            .select("centroid_id", normalize_vec(F.col("cv_raw")).alias("cv"))
+        )
+        cents = (
+            cents.select("centroid_id", F.col("cv").alias("cv_prev"))
+            .join(means, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("cv", "cv_prev").alias("cv"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, centroid_id, sim): each vector to its nearest trained
+    centroid — broadcast centroids + struct-min argmax, no window."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            F.struct(
+                (-F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("negsim"),
+                F.col("centroid_id").alias("cid"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cid").alias("centroid_id"),
+            (-F.col("best.negsim")).alias("sim"),
+        )
+    )
+
+
 def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 16) -> DataFrame:
     """Random-hyperplane LSH bucket per vector (cosine ANN scale path).
 

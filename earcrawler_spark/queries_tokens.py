@@ -90,34 +90,23 @@ ORDER BY doc_id
 """
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer = deterministic centroid subset
-    (every 50th vector — at scale: k-means centroids), each vector
-    assigned to its nearest centroid's inverted list; search probes only
-    the query's nearest lists. Here: list sizes + assignment quality.
-    Rows-only check; recall vs brute force is pytest-verified."""
-    from earcrawler_spark.operators.similarity import cosine
+IVF_K = 10
+IVF_ITERS = 4
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "centroid_id",
-            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-    )
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with TRAINED coarse quantizer: deterministic
+    spherical k-means (seedless init, 4 Lloyd rounds, all DataFrame ops)
+    replaces the earlier every-50th-vector subset; each vector goes to
+    its nearest centroid's inverted list; search probes only the query's
+    nearest lists. Emits list sizes + assignment quality. Rows-only
+    check; recall vs brute force (trained >= untrained) is
+    pytest-verified."""
+    from earcrawler_spark.operators.similarity import ivf_assign, kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(emb, k=IVF_K, iters=IVF_ITERS)
+    assigned = ivf_assign(emb, centroids)
     return (
         assigned.groupBy("centroid_id")
         .agg(

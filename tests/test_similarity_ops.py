@@ -102,46 +102,59 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
-def test_ivf_recall_vs_bruteforce(spark, sf_small):
-    """IVF with n_probe=3 of 10 lists must recover most of the brute-force
-    top-10 neighbors (the scale-path accuracy/contract check)."""
-    from earcrawler_spark.operators.similarity import cosine
+def _ivf_recall(spark, sf_small, cents, n_probe=3, k=10):
+    from earcrawler_spark.operators.similarity import cosine, ivf_assign
 
-    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb_raw = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    assigned = ivf_assign(emb_raw, cents)
+    q = emb_raw.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
-    # assignment of all vectors to nearest centroid
-    from pyspark.sql import Window as W
-
-    sims = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", cosine(F.col("v"), F.col("cv")).alias("sim")
-    )
-    assigned = (
-        sims.withColumn(
-            "rn", F.row_number().over(W.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id"))
-        ).filter(F.col("rn") == 1).select("vec_id", "centroid_id")
-    )
-    # query vec 0: probe its 3 nearest lists
     probes = [
         r["centroid_id"]
-        for r in sims.filter(F.col("vec_id") == 0)
-        .orderBy(F.desc("sim")).limit(3).collect()
+        for r in cents.crossJoin(q)
+        .select("centroid_id", cosine(F.col("v"), F.col("cv")).alias("sim"))
+        .orderBy(F.desc("sim"), "centroid_id")
+        .limit(n_probe)
+        .collect()
     ]
     candidate_ids = {
         r["vec_id"]
         for r in assigned.filter(F.col("centroid_id").isin(probes)).collect()
     }
-    exact = top_brute = [
-        r["neighbor_id"]
-        for r in cosine_topk(
-            spark.read.parquet(f"{sf_small}/embeddings.parquet"), [0], k=10
-        ).collect()
+    exact = [
+        r["neighbor_id"] for r in cosine_topk(emb_raw, [0], k=k).collect()
     ]
-    recall = sum(1 for n in exact if n in candidate_ids) / len(exact)
-    assert recall >= 0.3, f"IVF(3/10 lists) recall {recall}"  # random-ish
+    return sum(1 for n in exact if n in candidate_ids) / len(exact), assigned, exact
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_small):
+    """Trained (k-means) IVF with n_probe=3 of 10 lists must recover a
+    solid share of the brute-force top-10, and must not be worse than
+    the untrained every-50th-vector quantizer it replaced."""
+    from earcrawler_spark.operators.similarity import kmeans_train
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    trained = kmeans_train(
+        spark.read.parquet(f"{sf_small}/embeddings.parquet"), k=10, iters=4
+    )
+    assert trained.count() == 10
+    untrained = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    r_trained, assigned, top_brute = _ivf_recall(spark, sf_small, trained)
+    r_untrained, _, _ = _ivf_recall(spark, sf_small, untrained)
+    assert r_trained >= 0.3, f"trained IVF(3/10) recall {r_trained}"
+    assert r_trained >= r_untrained - 0.1, (r_trained, r_untrained)
     # structural guarantee: probing ALL lists is exhaustive
     all_ids = {r["vec_id"] for r in assigned.collect()}
     assert set(top_brute) <= all_ids
+    # training is deterministic: same input -> identical centroids
+    trained2 = kmeans_train(
+        spark.read.parquet(f"{sf_small}/embeddings.parquet"), k=10, iters=4
+    )
+    a = sorted((r["centroid_id"], tuple(round(x, 9) for x in r["cv"])) for r in trained.collect())
+    b = sorted((r["centroid_id"], tuple(round(x, 9) for x in r["cv"])) for r in trained2.collect())
+    assert a == b
