@@ -127,6 +127,89 @@ def _cached_shard(raw: bytes, kind: str = "bloom", n_hashes: int = 7):
     return b
 
 
+def probe_maybe_seen_join(candidates, bloom_df, n_shards: int, kind: str = "bloom"):
+    """Shard-local maybe-seen probe WITHOUT a whole-filter broadcast:
+    candidates shuffle to their shard, each task cogroups with exactly
+    its shard's (shard, bits) row and probes locally. This is the scale
+    path the module docstring's sharding design implies — at 10^10 URLs
+    the filter is ~12 GB total, far past broadcast range, but any one
+    shard is a few MB. Cost is one shuffle of (url_hash + carry columns)
+    keyed by shard; the broadcast path stays the default at small filter
+    sizes. → candidates + `_maybe` boolean."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cand = candidates.withColumn(
+        "_shard",
+        (F.conv(F.substring("url_hash", 1, 8), 16, 10).cast("long") % n_shards).cast("int"),
+    )
+    out_schema = T.StructType(
+        list(cand.schema.fields) + [T.StructField("_maybe", T.BooleanType())]
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return left.assign(_maybe=pd.Series([], dtype=bool))
+        if len(right) == 0:
+            return left.assign(_maybe=False)
+        shard = _cached_shard(bytes(right["bits"].iloc[0]), kind)
+        return left.assign(_maybe=shard.contains_many(left["url_hash"].tolist()))
+
+    probed = (
+        cand.groupBy("_shard")
+        .cogroup(bloom_df.withColumnRenamed("shard", "_shard").groupBy("_shard"))
+        .applyInPandas(probe, out_schema)
+    )
+    return probed.drop("_shard")
+
+
+def extend_filter_join(
+    hashes_df,
+    bloom_df,
+    n_shards: int,
+    kind: str = "bloom",
+    n_bits: int = 1 << 20,
+    cuckoo_capacity: int = 1 << 17,
+):
+    """Shard-local filter extension WITHOUT broadcasting the previous
+    shards: new hashes cogroup with their shard's bits; untouched shards
+    (right-only groups) pass through unchanged. → new (shard, bits)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    hashed = hashes_df.select(
+        "url_hash",
+        (F.conv(F.substring("url_hash", 1, 8), 16, 10).cast("long") % n_shards)
+        .cast("int")
+        .alias("_shard"),
+    )
+
+    def extend(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return right.rename(columns={"_shard": "shard"})[["shard", "bits"]]
+        shard_id = int(left["_shard"].iloc[0])
+        raw = bytes(right["bits"].iloc[0]) if len(right) else None
+        if kind == "cuckoo":
+            from earcrawler_spark.crawler.cuckoo import CuckooShard
+
+            f = (
+                CuckooShard.sized_for(cuckoo_capacity)
+                if raw is None
+                else CuckooShard.from_bytes(raw)
+            )
+        else:
+            f = BloomShard(n_bits, 7) if raw is None else BloomShard.from_bytes(raw)
+        f.add_many(left["url_hash"].tolist())
+        return pd.DataFrame({"shard": [shard_id], "bits": [f.to_bytes()]})
+
+    return (
+        hashed.groupBy("_shard")
+        .cogroup(bloom_df.withColumnRenamed("shard", "_shard").groupBy("_shard"))
+        .applyInPandas(extend, "shard int, bits binary")
+    )
+
+
 def probe_hashes(
     hashes: "list[str]", table: dict[int, bytes], n_shards: int, kind: str = "bloom"
 ) -> np.ndarray:

@@ -48,7 +48,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from earcrawler_spark.crawler import synth
-from earcrawler_spark.crawler.bloom import BloomShard, probe_hashes
+from earcrawler_spark.crawler.bloom import (
+    BloomShard,
+    extend_filter_join,
+    probe_hashes,
+    probe_maybe_seen_join,
+)
 from earcrawler_spark.crawler.cache import merge_cache, split_by_cache
 from earcrawler_spark.crawler.canonicalize import (
     canonical_url,
@@ -92,6 +97,11 @@ class CrawlConfig:
     # renames per wave, which dominates wall time. On a cluster with a real
     # object store you'd raise this to the write parallelism you want.
     write_partitions: int = 8
+    # seen-filter probe path: 'broadcast' ships all shards to every
+    # executor (fastest while the filter is MBs); 'join' cogroups
+    # candidates with their shard's bits — shard-local, no whole-filter
+    # broadcast, the 10^10-URL scale path. Outputs are identical.
+    probe_mode: str = "broadcast"
 
 
 class Crawler:
@@ -474,18 +484,31 @@ class Crawler:
         )
 
         _mark("link_expand_plan")
-        # bloom pre-filter: only maybe-seen rows pay the anti-join
-        blooms = self._load_bloom(it - 1)
-        bloom_bc = spark.sparkContext.broadcast(blooms)
-        n_shards = cfg.n_shards
-        filter_kind = cfg.seen_filter
+        # bloom pre-filter: only maybe-seen rows pay the anti-join.
+        # probe_mode 'broadcast' ships the whole shard dict to every
+        # executor (right while the filter is MBs); 'join' keeps shards
+        # shard-local via a cogroup — the 10^10-URL path where the filter
+        # is far past broadcast range (bloom.py:12-15 sharding design).
+        blooms = None
+        if cfg.probe_mode == "join":
+            bloom_df = self.state.read_latest("bloom", it - 1)
+            if bloom_df is None:
+                bloom_df = spark.createDataFrame([], "shard int, bits binary")
+            candidates = probe_maybe_seen_join(
+                candidates, bloom_df, cfg.n_shards, cfg.seen_filter
+            ).cache()
+        else:
+            blooms = self._load_bloom(it - 1)
+            bloom_bc = spark.sparkContext.broadcast(blooms)
+            n_shards = cfg.n_shards
+            filter_kind = cfg.seen_filter
 
-        @F.pandas_udf("boolean")
-        def maybe_seen(hashes: pd.Series) -> pd.Series:
-            res = probe_hashes(hashes.tolist(), bloom_bc.value, n_shards, filter_kind)
-            return pd.Series(res, index=hashes.index)
+            @F.pandas_udf("boolean")
+            def maybe_seen(hashes: pd.Series) -> pd.Series:
+                res = probe_hashes(hashes.tolist(), bloom_bc.value, n_shards, filter_kind)
+                return pd.Series(res, index=hashes.index)
 
-        candidates = candidates.withColumn("_maybe", maybe_seen("url_hash")).cache()
+            candidates = candidates.withColumn("_maybe", maybe_seen("url_hash")).cache()
         definitely_new = candidates.filter(~F.col("_maybe")).drop("_maybe")
         seen = self.state.read_all("seen", it - 1)
         checked_new = (
@@ -509,7 +532,17 @@ class Crawler:
             new_urls.select("url_hash", "url", F.lit(it).alias("iter")),
             n_files=cfg.write_partitions,
         )
-        self._write_filter(it, new_urls.select("url_hash"), previous=blooms)
+        if cfg.probe_mode == "join":
+            self.state.write(
+                "bloom", it,
+                extend_filter_join(
+                    new_urls.select("url_hash"), bloom_df, cfg.n_shards,
+                    cfg.seen_filter, cfg.bloom_bits_per_shard,
+                    cfg.cuckoo_capacity_per_shard,
+                ),
+            )
+        else:
+            self._write_filter(it, new_urls.select("url_hash"), previous=blooms)
         frontier_next = remainder.select(
             "url", "url_hash", "host", "priority", "seq"
         ).unionByName(new_urls)

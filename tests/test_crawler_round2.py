@@ -159,6 +159,31 @@ def test_robots_user_agent_grouping():
     assert dis == [] and delay == 1.5
 
 
+def test_probe_mode_join_matches_broadcast(spark, tmp_path):
+    """The shard-local cogroup probe/extend path must be output-identical
+    to the whole-filter broadcast path: same chain hash, same seen set,
+    same filter semantics (probes agree)."""
+    runs = {}
+    for mode in ("broadcast", "join"):
+        c = Crawler(
+            spark, str(tmp_path / mode),
+            CrawlConfig(max_iters=2, n_partitions=4, probe_mode=mode),
+        )
+        c.init_seeds(synth.seed_list())
+        c.run()
+        m = c.state.manifest()
+        runs[mode] = (
+            m["chain_hash"],
+            sorted(r["url_hash"] for r in c.seen_set().collect()),
+            {r["shard"]: bytes(r["bits"])
+             for r in c.state.read_latest("bloom", m["completed_iter"]).collect()},
+        )
+    assert runs["join"][0] == runs["broadcast"][0], "chain hash diverged"
+    assert runs["join"][1] == runs["broadcast"][1]
+    # bloom bit-OR is order-independent -> identical shard bytes too
+    assert runs["join"][2] == runs["broadcast"][2]
+
+
 def test_filter_config_persisted_and_validated(spark, tmp_path):
     state = str(tmp_path / "fc")
     c = Crawler(spark, state, CrawlConfig(max_iters=1, n_partitions=4, n_shards=16))
