@@ -565,14 +565,170 @@ ORDER BY s.record_id
 """
 
 
+# --- P13 fidelity: IRI minting + legacy canonicalization --------------------
+
+def q_iri_minting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 IRI fidelity (kg/iri.py:21-122): canonical section ids ('15
+    CFR ddd' forms), sha256-prefix paragraph tokens, percent-encoded
+    entity IRIs, and the idempotent legacy-namespace rewrite — each
+    branch exercised over inputs derived from documents."""
+    from earcrawler_spark.functions import iri as I
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s3 = (700 + d % 300).cast("string")
+    section_in = (
+        F.when(d % 4 == 0, F.concat(F.lit("15 CFR "), s3, F.lit("."), (d % 20).cast("string")))
+        .when(d % 4 == 1, s3)
+        .when(d % 4 == 2, F.concat(F.lit("EAR-"), s3, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("Part "), s3))
+    )
+    para_in = F.when(d % 2 == 0, F.sha2("text", 256)).otherwise(
+        F.concat(F.lit("tok "), d.cast("string"))
+    )
+    entity_in = F.concat(F.lit("Acme Corp #"), (d % 50).cast("string"))
+    legacy_in = (
+        F.when(d % 8 == 0, F.lit(I.LEGACY_EAR + "reg"))
+        .when(d % 8 == 1, F.concat(F.lit(I.LEGACY_EAR + "p_"), F.sha2("text", 256)))
+        .when(d % 8 == 2, F.concat(F.lit(I.LEGACY_EAR + "s_"), s3, F.lit("_2")))
+        .when(d % 8 == 3, F.concat(F.lit(I.LEGACY_EAR + "entity/Acme "), s3))
+        .when(d % 8 == 4, F.concat(F.lit(I.LEGACY_EAR + "policy/x/"), s3))
+        .when(d % 8 == 5, F.lit(I.LEGACY_EAR + "SomeClass"))
+        .when(d % 8 == 6, F.lit(I.LEGACY_ENT + "Entity"))
+        .otherwise(F.concat(F.lit(I.LEGACY_ENT + "E"), s3))
+    )
+    out = (
+        docs.select(d.alias("doc_id"), F.lit("section").alias("kind"),
+                    I.section_iri(section_in).alias("iri"))
+        .unionByName(docs.select(d.alias("doc_id"), F.lit("paragraph").alias("kind"),
+                                 I.paragraph_iri(para_in).alias("iri")))
+        .unionByName(docs.select(d.alias("doc_id"), F.lit("entity").alias("kind"),
+                                 I.entity_iri(entity_in).alias("iri")))
+        .unionByName(docs.select(d.alias("doc_id"), F.lit("legacy").alias("kind"),
+                                 I.canonicalize_iri(legacy_in).alias("iri")))
+    )
+    # idempotence is part of the contract: canonicalizing the output again
+    # must be a no-op — emit it canonicalized twice.
+    return out.select(
+        "doc_id", "kind", I.canonicalize_iri(F.col("iri")).alias("iri")
+    ).orderBy("doc_id", "kind")
+
+
+def _iri_sql() -> str:
+    from earcrawler_spark.functions import iri as I
+
+    def q(x):
+        return (
+            "array_to_string(list_transform(list_filter(string_split("
+            f"{x}, ''), c -> c <> ''), c -> CASE WHEN regexp_matches(c, "
+            "'^[A-Za-z0-9._~-]$') THEN c ELSE '%' || printf('%02X', ascii(c)) "
+            "END), '')"
+        )
+
+    def canon_section(x):
+        return f"""CASE
+          WHEN trim({x}) = '' THEN NULL
+          WHEN upper(trim({x})) LIKE 'EAR-%' THEN trim(string_split(trim({x}), '#')[1])
+          WHEN regexp_matches(trim({x}), '(?i)^(?:15\\s*CFR\\s*)?([0-9]{{3}}(?:\\.\\S+)?)$')
+            THEN 'EAR-' || regexp_extract(trim({x}), '(?i)^(?:15\\s*CFR\\s*)?([0-9]{{3}}(?:\\.\\S+)?)$', 1)
+          ELSE trim({x}) END"""
+
+    def para(x):
+        return (
+            f"'{I.RESOURCE_NS}ear/paragraph/' || CASE WHEN regexp_matches(trim({x}), "
+            f"'^[0-9a-fA-F]{{64}}$') THEN lower(substr(trim({x}), 1, 16)) "
+            f"ELSE {q(f'trim({x})')} END"
+        )
+
+    def entity(x):
+        inner = "replace(trim(" + x + "), ' ', '_')"
+        return f"'{I.ENTITY_NS}' || {q(inner)}"
+
+    def section(x):
+        inner = f"coalesce({canon_section(x)}, trim({x}))"
+        return f"'{I.RESOURCE_NS}ear/section/' || {q(inner)}"
+
+    def res_path(x):
+        return (
+            f"'{I.RESOURCE_NS}' || array_to_string(list_transform(list_filter("
+            f"list_transform(string_split({x}, '/'), s -> trim(s)), s -> s <> ''), "
+            f"s -> {q('s')}), '/')"
+        )
+
+    ear_len = len(I.LEGACY_EAR)
+    ent_len = len(I.LEGACY_ENT)
+    canon_legacy = f"""CASE
+      WHEN li LIKE '{I.LEGACY_EAR}%' THEN (
+        CASE
+          WHEN substr(li, {ear_len + 1}) = 'reg' THEN '{I.RESOURCE_NS}ear/reg'
+          WHEN substr(li, {ear_len + 1}) LIKE 'p\\_%' ESCAPE '\\'
+            THEN {para(f"substr(li, {ear_len + 3})")}
+          WHEN substr(li, {ear_len + 1}) LIKE 's\\_%' ESCAPE '\\'
+            THEN {section(f"replace(substr(li, {ear_len + 3}), '_', '.')")}
+          WHEN substr(li, {ear_len + 1}) LIKE 'entity/%'
+            THEN {entity(f"substr(li, {ear_len + 8})")}
+          WHEN substr(li, {ear_len + 1}) LIKE '%/%'
+            THEN {res_path(f"'ear/' || substr(li, {ear_len + 1})")}
+          ELSE '{I.SCHEMA_NS}' || substr(li, {ear_len + 1})
+        END)
+      WHEN li LIKE '{I.LEGACY_ENT}%' THEN (
+        CASE WHEN substr(li, {ent_len + 1}) = 'Entity'
+                  OR substr(li, {ent_len + 1}) LIKE '%Shape'
+             THEN '{I.SCHEMA_NS}' || substr(li, {ent_len + 1})
+             ELSE {entity(f"substr(li, {ent_len + 1})")} END)
+      ELSE li END"""
+
+    section_input = (
+        "CASE WHEN doc_id % 4 = 0 THEN '15 CFR ' || s3 || '.' || CAST(doc_id % 20 AS VARCHAR) "
+        "WHEN doc_id % 4 = 1 THEN s3 "
+        "WHEN doc_id % 4 = 2 THEN 'EAR-' || s3 || '#frag' "
+        "ELSE 'Part ' || s3 END"
+    )
+    para_input = (
+        "CASE WHEN doc_id % 2 = 0 THEN sha256(text) "
+        "ELSE 'tok ' || CAST(doc_id AS VARCHAR) END"
+    )
+    entity_input = "'Acme Corp #' || CAST(doc_id % 50 AS VARCHAR)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, CAST(700 + doc_id % 300 AS VARCHAR) AS s3 FROM documents
+), rows_ AS (
+  SELECT doc_id, 'section' AS kind,
+    {section(section_input)} AS iri
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'paragraph',
+    {para(para_input)}
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'entity', {entity(entity_input)} FROM d
+  UNION ALL
+  SELECT doc_id, 'legacy', (
+    SELECT {canon_legacy} FROM (SELECT CASE
+      WHEN doc_id % 8 = 0 THEN '{I.LEGACY_EAR}reg'
+      WHEN doc_id % 8 = 1 THEN '{I.LEGACY_EAR}p_' || sha256(text)
+      WHEN doc_id % 8 = 2 THEN '{I.LEGACY_EAR}s_' || s3 || '_2'
+      WHEN doc_id % 8 = 3 THEN '{I.LEGACY_EAR}entity/Acme ' || s3
+      WHEN doc_id % 8 = 4 THEN '{I.LEGACY_EAR}policy/x/' || s3
+      WHEN doc_id % 8 = 5 THEN '{I.LEGACY_EAR}SomeClass'
+      WHEN doc_id % 8 = 6 THEN '{I.LEGACY_ENT}Entity'
+      ELSE '{I.LEGACY_ENT}E' || s3 END AS li) t)
+  FROM d
+)
+SELECT doc_id, kind, iri FROM rows_ ORDER BY doc_id, kind
+"""
+
+
 FIDELITY_QUERIES = {
     "chunking_sections": q_chunking_sections,
     "reconcile_v2": q_reconcile_v2,
     "record_merge_full": q_record_merge_full,
+    "iri_minting": q_iri_minting,
 }
 
 FIDELITY_ORACLES = {
     "chunking_sections": _SQL_CHUNKING_SECTIONS,
     "reconcile_v2": _reconcile_v2_sql(),
     "record_merge_full": _SQL_RECORD_MERGE_FULL,
+    "iri_minting": _iri_sql(),
 }
