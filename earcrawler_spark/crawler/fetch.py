@@ -107,16 +107,56 @@ def retrying(transport, max_attempts: int = 3, backoff_base: float = 0.0):
     return fetch
 
 
+def www_alternate(url: str) -> str:
+    """The reference's alternate-host rewrite (_build_alt_url,
+    federalregister_client.py:152-163): same scheme/path against the
+    www. host; already-www URLs are returned unchanged."""
+    if "://" not in url:
+        return url
+    scheme, rest = url.split("://", 1)
+    host, slash, path = rest.partition("/")
+    if host.startswith("www.") or not host:
+        return url
+    return f"{scheme}://www.{host}{slash}{path}"
+
+
+def host_fallback(fetch, is_invalid, build_alt=www_alternate):
+    """S10 host-fallback (federalregister_client.py:213-241): when a
+    response is invalid content (anti-bot HTML where JSON was expected),
+    retry ONCE against the www. variant — outside the retry wrapper, so
+    the alternate gets exactly one shot. The alternate's response is
+    returned whether or not it is valid (the reference re-raises on a
+    second failure; here the invalid page simply parses to its own
+    spans, and the caller's quality gates drop it)."""
+
+    def wrapped(url: str, etag: str | None = None):
+        status, html, attempts = fetch(url, etag)
+        if is_invalid(status, html):
+            alt = build_alt(url)
+            if alt != url:
+                status2, html2, attempts2 = fetch(alt, etag)
+                return status2, html2, attempts + attempts2
+        return status, html, attempts
+
+    return wrapped
+
+
 def fetch_and_parse(
     selected: DataFrame,
     politeness_sleep: bool = False,
     transport=synthetic_fetch_one,
     max_attempts: int = 3,
     backoff_base: float = 0.0,
+    invalid_content=None,
 ) -> DataFrame:
     """Run the fetch+parse wave. ``selected`` needs columns
-    (url, url_hash, host, priority, seq, crawl_delay)."""
+    (url, url_hash, host, priority, seq, crawl_delay).
+
+    ``invalid_content(status, html) -> bool`` enables the S10 host
+    fallback: invalid pages retry once against the www. host."""
     retry_fetch = retrying(transport, max_attempts, backoff_base)
+    if invalid_content is not None:
+        retry_fetch = host_fallback(retry_fetch, invalid_content)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

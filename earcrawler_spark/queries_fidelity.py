@@ -719,8 +719,79 @@ SELECT doc_id, kind, iri FROM rows_ ORDER BY doc_id, kind
 """
 
 
+# --- P3/P15: FR-citation + ISO-date mining (oracle-checked) ------------------
+
+def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 FR-citation extraction (core/ear_crawler.py:76-78) and P15
+    ISO-date mining (rag/temporal.py:34-44) as an oracle-gated query:
+    deterministic citation/date snippets are woven into the documents
+    and mined back out."""
+    from earcrawler_spark.functions.text import (
+        extract_fr_citations,
+        extract_iso_dates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    decorated = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" effective 199"), (d % 9).cast("string"),
+                F.lit("-0"), (d % 9 + 1).cast("string"),
+                F.lit("-1"), (d % 9).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" see "), (d % 90 + 1).cast("string"),
+                F.lit(" FR "), (d % 70000 + 1).cast("string"),
+                F.lit(" and 200"), (d % 9).cast("string"),
+                F.lit("-12-31"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit(" cf. 61 FR 12345")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(extract_fr_citations(decorated), "|").alias("fr_citations"),
+        F.array_join(F.array_sort(extract_iso_dates(decorated)), "|").alias("iso_dates"),
+        F.size(extract_fr_citations(decorated)).alias("n_citations"),
+        F.size(extract_iso_dates(decorated)).alias("n_dates"),
+    ).orderBy("doc_id")
+
+
+_SQL_TEXT_MINING = r"""
+WITH dec AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' effective 199' || CAST(doc_id % 9 AS VARCHAR)
+                 || '-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                 || '-1' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' see ' || CAST(doc_id % 90 + 1 AS VARCHAR)
+                 || ' FR ' || CAST(doc_id % 70000 + 1 AS VARCHAR)
+                 || ' and 200' || CAST(doc_id % 9 AS VARCHAR) || '-12-31'
+            ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN ' cf. 61 FR 12345' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(array_to_string(regexp_extract_all(t, '\b\d{1,3} FR \d{1,6}\b'), '|'), '') AS fr_citations,
+       coalesce(array_to_string(list_sort(list_distinct(
+           regexp_extract_all(t, '\d{4}-\d{2}-\d{2}'))), '|'), '') AS iso_dates,
+       len(regexp_extract_all(t, '\b\d{1,3} FR \d{1,6}\b')) AS n_citations,
+       len(list_distinct(regexp_extract_all(t, '\d{4}-\d{2}-\d{2}'))) AS n_dates
+FROM dec
+ORDER BY doc_id
+"""
+
+
 FIDELITY_QUERIES = {
     "chunking_sections": q_chunking_sections,
+    "text_mining": q_text_mining,
     "reconcile_v2": q_reconcile_v2,
     "record_merge_full": q_record_merge_full,
     "iri_minting": q_iri_minting,
@@ -728,6 +799,7 @@ FIDELITY_QUERIES = {
 
 FIDELITY_ORACLES = {
     "chunking_sections": _SQL_CHUNKING_SECTIONS,
+    "text_mining": _SQL_TEXT_MINING,
     "reconcile_v2": _reconcile_v2_sql(),
     "record_merge_full": _SQL_RECORD_MERGE_FULL,
     "iri_minting": _iri_sql(),

@@ -69,6 +69,37 @@ def test_stale_entries_revalidate_and_slide(spark, tmp_path):
     assert totals["new_urls"] > 0
 
 
+def test_host_fallback_rewrites_to_www_once():
+    from earcrawler_spark.crawler.fetch import host_fallback, www_alternate
+
+    assert www_alternate("https://api.fr.gov/v1/x?p=1") == "https://www.api.fr.gov/v1/x?p=1"
+    assert www_alternate("https://www.fr.gov/x") == "https://www.fr.gov/x"
+
+    calls = []
+
+    def transport(url, etag=None):
+        calls.append(url)
+        if url.startswith("https://www."):
+            return 200, "<p>real content</p>", 1
+        return 200, "ANTIBOT WALL", 1
+
+    is_invalid = lambda status, html: "ANTIBOT" in html
+    fetch = host_fallback(transport, is_invalid)
+    status, html, attempts = fetch("https://api.fr.gov/v1/docs")
+    assert (status, html) == (200, "<p>real content</p>")
+    assert attempts == 2
+    assert calls == ["https://api.fr.gov/v1/docs", "https://www.api.fr.gov/v1/docs"]
+    # already-www invalid page: no second attempt (alt == url)
+    calls.clear()
+
+    def always_bad(url, etag=None):
+        calls.append(url)
+        return 200, "ANTIBOT WALL", 1
+
+    status, html, _ = host_fallback(always_bad, is_invalid)("https://www.x.org/a")
+    assert html == "ANTIBOT WALL" and len(calls) == 1
+
+
 def test_expire_seen_staged_commit_leaves_no_window(spark, tmp_path):
     cfg = CrawlConfig(max_iters=2, n_partitions=4)
     c = Crawler(spark, str(tmp_path / "e"), cfg)
