@@ -177,3 +177,59 @@ def lang_id_en(col: Column) -> Column:
     heuristic keeps the operator SQL-expressible for the oracle gate.
     """
     return F.when(stopword_ratio(col) >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+
+
+# Per-language function-word profiles for the multi-language ID. Small and
+# fixed on purpose: the operator contract is a deterministic,
+# SQL-expressible profile argmax (the production slot for a fastText
+# pandas UDF keeps this exact signature).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "für", "von",
+           "ein", "eine", "den", "auf", "sich"),
+    "en": EN_STOPWORDS,
+    "es": ("el", "los", "las", "y", "es", "no", "para", "por", "un", "una",
+           "que", "del", "se", "su"),
+    "fr": ("le", "les", "et", "est", "pas", "pour", "dans", "un", "une",
+           "que", "qui", "des", "du", "au"),
+}
+LANG_MIN_RATIO = 0.05
+
+
+def _lang_hits(col: Column, words: tuple[str, ...]) -> Column:
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(col: Column) -> Column:
+    """Multi-language function-word profile argmax: the language whose
+    profile hits the most tokens wins (ties break de < en < es < fr, the
+    profile order); a best-ratio under LANG_MIN_RATIO yields 'und'."""
+    n = F.size(tokens(col))
+    hits = {lang: _lang_hits(col, words) for lang, words in LANG_PROFILES.items()}
+    de, en, es, fr = hits["de"], hits["en"], hits["es"], hits["fr"]
+    best_n = F.greatest(de, en, es, fr)
+    best = (
+        F.when(de == best_n, F.lit("de"))
+        .when(en == best_n, F.lit("en"))
+        .when(es == best_n, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    ratio = F.when(n > 0, best_n / n).otherwise(F.lit(0.0))
+    return F.when(ratio >= LANG_MIN_RATIO, best).otherwise(F.lit("und"))
+
+
+def lang_id_sql(expr: str) -> str:
+    """The identical profile argmax as DuckDB SQL over ``expr``."""
+    tk = f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), t -> t <> '')"
+    hit = {
+        lang: f"len(list_filter({tk}, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    best_n = f"greatest({hit['de']}, {hit['en']}, {hit['es']}, {hit['fr']})"
+    best = (
+        f"CASE WHEN {hit['de']} = {best_n} THEN 'de' "
+        f"WHEN {hit['en']} = {best_n} THEN 'en' "
+        f"WHEN {hit['es']} = {best_n} THEN 'es' ELSE 'fr' END"
+    )
+    ratio = f"CASE WHEN len({tk}) > 0 THEN {best_n} * 1.0 / len({tk}) ELSE 0.0 END"
+    return f"CASE WHEN {ratio} >= {LANG_MIN_RATIO} THEN {best} ELSE 'und' END"

@@ -585,10 +585,11 @@ ORDER BY doc_id
 
 
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID distribution: heuristic guess vs labeled lang column."""
+    """Language-ID distribution: multi-language function-word profile
+    argmax (de/en/es/fr/und) vs the labeled lang column."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select("lang", TXT.lang_id_en(F.col("text")).alias("lang_guess"))
+        docs.select("lang", TXT.lang_id(F.col("text")).alias("lang_guess"))
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "lang_guess")
@@ -597,11 +598,7 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_LANG_DIST = f"""
 WITH g AS (
-  SELECT lang,
-         CASE WHEN (CASE WHEN len({_TOKENS_SQL}) > 0
-              THEN len(list_filter({_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0
-                   / len({_TOKENS_SQL})
-              ELSE 0.0 END) >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+  SELECT lang, {TXT.lang_id_sql('text')} AS lang_guess
   FROM documents
 )
 SELECT lang, lang_guess, count(*) AS n_docs
@@ -610,17 +607,31 @@ ORDER BY lang, lang_guess
 """
 
 
+COOCCUR_VOCAB_CAP = 200
+
+
 def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 co-occurrence: top-25 token pairs co-occurring in a document
     (t1 < t2, distinct per doc).
 
     Scale: distinct (doc, term) first so the self-join fan-out is bounded
-    by per-doc vocabulary, not token count; the pair aggregation is a
-    single shuffle on (t1, t2).
+    by per-doc vocabulary, then the vocabulary itself is capped at the
+    top-200 terms per doc by tf (deterministic tie-break) — without the
+    cap a single million-token document mints O(vocab²) pairs and
+    dominates the shuffle. The pair aggregation is one shuffle on
+    (t1, t2).
     """
     docs = _t(spark, sf_dir, "documents")
-    doc_terms = docs.select(
-        "doc_id", F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("term")
+    counted = (
+        docs.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
+    doc_terms = (
+        counted.withColumn("_vr", F.row_number().over(w))
+        .filter(F.col("_vr") <= COOCCUR_VOCAB_CAP)
+        .select("doc_id", "term")
     )
     a = doc_terms.alias("a")
     b = doc_terms.alias("b")
@@ -634,8 +645,16 @@ def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_COOCCUR = f"""
-WITH dt AS (
-  SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+), dt AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS vr
+    FROM tf
+  ) WHERE vr <= {COOCCUR_VOCAB_CAP}
 )
 SELECT a.term AS t1, b.term AS t2, count(*) AS n_docs
 FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
