@@ -41,25 +41,37 @@ def core_tokens(cand_tokens: Column) -> Column:
 
 
 def _contains_sequence(text_toks: Column, pattern: Column) -> Column:
-    n, k = F.size(text_toks), F.size(pattern)
-    return (
-        (k > 0)
-        & (n >= k)
-        & F.exists(
-            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-            lambda i: F.slice(text_toks, i, k) == pattern,
-        )
-    )
+    # Token-sequence containment as separator-delimited substring search:
+    # '|' cannot occur inside [a-z0-9']+ tokens, so
+    #   pattern ⊑ tokens  ⇔  '|p1|p2|' ∈ '|t1|t2|...|'.
+    # instr over two concat'd strings is whole-stage-codegen'd; the
+    # positional slice-compare formulation evaluates interpreted per
+    # window start and dominated the corpus scan.
+    hay = F.concat(F.lit("|"), F.array_join(text_toks, "|"), F.lit("|"))
+    needle = F.concat(F.lit("|"), F.array_join(pattern, "|"), F.lit("|"))
+    return (F.size(pattern) > 0) & (F.instr(hay, needle) > 0)
 
 
 def _core_in_window(text_toks: Column, core: Column, window: int) -> Column:
+    # Equivalent to the reference's every-index window scan: a window
+    # [s, s+w) whose start is NOT a core token is dominated by the window
+    # starting at the first core-token position inside it, so only
+    # core-token positions need checking. Gated on the cheap
+    # all-core-tokens-present test first (& short-circuits), which kills
+    # almost every (doc, candidate) pair before any window work.
     cset = F.array_distinct(core)
     n = F.size(text_toks)
+    all_present = F.size(F.array_intersect(cset, text_toks)) == F.size(cset)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda s: F.array_contains(cset, F.element_at(text_toks, s)),
+    )
     return (
         (F.size(cset) > 0)
         & (n > 0)
+        & all_present
         & F.exists(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            starts,
             lambda s: F.size(F.array_intersect(cset, F.slice(text_toks, s, window)))
             == F.size(cset),
         )
@@ -78,9 +90,21 @@ def mention_score(
     text_col: Column, cand_col: Column, window: int = MENTION_WINDOW
 ) -> Column:
     """Best-tier mention strength of candidate phrase `cand_col` in
-    `text_col` (0.0 when no tier fires or the core is empty)."""
-    tt = mention_tokens(text_col)
-    ct = mention_tokens(cand_col)
+    `text_col` (0.0 when no tier fires or the core is empty).
+
+    For corpus-scale scans, pre-tokenize each side once and use
+    `mention_score_tokens` — tokenizing inside the scoring expression
+    re-runs regexp_extract_all per tier under interpreted evaluation."""
+    return mention_score_tokens(
+        mention_tokens(text_col), mention_tokens(cand_col), window
+    )
+
+
+def mention_score_tokens(
+    tt: Column, ct: Column, window: int = MENTION_WINDOW
+) -> Column:
+    """mention_score over pre-tokenized arrays (tt = text tokens, ct =
+    candidate tokens)."""
     core = core_tokens(ct)
     return (
         F.when(F.size(core) == 0, F.lit(0.0))

@@ -324,7 +324,7 @@ def kmeans_train(
     e = embeddings.select(
         F.col(id_col).alias("vid"),
         normalize_vec(F.col(vec_col).cast("array<double>")).alias("v"),
-    )
+    ).persist()  # scanned once per Lloyd round — don't re-normalize each time
     cents = (
         e.orderBy("vid")
         .limit(k)
@@ -366,6 +366,7 @@ def kmeans_train(
             .select("centroid_id", F.coalesce("cv", "cv_prev").alias("cv"))
             .localCheckpoint()
         )
+    e.unpersist()
     return cents
 
 

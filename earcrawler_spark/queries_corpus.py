@@ -212,18 +212,23 @@ def q_mention_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.85, core-in-window(8) 0.65, acronym 0.45, with the reference's
     stopword-filtered core tokens and [A-Za-z0-9']+ tokenization.
     Candidates = a fixed phrase list (broadcast), texts = documents."""
-    from earcrawler_spark.operators.mentions import mention_score
+    from earcrawler_spark.operators.mentions import (
+        mention_score_tokens,
+        mention_tokens,
+    )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", mention_tokens(F.col("text")).alias("tt")
+    )
     cands = spark.createDataFrame(
         list(enumerate(MENTION_CANDIDATES)), "cand_id int, cand string"
-    )
+    ).select("cand_id", mention_tokens(F.col("cand")).alias("ct"))
     return (
         docs.crossJoin(F.broadcast(cands))
         .select(
             "doc_id",
             "cand_id",
-            mention_score(F.col("text"), F.col("cand")).alias("score"),
+            mention_score_tokens(F.col("tt"), F.col("ct")).alias("score"),
         )
         .filter(F.col("score") > 0)
         .orderBy("doc_id", "cand_id")
