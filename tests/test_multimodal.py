@@ -41,8 +41,11 @@ def test_media_table_dedups_assets(spark, docs_with_media):
         assert isinstance(bytes(r["media_bytes"]), bytes)
         if r["kind"] == "audio":
             assert r["sample_rate"] == 16000 and r["width"] is None
+            assert r["codec"] == "wav"
         else:
-            assert r["width"] >= 64 and r["height"] >= 64
+            # metadata comes from REALLY decoding the payload header
+            assert r["width"] >= 8 and r["height"] >= 8
+            assert r["codec"] in ("ppm", "ppmv")
 
 
 def test_extract_features_deterministic(spark, docs_with_media):
@@ -57,6 +60,58 @@ def test_extract_features_deterministic(spark, docs_with_media):
             assert r["n_frames_sampled"] == 0 and r["thumb_w"] is None
         else:
             assert r["n_frames_sampled"] >= 1 and r["thumb_w"] == 32
+
+
+def test_numpy_codecs_roundtrip():
+    import numpy as np
+
+    from earcrawler_spark.multimodal import (
+        audio_features,
+        decode_ppm,
+        decode_ppmv_frames,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_ppmv,
+        encode_wav_pcm16,
+        image_features,
+        resize_nearest,
+    )
+
+    img = np.arange(10 * 6 * 3, dtype=np.uint8).reshape(10, 6, 3)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert len(image_features(small)) == 8
+
+    samples = (np.sin(np.linspace(0, 20, 320)) * 20000).astype(np.int16)
+    dec, rate = decode_wav_pcm16(encode_wav_pcm16(samples, 16000))
+    assert rate == 16000 and (dec == samples).all()
+    af = audio_features(dec, rate)
+    assert len(af) == 8 and af[0] > 0.1  # real RMS, not a hash artifact
+
+    frames = [img, img[::-1].copy(), img]
+    got = decode_ppmv_frames(encode_ppmv(frames), stride=2)
+    assert len(got) == 2 and (got[0] == img).all()
+
+
+def test_video_frame_sampling_strides():
+    import hashlib
+
+    from earcrawler_spark.multimodal import (
+        decode_ppmv_frames,
+        synthetic_media_bytes,
+    )
+
+    # find a ref that hashes to 'video'
+    ref = next(
+        r
+        for r in (f"https://x.org/m/{i}" for i in range(50))
+        if int(hashlib.sha256(r.encode()).hexdigest()[:8], 16) % 3 == 2
+    )
+    raw = synthetic_media_bytes(ref)
+    all_frames = decode_ppmv_frames(raw, stride=1)
+    sampled = decode_ppmv_frames(raw, stride=2)
+    assert len(sampled) == (len(all_frames) + 1) // 2
 
 
 def test_decode_stub_gates_real_codecs():
