@@ -281,11 +281,18 @@ class Crawler:
         prev_chain = manifest["chain_hash"]
         max_seq = manifest["max_seq"]
 
-        # 1. robots refresh for new hosts
+        # 1. robots refresh for new hosts. One driver action collecting
+        # ONLY the new hosts (an anti-join, usually empty/tiny) — not the
+        # full host dimension; at 10^6 hosts the old two-full-set collect
+        # shipped the entire dim to the driver every wave.
         robots = self.state.read_latest("robots", it - 1)
-        known_hosts = {r["host"] for r in robots.select("host").distinct().collect()}
-        hosts_now = {r["host"] for r in frontier.select("host").distinct().collect()}
-        new_hosts = sorted(hosts_now - known_hosts)
+        new_hosts = sorted(
+            r["host"]
+            for r in frontier.select("host")
+            .distinct()
+            .join(robots.select("host").distinct(), "host", "left_anti")
+            .collect()
+        )
         if new_hosts:
             robots = robots.unionByName(
                 fetch_robots(spark, new_hosts, self.robots_fetcher)
@@ -350,13 +357,19 @@ class Crawler:
         else:
             # deterministic (budget-based) politeness: salt hot hosts so the
             # dequeue skew (bis.doc.gov / federalregister.gov) spreads over
-            # ceil(n/threshold) sub-keys
-            counts = {r["host"]: r["cnt"] for r in
-                      selected.groupBy("host").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-            salt_rows = [
-                (h, max(1, -(-c // cfg.skew_threshold))) for h, c in sorted(counts.items())
-            ]
-            salt_df = spark.createDataFrame(salt_rows or [("", 1)], "host string, salt int")
+            # ceil(n/threshold) sub-keys. Counts stay distributed — the
+            # per-host salt table broadcasts without a driver collect.
+            salt_df = (
+                selected.groupBy("host")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select(
+                    "host",
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(F.col("cnt") / cfg.skew_threshold),
+                    ).cast("int").alias("salt"),
+                )
+            )
             selected = (
                 selected.join(F.broadcast(salt_df), "host", "left")
                 .withColumn("part_key", F.concat_ws("#", "host", F.pmod("seq", F.coalesce("salt", F.lit(1)))))

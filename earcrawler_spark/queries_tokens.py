@@ -117,14 +117,59 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_COSINE_T = 0.4
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.4), exact all-pairs —
+    the correctness oracle for the bucketed ANN paths (ann_lsh_buckets /
+    ann_ivf_lists are the scale shapes; this is the dedup-family
+    ground truth, same role ngram_jaccard_pairs plays for MinHash-LSH)."""
+    from earcrawler_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE_T)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_SQL_COSINE_NEARDUP = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), 'sum'))), 6)
+         AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {NEARDUP_COSINE_T}
+ORDER BY vec_a, vec_b
+"""
+
+
 TOKEN_QUERIES = {
     "token_stats_bpe": q_token_stats_bpe,
     "rolling_fingerprint": q_rolling_fingerprint,
     "ann_ivf_lists": q_ann_ivf,
+    "cosine_neardup": q_cosine_neardup,
 }
 
 TOKEN_ORACLES = {
     "token_stats_bpe": _SQL_TOKEN_BPE,
     "rolling_fingerprint": _SQL_ROLLING_FP,
     # ann_ivf_lists: rows-only (recall pytest-verified)
+    "cosine_neardup": _SQL_COSINE_NEARDUP,
 }
