@@ -72,3 +72,43 @@ def test_bm25_single_corpus_pass(spark, sf_small):
 def test_small_side_broadcast_not_shuffled(spark, sf_small, name):
     p = plan_of(spark, sf_small, name)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+@pytest.mark.parametrize("name", ["bm25_topk", "rrf_fusion"])
+def test_ranking_topk_is_distributed(spark, sf_small, name):
+    # the global-window formulation (row_number over an unpartitioned
+    # window on the FULL set) was the round-1 scale-killer; top-k must be
+    # a TakeOrderedAndProject with the rank window only over survivors
+    p = plan_of(spark, sf_small, name)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_mention_scoring_stays_jvm_side(spark, sf_small):
+    # 4-tier scoring is instr/array exprs — no Python eval in the plan
+    p = plan_of(spark, sf_small, "mention_scoring")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_reconcile_v2_blocking_joins_shapes(spark, sf_small):
+    p = plan_of(spark, sf_small, "reconcile_v2")
+    # hot-bucket size filter and override table ride broadcast joins; the
+    # JW feature is the one sanctioned Arrow-batched UDF
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # Arrow-batched, never row-at-a-time (the planner may materialize the
+    # JW projection in up to two stages)
+    assert 1 <= p.count("ArrowEvalPython") <= 2, p.count("ArrowEvalPython")
+    assert "BatchEvalPython" not in p
+
+
+def test_chunking_sections_single_scan_per_branch(spark, sf_small):
+    # line-explode pipeline: base/letters/digits reuse the same exploded
+    # scan; the plan must not blow up into a dozen parquet re-reads
+    p = plan_of(spark, sf_small, "chunking_sections")
+    assert p.count("Scan parquet") <= 6, p.count("Scan parquet")
+
+
+def test_record_merge_full_partial_aggregation(spark, sf_small):
+    p = plan_of(spark, sf_small, "record_merge_full")
+    # map-side combine on the entity-bucket and scalar groupBys
+    assert p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2
