@@ -208,6 +208,7 @@ def chunk_sections(
     digit = F.regexp_extract(probe, _DIGIT_RE, 1)
     flagged = lines.select(
         "sec",
+        "raw",
         "pos",
         "line",
         F.when((letter != "") & ~letter.isin(*_ROMANS), letter)
@@ -216,129 +217,90 @@ def chunk_sections(
         F.when(digit != "", digit).otherwise(F.lit(None)).alias("digit"),
     )
     wsec = W.partitionBy("sec").orderBy("pos")
-    blocked = flagged.withColumn(
-        "blk", F.count("letter").over(wsec)
-    )
+    blocked = flagged.withColumn("blk", F.count("letter").over(wsec))
     wblk = W.partitionBy("sec", "blk").orderBy("pos")
     blocked = blocked.withColumn(
         "dblk", F.when(F.col("blk") > 0, F.count("digit").over(wblk)).otherwise(0)
     )
 
-    # Per-section guard: duplicate (roman-filtered) letter labels suppress
-    # all subsection output (chunking.py:211-217).
-    letter_guard = (
-        blocked.filter(F.col("letter").isNotNull())
-        .groupBy("sec")
-        .agg(
-            (F.count("letter") == F.countDistinct("letter")).alias("letters_ok")
+    # ONE aggregation per section gathers the flagged lines; every
+    # container (base, letter blocks, lead-ins, digit chunks) and both
+    # duplicate-label guards are then per-row array expressions over that
+    # sorted line list. The earlier formulation re-derived each branch
+    # from the exploded lineage — 56 parquet scans / 114 exchanges in the
+    # physical plan; this shape is one scan, one window pass, one shuffle.
+    per_sec = blocked.groupBy("sec").agg(
+        F.first("raw").alias("raw"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "line", "letter", "digit", "blk", "dblk"))
+        ).alias("ls"),
+        (F.count("letter") == F.countDistinct("letter")).alias("letters_ok"),
+    )
+
+    sec = F.col("sec")
+    ls = F.col("ls")
+
+    def mk(cid, sid, parent, kind, ordinal, text, order):
+        return F.struct(
+            cid.alias("chunk_id"),
+            sid.alias("section_id"),
+            parent.alias("parent_id"),
+            F.lit(kind).alias("chunk_kind"),
+            ordinal.cast("long").alias("ordinal"),
+            text.alias("chunk_text"),
+            order.cast("long").alias("emit_order"),
         )
-    )
-    # Per-letter-block guard: duplicate digit labels keep the block whole.
-    digit_guard = (
-        blocked.filter(F.col("digit").isNotNull() & (F.col("blk") > 0))
-        .groupBy("sec", "blk")
-        .agg((F.count("digit") == F.countDistinct("digit")).alias("digits_ok"))
+
+    def block_text(pred):
+        return F.trim(
+            F.array_join(F.transform(F.filter(ls, pred), lambda y: y["line"]), "\n")
+        )
+
+    base_c = mk(
+        sec, sec, F.lit(None).cast("string"), "section",
+        F.lit(0), F.trim("raw"), F.lit(0),
     )
 
-    base_containers = base.select(
-        F.col("sec").alias("chunk_id"),
-        F.col("sec").alias("section_id"),
-        F.lit(None).cast("string").alias("parent_id"),
-        F.lit("section").alias("chunk_kind"),
-        F.lit(0).alias("ordinal"),
-        F.trim("raw").alias("chunk_text"),
-        F.lit(0).cast("long").alias("emit_order"),
-    )
-
-    # Letter blocks (blk >= 1), only for sections passing the letter guard.
-    letter_rows = (
-        blocked.filter(F.col("blk") > 0)
-        .join(letter_guard, "sec")
-        .filter(F.col("letters_ok"))
-    )
-    letter_blocks = (
-        letter_rows.groupBy("sec", "blk")
-        .agg(
-            F.max("letter").alias("letter"),
-            F.trim(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "line"))
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    "\n",
-                )
-            ).alias("block_text"),
-            F.max(F.when(F.col("digit").isNotNull(), 1).otherwise(0)).alias(
-                "has_digits"
+    def letter_containers(m):
+        b = m["blk"]
+        letter_id = F.concat(sec, F.lit("("), m["letter"], F.lit(")"))
+        in_block = lambda y: y["blk"] == b
+        dl = F.filter(ls, lambda y: in_block(y) & y["digit"].isNotNull())
+        digits_ok = F.size(
+            F.array_distinct(F.transform(dl, lambda y: y["digit"]))
+        ) == F.size(dl)
+        split = (F.size(dl) > 0) & digits_ok
+        whole = mk(
+            letter_id, letter_id, sec, "subsection",
+            b, block_text(in_block), b * 1000000,
+        )
+        lead = mk(
+            letter_id, letter_id, sec, "subsection",
+            b, block_text(lambda y: in_block(y) & (y["dblk"] == 0)), b * 1000000,
+        )
+        dchunks = F.transform(
+            dl,
+            lambda d: mk(
+                F.concat(letter_id, F.lit("("), d["digit"], F.lit(")")),
+                F.concat(letter_id, F.lit("("), d["digit"], F.lit(")")),
+                letter_id, "subsection", d["dblk"],
+                block_text(lambda y: in_block(y) & (y["dblk"] == d["dblk"])),
+                b * 1000000 + d["dblk"] * 1000,
             ),
         )
-        .join(digit_guard, ["sec", "blk"], "left")
-        .withColumn(
-            "split_digits",
-            (F.col("has_digits") == 1) & F.coalesce("digits_ok", F.lit(False)),
-        )
-        .withColumn("letter_id", F.concat("sec", F.lit("("), "letter", F.lit(")")))
-    )
-
-    whole_letter = letter_blocks.filter(~F.col("split_digits")).select(
-        F.col("letter_id").alias("chunk_id"),
-        F.col("letter_id").alias("section_id"),
-        F.col("sec").alias("parent_id"),
-        F.lit("subsection").alias("chunk_kind"),
-        F.col("blk").alias("ordinal"),
-        F.col("block_text").alias("chunk_text"),
-        (F.col("blk") * 1000000).cast("long").alias("emit_order"),
-    )
-
-    # Digit-split blocks: lead-in (dblk == 0 lines) + one chunk per digit
-    # group, all from the same exploded pass.
-    split_keys = letter_blocks.filter(F.col("split_digits")).select(
-        "sec", "blk", "letter_id"
-    )
-    digit_rows = letter_rows.join(split_keys, ["sec", "blk"])
-    digit_groups = digit_rows.groupBy("sec", "blk", "letter_id", "dblk").agg(
-        F.max("digit").alias("digit"),
-        F.trim(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                "\n",
+        return F.when(~split, F.array(whole)).otherwise(
+            F.concat(
+                F.filter(F.array(lead), lambda s: s["chunk_text"] != ""),
+                dchunks,
             )
-        ).alias("block_text"),
-    )
-    letter_lead = digit_groups.filter(
-        (F.col("dblk") == 0) & (F.col("block_text") != "")
-    ).select(
-        F.col("letter_id").alias("chunk_id"),
-        F.col("letter_id").alias("section_id"),
-        F.col("sec").alias("parent_id"),
-        F.lit("subsection").alias("chunk_kind"),
-        F.col("blk").alias("ordinal"),
-        F.col("block_text").alias("chunk_text"),
-        (F.col("blk") * 1000000).cast("long").alias("emit_order"),
-    )
-    digit_chunks = digit_groups.filter(F.col("dblk") > 0).select(
-        F.concat("letter_id", F.lit("("), "digit", F.lit(")")).alias("chunk_id"),
-        F.concat("letter_id", F.lit("("), "digit", F.lit(")")).alias(
-            "section_id"
-        ),
-        F.col("letter_id").alias("parent_id"),
-        F.lit("subsection").alias("chunk_kind"),
-        F.col("dblk").alias("ordinal"),
-        F.col("block_text").alias("chunk_text"),
-        (F.col("blk") * 1000000 + F.col("dblk") * 1000).cast("long").alias(
-            "emit_order"
-        ),
-    )
+        )
 
-    containers = (
-        base_containers.unionByName(whole_letter)
-        .unionByName(letter_lead)
-        .unionByName(digit_chunks)
-    )
+    markers = F.filter(ls, lambda y: y["letter"].isNotNull())
+    letter_cs = F.when(
+        F.col("letters_ok"),
+        F.flatten(F.transform(markers, letter_containers)),
+    ).otherwise(F.filter(F.array(base_c), lambda s: F.lit(False)))
+    containers = per_sec.select(
+        F.explode(F.concat(F.array(base_c), letter_cs)).alias("c")
+    ).select("c.*")
     return emit_chunks(containers, max_chars)

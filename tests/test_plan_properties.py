@@ -101,11 +101,13 @@ def test_reconcile_v2_blocking_joins_shapes(spark, sf_small):
     assert "BatchEvalPython" not in p
 
 
-def test_chunking_sections_single_scan_per_branch(spark, sf_small):
-    # line-explode pipeline: base/letters/digits reuse the same exploded
-    # scan; the plan must not blow up into a dozen parquet re-reads
+def test_chunking_sections_single_pass(spark, sf_small):
+    # one exploded-lines aggregation feeds every container branch as
+    # per-section array expressions — the multi-branch DAG formulation
+    # cost 56 parquet scans / 114 exchanges
     p = plan_of(spark, sf_small, "chunking_sections")
-    assert p.count("Scan parquet") <= 6, p.count("Scan parquet")
+    assert p.count("Scan parquet") <= 4, p.count("Scan parquet")
+    assert p.count("Exchange") <= 8, p.count("Exchange")
 
 
 def test_record_merge_full_partial_aggregation(spark, sf_small):
