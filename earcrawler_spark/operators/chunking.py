@@ -100,9 +100,13 @@ def _paragraphs(text: Column, max_chars: int) -> Column:
     """The reference's split-strategy ladder: blank lines, then single
     newlines, then whitespace packing (chunking.py:72-98)."""
     blank = F.filter(
-        F.transform(F.split(text, r"\n\s*\n"), F.trim), lambda p: p != ""
+        F.transform(F.split(text, r"\n\s*\n"), lambda p: F.trim(p)),
+        lambda p: p != ""
     )
-    nl = F.filter(F.transform(F.split(text, r"\n+"), F.trim), lambda p: p != "")
+    nl = F.filter(
+        F.transform(F.split(text, r"\n+"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
     return (
         F.when(F.size(blank) > 1, blank)
         .when(F.size(nl) > 1, nl)

@@ -789,8 +789,100 @@ ORDER BY doc_id
 """
 
 
+# --- P7 fidelity: GRANT/ORG/PERSON regex entity extraction ------------------
+
+GRANT_PAT = r"\b(?:R01|R21|R03|U01|P30|K99|F31|DOD|NSF|DOE)[-\s]?[A-Z0-9-]+"
+ORG_PAT = (
+    r"\b(?:University|College|Institute|Laborator(?:y|ies)|Inc\.|LLC|Ltd\.|GmbH|AG|SAS|PLC)"
+    r"(?:\s+(?:of|and|for|the|[A-Z][a-z]+)){0,5}"
+)
+PERSON_PAT = r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)+"
+
+
+def q_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 regex entity extraction — reference parity
+    (core/nsf_case_parser.py:18-49): GRANT ids (agency-prefix forms),
+    ORG phrases (keyword + up-to-5 connective/capitalized tail,
+    whitespace-normalized), PERSON (2+ capitalized words, skipped when
+    the match itself starts like an ORG), sorted distinct union. Entity
+    snippets are woven into the documents deterministically."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    person = F.array("text")  # placeholder to keep linters calm
+    _ = person
+    decorated = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" NSF-"), (d % 100000).cast("string"))).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" University of "),
+                F.element_at(F.array(F.lit("Testing"), F.lit("Research"), F.lit("Science")), (d % 3 + 1).cast("int")),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" John "),
+                F.element_at(F.array(F.lit("Smith"), F.lit("Doe"), F.lit("Roe")), (d % 3 + 1).cast("int")),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" Acme Institute Inc. case K99 AB-12")).otherwise(F.lit("")),
+    )
+    grants = F.transform(
+        F.regexp_extract_all(decorated, F.lit(GRANT_PAT), F.lit(0)),
+        lambda m: F.trim(m),
+    )
+    orgs = F.transform(
+        F.regexp_extract_all(decorated, F.lit(ORG_PAT), F.lit(0)),
+        lambda m: F.trim(F.regexp_replace(m, r"\s+", " ")),
+    )
+    persons = F.filter(
+        F.regexp_extract_all(decorated, F.lit(PERSON_PAT), F.lit(0)),
+        lambda m: ~m.rlike("^" + ORG_PAT.replace(r"\b", "", 1)),
+    )
+    entities = F.array_sort(
+        F.array_distinct(F.concat(grants, orgs, F.transform(persons, lambda m: F.trim(m))))
+    )
+    return (
+        docs.select(d.alias("doc_id"), F.explode(entities).alias("entity"))
+        .orderBy("doc_id", "entity")
+    )
+
+
+def _entity_extraction_sql() -> str:
+    org_anchor = "^" + ORG_PAT.replace(r"\b", "", 1)
+    return f"""
+WITH dec AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' NSF-' || CAST(doc_id % 100000 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' University of ' ||
+         (['Testing', 'Research', 'Science'])[CAST(doc_id % 3 + 1 AS INT)] ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' John ' ||
+         (['Smith', 'Doe', 'Roe'])[CAST(doc_id % 3 + 1 AS INT)] ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' Acme Institute Inc. case K99 AB-12' ELSE '' END AS t
+  FROM documents
+), ents AS (
+  SELECT doc_id,
+    list_sort(list_distinct(list_concat(list_concat(
+      list_transform(regexp_extract_all(t, '{GRANT_PAT}'), m -> trim(m)),
+      list_transform(regexp_extract_all(t, '{ORG_PAT}'),
+                     m -> trim(regexp_replace(m, '\\s+', ' ', 'g')))),
+      list_transform(list_filter(regexp_extract_all(t, '{PERSON_PAT}'),
+                                 m -> NOT regexp_matches(m, '{org_anchor}')),
+                     m -> trim(m))
+    ))) AS entities
+  FROM dec
+)
+SELECT doc_id, unnest(entities) AS entity
+FROM ents
+ORDER BY doc_id, entity
+"""
+
+
 FIDELITY_QUERIES = {
     "chunking_sections": q_chunking_sections,
+    "entity_extraction": q_entity_extraction,
     "text_mining": q_text_mining,
     "reconcile_v2": q_reconcile_v2,
     "record_merge_full": q_record_merge_full,
@@ -799,6 +891,7 @@ FIDELITY_QUERIES = {
 
 FIDELITY_ORACLES = {
     "chunking_sections": _SQL_CHUNKING_SECTIONS,
+    "entity_extraction": _entity_extraction_sql(),
     "text_mining": _SQL_TEXT_MINING,
     "reconcile_v2": _reconcile_v2_sql(),
     "record_merge_full": _SQL_RECORD_MERGE_FULL,

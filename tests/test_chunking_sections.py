@@ -41,6 +41,10 @@ FIXTURES = {
     "s13": "intro\n ( a ) spaced marker body\n(b) beta",
     # digits only at top level are not letter markers
     "s14": "(1) top level number\n(2) another",
+    # paragraphs whose edges are digits — regression for the
+    # F.transform(..., F.trim) arity trap (index leaked in as trim chars,
+    # silently stripping '0'/'1' from paragraph boundaries)
+    "s15": "0 zeros bound this paragraph 0\n\n1 ones bound this one here 1\n\n2 twos as well 2",
 }
 
 
