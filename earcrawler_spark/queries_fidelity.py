@@ -719,6 +719,99 @@ SELECT doc_id, kind, iri FROM rows_ ORDER BY doc_id, kind
 """
 
 
+# --- P14 fidelity: date normalization with the 1970 fallback -----------------
+
+DEFAULT_DATE = "1970-01-01"
+# the fromisoformat-shaped inputs this normalizer attempts to parse
+# (padded date, optional T/space time, optional offset/Z) — anything
+# looser falls through to the dashed-shape keep / default rules exactly
+# like datetime.fromisoformat's ValueError
+_ISO_SHAPE = (
+    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?"
+    r"(Z|[+-]\d{2}:\d{2})?)?$"
+)
+
+
+def normalise_date(col) -> F.Column:
+    """Reference date normalization (corpus/metadata.py:24-31): parseable
+    ISO values canonicalize to their date part (incl. Python 3.11
+    fromisoformat's compact YYYYMMDD form); 10-char dashed strings that
+    fail parsing are kept verbatim; everything else (null, empty,
+    unshaped) becomes 1970-01-01."""
+    raw = F.trim(F.coalesce(col, F.lit(DEFAULT_DATE)))
+    raw = F.when(raw == "", F.lit(DEFAULT_DATE)).otherwise(raw)
+    parsed = F.when(
+        raw.rlike(_ISO_SHAPE), F.try_to_date(F.substring(raw, 1, 10))
+    ).when(raw.rlike(r"^\d{8}$"), F.try_to_date(raw, "yyyyMMdd"))
+    dashed = (
+        (F.length(raw) == 10)
+        & (F.substring(raw, 5, 1) == "-")
+        & (F.substring(raw, 8, 1) == "-")
+    )
+    return (
+        F.when(parsed.isNotNull(), F.date_format(parsed, "yyyy-MM-dd"))
+        .when(dashed, raw)
+        .otherwise(F.lit(DEFAULT_DATE))
+    )
+
+
+def q_date_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 date normalization (corpus/metadata.py:24-31) over a
+    deterministic mix of valid ISO dates/timestamps, shaped-but-invalid
+    dashed strings, unshaped strings, empties and nulls."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    iso = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd")
+    raw = (
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .when(k % 7 == 1, F.lit(""))
+        .when(k % 7 == 2, iso)
+        .when(k % 7 == 3, F.concat(iso, F.lit("T10:30:00")))
+        .when(k % 7 == 4, F.lit("1998-13-45"))
+        .when(k % 7 == 5, F.lit("not a date"))
+        .otherwise(F.lit("19980102"))
+    )
+    return orders.select(
+        k.alias("o_orderkey"),
+        F.coalesce(raw, F.lit("<null>")).alias("raw"),
+        normalise_date(raw).alias("date_norm"),
+    ).orderBy("o_orderkey")
+
+
+_SQL_DATE_NORM = f"""
+WITH src AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         WHEN o_orderkey % 7 = 1 THEN ''
+         WHEN o_orderkey % 7 = 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+         WHEN o_orderkey % 7 = 3 THEN strftime(o_orderdate, '%Y-%m-%d') || 'T10:30:00'
+         WHEN o_orderkey % 7 = 4 THEN '1998-13-45'
+         WHEN o_orderkey % 7 = 5 THEN 'not a date'
+         ELSE '19980102' END AS raw0
+  FROM orders
+), prep AS (
+  SELECT o_orderkey, raw0,
+    CASE WHEN trim(coalesce(raw0, '{DEFAULT_DATE}')) = '' THEN '{DEFAULT_DATE}'
+         ELSE trim(coalesce(raw0, '{DEFAULT_DATE}')) END AS raw
+  FROM src
+)
+SELECT o_orderkey, coalesce(raw0, '<null>') AS raw,
+  CASE
+    WHEN regexp_matches(raw, '{_ISO_SHAPE}')
+         AND TRY_CAST(substr(raw, 1, 10) AS DATE) IS NOT NULL
+      THEN strftime(TRY_CAST(substr(raw, 1, 10) AS DATE), '%Y-%m-%d')
+    WHEN regexp_matches(raw, '^\\d{{8}}$')
+         AND try_strptime(raw, '%Y%m%d') IS NOT NULL
+      THEN strftime(try_strptime(raw, '%Y%m%d'), '%Y-%m-%d')
+    WHEN length(raw) = 10 AND substr(raw, 5, 1) = '-' AND substr(raw, 8, 1) = '-'
+      THEN raw
+    ELSE '{DEFAULT_DATE}'
+  END AS date_norm
+FROM prep
+ORDER BY o_orderkey
+"""
+
+
 # --- P3/P15: FR-citation + ISO-date mining (oracle-checked) ------------------
 
 def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,6 +976,7 @@ ORDER BY doc_id, entity
 FIDELITY_QUERIES = {
     "chunking_sections": q_chunking_sections,
     "entity_extraction": q_entity_extraction,
+    "date_normalization": q_date_normalization,
     "text_mining": q_text_mining,
     "reconcile_v2": q_reconcile_v2,
     "record_merge_full": q_record_merge_full,
@@ -892,6 +986,7 @@ FIDELITY_QUERIES = {
 FIDELITY_ORACLES = {
     "chunking_sections": _SQL_CHUNKING_SECTIONS,
     "entity_extraction": _entity_extraction_sql(),
+    "date_normalization": _SQL_DATE_NORM,
     "text_mining": _SQL_TEXT_MINING,
     "reconcile_v2": _reconcile_v2_sql(),
     "record_merge_full": _SQL_RECORD_MERGE_FULL,
