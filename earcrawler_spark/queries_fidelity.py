@@ -721,38 +721,11 @@ SELECT doc_id, kind, iri FROM rows_ ORDER BY doc_id, kind
 
 # --- P14 fidelity: date normalization with the 1970 fallback -----------------
 
-DEFAULT_DATE = "1970-01-01"
-# the fromisoformat-shaped inputs this normalizer attempts to parse
-# (padded date, optional T/space time, optional offset/Z) — anything
-# looser falls through to the dashed-shape keep / default rules exactly
-# like datetime.fromisoformat's ValueError
-_ISO_SHAPE = (
-    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?"
-    r"(Z|[+-]\d{2}:\d{2})?)?$"
+from earcrawler_spark.functions.text import (  # noqa: E402
+    _ISO_SHAPE,
+    DEFAULT_DATE,
+    normalise_date,
 )
-
-
-def normalise_date(col) -> F.Column:
-    """Reference date normalization (corpus/metadata.py:24-31): parseable
-    ISO values canonicalize to their date part (incl. Python 3.11
-    fromisoformat's compact YYYYMMDD form); 10-char dashed strings that
-    fail parsing are kept verbatim; everything else (null, empty,
-    unshaped) becomes 1970-01-01."""
-    raw = F.trim(F.coalesce(col, F.lit(DEFAULT_DATE)))
-    raw = F.when(raw == "", F.lit(DEFAULT_DATE)).otherwise(raw)
-    parsed = F.when(
-        raw.rlike(_ISO_SHAPE), F.try_to_date(F.substring(raw, 1, 10))
-    ).when(raw.rlike(r"^\d{8}$"), F.try_to_date(raw, "yyyyMMdd"))
-    dashed = (
-        (F.length(raw) == 10)
-        & (F.substring(raw, 5, 1) == "-")
-        & (F.substring(raw, 8, 1) == "-")
-    )
-    return (
-        F.when(parsed.isNotNull(), F.date_format(parsed, "yyyy-MM-dd"))
-        .when(dashed, raw)
-        .otherwise(F.lit(DEFAULT_DATE))
-    )
 
 
 def q_date_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,121 @@
+"""Snapshot corpus sources — S16 reference parity.
+
+Reference: earCrawler/rag/ecfr_snapshot_loader.py:26-100 loads JSONL
+section snapshots into contract-shaped section documents, normalizing
+identifiers via rag/corpus_contract.py:58-121 and temporal fields via
+rag/temporal.normalize_iso_date.
+
+Spark-first: `spark.read.json` with an explicit schema (no sampling
+pass), then the normalization chain as native Column expressions — the
+loader is a projection, so schema pruning and predicate pushdown apply
+to downstream queries for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from earcrawler_spark.functions.text import _ISO_SHAPE
+
+SCHEMA_VERSION = 1
+SNAPSHOT_READ_SCHEMA = (
+    "doc_id string, section_id string, heading string, text string, "
+    "source_ref string, url string, effective_date string, "
+    "effective_from string, effective_to string"
+)
+# corpus_contract.py:17-22
+_SECTION_BODY_RE = r"^(\d{3}(?:\.\d+[a-z0-9]*)*)((?:\([a-z0-9]+\))*)$"
+_DOC_SUFFIX_RE = r"^[a-z0-9][a-z0-9:._-]{0,200}$"
+
+
+def normalize_iso_date(col: Column) -> Column:
+    """rag/temporal.normalize_iso_date (temporal.py:17-31): parseable ISO
+    values (incl. compact YYYYMMDD per Python 3.11 fromisoformat) yield
+    their canonical date part; everything else — including shaped but
+    invalid dashed strings — is null (the reference omits the key)."""
+    raw = F.trim(col)
+    return (
+        F.when(
+            raw.rlike(_ISO_SHAPE),
+            F.date_format(F.try_to_date(F.substring(raw, 1, 10)), "yyyy-MM-dd"),
+        )
+        .when(
+            raw.rlike(r"^\d{8}$"),
+            F.date_format(F.try_to_date(raw, "yyyyMMdd"), "yyyy-MM-dd"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def normalize_ear_section_id(col: Column) -> Column:
+    """Canonical 'EAR-<section>' ids (corpus_contract.py:58-91): strip
+    NBSP/'§'/'15 CFR'/'EAR' prefixes, drop internal spaces and trailing
+    dots, validate the section-body grammar, lowercase; null when the
+    body does not parse."""
+    v = F.trim(F.regexp_replace(col, " ", " "))
+    v = F.trim(F.regexp_replace(v, "^§+", ""))
+    v = F.trim(F.regexp_replace(v, r"(?i)^15\s*cfr\s*", ""))
+    body = (
+        F.when(F.upper(v).startswith("EAR-"), F.substring(v, 5, 1 << 20))
+        .when(F.upper(v).startswith("EAR "), F.trim(F.substring(v, 5, 1 << 20)))
+        .otherwise(v)
+    )
+    body = F.regexp_replace(
+        F.trim(F.regexp_replace(body, "^§+", "")), " ", ""
+    )
+    body = F.lower(F.regexp_replace(body, r"\.+$", ""))
+    return F.when(
+        (body != "") & body.rlike(_SECTION_BODY_RE),
+        F.concat(F.lit("EAR-"), body),
+    )
+
+
+def normalize_ear_doc_id(col: Column) -> Column:
+    """Canonical doc ids (corpus_contract.py:94-121): a section id or
+    section id + '#<suffix>' with a validated lowercase suffix."""
+    v = F.trim(col)
+    left = F.element_at(F.split(v, "#", 2), 1)
+    suffix = F.lower(F.trim(F.element_at(F.split(v, "#", 2), 2)))
+    left_norm = normalize_ear_section_id(left)
+    with_suffix = F.when(
+        left_norm.isNotNull() & suffix.rlike(_DOC_SUFFIX_RE),
+        F.concat(left_norm, F.lit("#"), suffix),
+    )
+    return F.when(v == "", F.lit(None).cast("string")).when(
+        v.contains("#"), with_suffix
+    ).otherwise(normalize_ear_section_id(v))
+
+
+def load_section_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """S16: JSONL section snapshot -> contract-shaped section documents
+    (ecfr_snapshot_loader.py:26-100). Section ids normalize to EAR- form
+    (raw value kept when normalization fails, as the reference does),
+    doc_id falls back to the section value, temporal fields normalize to
+    ISO dates (null when absent — the reference omits the key)."""
+    raw = spark.read.schema(SNAPSHOT_READ_SCHEMA).json(path)
+    section_norm = normalize_ear_section_id(F.col("section_id"))
+    section_value = F.coalesce(
+        section_norm, F.trim(F.coalesce(F.col("section_id"), F.lit("")))
+    )
+    doc_norm = F.when(
+        F.col("doc_id").isNotNull(), normalize_ear_doc_id(F.col("doc_id"))
+    )
+
+    def temporal(name: str) -> Column:
+        return normalize_iso_date(F.col(name))
+
+    return raw.select(
+        F.lit(SCHEMA_VERSION).alias("schema_version"),
+        F.coalesce(doc_norm, section_value).alias("doc_id"),
+        section_value.alias("section_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.lit("section").alias("chunk_kind"),
+        F.lit("ecfr_snapshot").alias("source"),
+        F.trim(F.coalesce(F.col("source_ref"), F.lit(""))).alias("source_ref"),
+        F.when(F.trim(F.col("heading")) != "", F.trim(F.col("heading"))).alias("title"),
+        F.when(F.trim(F.col("url")) != "", F.trim(F.col("url"))).alias("url"),
+        temporal("effective_date").alias("effective_date"),
+        temporal("effective_from").alias("effective_from"),
+        temporal("effective_to").alias("effective_to"),
+    )

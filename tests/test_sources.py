@@ -1,0 +1,87 @@
+"""S16 snapshot loader vs a model of the reference's id/date
+normalization rules (corpus_contract.py:58-121, temporal.py:17-31,
+ecfr_snapshot_loader.py:26-100)."""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import functions as F
+
+from earcrawler_spark.sources import (
+    load_section_snapshot,
+    normalize_ear_doc_id,
+    normalize_ear_section_id,
+)
+
+SECTION_VECTORS = [
+    ("736.2", "EAR-736.2"),
+    ("§ 736.2(b)", "EAR-736.2(b)"),
+    ("15 CFR 744.11", "EAR-744.11"),
+    ("EAR-734.3", "EAR-734.3"),
+    ("ear 740.13(a)(2)", "EAR-740.13(a)(2)"),
+    ("736.2.", "EAR-736.2"),
+    ("736 . 2", "EAR-736.2"),
+    ("EAR-736.2A", "EAR-736.2a"),
+    ("not a section", None),
+    ("73", None),
+    ("", None),
+]
+
+DOC_VECTORS = [
+    ("EAR-736.2(b)#p0001", "EAR-736.2(b)#p0001"),
+    ("736.2#P0002", "EAR-736.2#p0002"),
+    ("736.2#", None),
+    ("736.2#bad suffix", None),
+    ("nonsense#p0001", None),
+    ("744.11", "EAR-744.11"),
+]
+
+
+def test_id_normalization_vectors(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(SECTION_VECTORS)], "i int, v string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_ear_section_id(F.col("v")).alias("n")
+        ).collect()
+    }
+    for i, (v, want) in enumerate(SECTION_VECTORS):
+        assert got[i] == want, (v, got[i], want)
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(DOC_VECTORS)], "i int, v string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_ear_doc_id(F.col("v")).alias("n")).collect()
+    }
+    for i, (v, want) in enumerate(DOC_VECTORS):
+        assert got[i] == want, (v, got[i], want)
+
+
+def test_load_section_snapshot(spark, tmp_path):
+    rows = [
+        {"section_id": "§ 736.2(b)", "heading": "General prohibitions",
+         "text": "body one", "source_ref": "ecfr:2024-01-02",
+         "url": "https://x.org/736.2", "effective_date": "2024-01-02"},
+        {"section_id": "15 CFR 744.11", "doc_id": "744.11#p0001",
+         "text": "body two", "effective_from": "2023-12-01T00:00:00",
+         "effective_to": "2024-13-45"},  # invalid -> null
+        {"section_id": "not a section", "text": "kept raw"},
+    ]
+    p = tmp_path / "snap.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    got = {r["section_id"]: r.asDict() for r in load_section_snapshot(spark, str(p)).collect()}
+    a = got["EAR-736.2(b)"]
+    assert a["doc_id"] == "EAR-736.2(b)" and a["title"] == "General prohibitions"
+    assert a["effective_date"] == "2024-01-02" and a["source"] == "ecfr_snapshot"
+    assert a["chunk_kind"] == "section" and a["schema_version"] == 1
+    b = got["EAR-744.11"]
+    assert b["doc_id"] == "EAR-744.11#p0001"
+    assert b["effective_from"] == "2023-12-01"
+    assert b["effective_to"] is None  # unparseable -> omitted (null)
+    c = got["not a section"]  # raw value kept when normalization fails
+    assert c["doc_id"] == "not a section" and c["title"] is None
