@@ -87,6 +87,74 @@ def normalize_ear_doc_id(col: Column) -> Column:
     ).otherwise(normalize_ear_section_id(v))
 
 
+def paginated_scan(
+    spark: SparkSession,
+    fetch_page,
+    n_pages: int | None = None,
+    probe_total=None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """S1/S3/S4 paginated API scan, Spark-first.
+
+    The reference walks FR / trade.gov result pages sequentially
+    (api_clients/federalregister_client.py pagination loop); those APIs
+    return total_pages on the first response, so the scan parallelizes:
+    one driver probe (or an explicit n_pages), then every page fetches
+    in its own task. ``fetch_page(page:int) -> list[dict]`` returns the
+    page's records; rows come back as (page, record_json) — callers
+    apply from_json with their record schema, keeping the source generic.
+
+    Retry/backoff wraps fetch_page the same way the fetch stage wraps its
+    transport (crawler/fetch.retrying); budgets are the caller's
+    max-pages argument — the reference's request-budget analog.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    if n_pages is None:
+        if probe_total is None:
+            raise ValueError("need n_pages or probe_total")
+        n_pages = int(probe_total())
+    parts = n_partitions or spark.sparkContext.defaultParallelism
+
+    def run(batches):
+        for pdf in batches:
+            pages, payloads = [], []
+            for p in pdf["id"]:
+                for rec in fetch_page(int(p)):
+                    pages.append(int(p))
+                    payloads.append(_json.dumps(rec, sort_keys=True))
+            yield pd.DataFrame({"page": pages, "record_json": payloads})
+
+    return (
+        spark.range(1, n_pages + 1, numPartitions=min(parts, max(1, n_pages)))
+        .mapInPandas(run, "page int, record_json string")
+    )
+
+
+def point_lookup(spark: SparkSession, keys: list[str], fetch_one) -> DataFrame:
+    """S2 keyed point lookup: a (small) key list fans out across tasks;
+    ``fetch_one(key) -> dict | None`` (missing keys yield no row)."""
+    import json as _json
+
+    import pandas as pd
+
+    keys_df = spark.createDataFrame([(k,) for k in sorted(set(keys))], "key string")
+
+    def run(batches):
+        for pdf in batches:
+            out_k, out_j = [], []
+            for k in pdf["key"]:
+                rec = fetch_one(k)
+                if rec is not None:
+                    out_k.append(k)
+                    out_j.append(_json.dumps(rec, sort_keys=True))
+            yield pd.DataFrame({"key": out_k, "record_json": out_j})
+
+    return keys_df.mapInPandas(run, "key string, record_json string")
+
+
 def load_section_snapshot(spark: SparkSession, path: str) -> DataFrame:
     """S16: JSONL section snapshot -> contract-shaped section documents
     (ecfr_snapshot_loader.py:26-100). Section ids normalize to EAR- form

@@ -62,6 +62,31 @@ def test_id_normalization_vectors(spark):
         assert got[i] == want, (v, got[i], want)
 
 
+def test_paginated_scan_and_point_lookup(spark):
+    from earcrawler_spark.sources import paginated_scan, point_lookup
+
+    # deterministic synthetic API: 7 pages of 3 records each
+    def fetch_page(p):
+        return [{"id": (p - 1) * 3 + i, "page": p} for i in range(3)]
+
+    df = paginated_scan(spark, fetch_page, probe_total=lambda: 7)
+    rows = df.collect()
+    assert len(rows) == 21
+    recs = [json.loads(r["record_json"]) for r in rows]
+    assert {r["id"] for r in recs} == set(range(21))
+    # from_json projection works on the generic payload
+    parsed = df.select(
+        F.from_json("record_json", "id int, page int").alias("r")
+    ).select("r.id")
+    assert parsed.distinct().count() == 21
+
+    def fetch_one(key):
+        return {"key": key, "v": len(key)} if key != "missing" else None
+
+    got = point_lookup(spark, ["a", "bb", "missing", "a"], fetch_one).collect()
+    assert {r["key"] for r in got} == {"a", "bb"}  # deduped; missing dropped
+
+
 def test_load_section_snapshot(spark, tmp_path):
     rows = [
         {"section_id": "§ 736.2(b)", "heading": "General prohibitions",
