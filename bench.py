@@ -36,8 +36,9 @@ def _fresh_spark(master: str, shuffle_partitions: int):
 
 
 # Deliberately-quadratic correctness oracles, never run at scale — the
-# bench times their scale-path replacements instead (minhash_lsh_pairs).
-BENCH_EXCLUDE = {"ngram_jaccard_pairs"}
+# bench times their scale-path replacements instead (minhash_lsh_pairs
+# for text near-dup, ann_lsh_buckets/ann_ivf_lists for embeddings).
+BENCH_EXCLUDE = {"ngram_jaccard_pairs", "cosine_neardup"}
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
