@@ -946,12 +946,60 @@ ORDER BY doc_id, entity
 """
 
 
+# --- A7 fidelity: reconcile run summary -------------------------------------
+
+def q_reconcile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 reconcile summary (kg/reconcile.py:322-345): per-decision
+    counts, per-feature averages, and the blocking pair-stats (all-pairs
+    total, candidates evaluated, reduction ratio) — one row per decision
+    plus an 'ALL' rollup. Both scalars ride 1-row broadcast aggregates;
+    no driver actions in the query path."""
+    from earcrawler_spark.operators.reconcile import RECONCILE_WEIGHTS
+
+    decided = q_reconcile_v2(spark, sf_dir)
+    feats = sorted(RECONCILE_WEIGHTS)
+    per_decision = decided.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[F.round(F.avg(f), 6).alias(f"avg_{f}") for f in feats],
+    )
+    overall = decided.agg(
+        F.lit("ALL").alias("decision"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[F.round(F.avg(f), 6).alias(f"avg_{f}") for f in feats],
+    )
+    stats = (
+        _synth_entities(_t(spark, sf_dir, "part"))
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .crossJoin(F.broadcast(decided.agg(F.count(F.lit(1)).alias("evaluated"))))
+        .select(
+            (F.col("n_entities") * (F.col("n_entities") - 1) / 2)
+            .cast("long")
+            .alias("all_pairs_total"),
+            "evaluated",
+        )
+        .select(
+            "all_pairs_total",
+            F.round(
+                (F.col("all_pairs_total") - F.col("evaluated"))
+                / F.col("all_pairs_total"),
+                6,
+            ).alias("candidate_reduction_ratio"),
+        )
+    )
+    return (
+        per_decision.unionByName(overall)
+        .crossJoin(F.broadcast(stats))
+        .orderBy("decision")
+    )
+
+
 FIDELITY_QUERIES = {
     "chunking_sections": q_chunking_sections,
     "entity_extraction": q_entity_extraction,
     "date_normalization": q_date_normalization,
     "text_mining": q_text_mining,
     "reconcile_v2": q_reconcile_v2,
+    "reconcile_summary": q_reconcile_summary,
     "record_merge_full": q_record_merge_full,
     "iri_minting": q_iri_minting,
 }
@@ -962,6 +1010,33 @@ FIDELITY_ORACLES = {
     "date_normalization": _SQL_DATE_NORM,
     "text_mining": _SQL_TEXT_MINING,
     "reconcile_v2": _reconcile_v2_sql(),
+    "reconcile_summary": None,  # filled below (built from the v2 SQL)
     "record_merge_full": _SQL_RECORD_MERGE_FULL,
     "iri_minting": _iri_sql(),
 }
+
+
+def _reconcile_summary_sql() -> str:
+    from earcrawler_spark.operators.reconcile import RECONCILE_WEIGHTS
+
+    feats = sorted(RECONCILE_WEIGHTS)
+    avgs = ", ".join(f"round(avg({f}), 6) AS avg_{f}" for f in feats)
+    return f"""
+WITH decided AS ({_reconcile_v2_sql()}),
+stats AS (
+  SELECT CAST(n * (n - 1) / 2 AS BIGINT) AS all_pairs_total,
+         round((n * (n - 1) / 2 - evaluated) * 1.0 / (n * (n - 1) / 2), 6)
+           AS candidate_reduction_ratio
+  FROM (SELECT 2 * count(*) AS n FROM part),
+       (SELECT count(*) AS evaluated FROM decided)
+), per AS (
+  SELECT decision, count(*) AS n_pairs, {avgs} FROM decided GROUP BY decision
+  UNION ALL
+  SELECT 'ALL', count(*), {avgs.replace(' AS avg_', ' AS avg_')}
+  FROM decided
+)
+SELECT per.*, stats.* FROM per, stats ORDER BY decision
+"""
+
+
+FIDELITY_ORACLES["reconcile_summary"] = _reconcile_summary_sql()
