@@ -1,0 +1,68 @@
+"""KG-side bookkeeping operators: provenance-gated upsert and the part
+anchor index.
+
+Reference:
+- ProvenanceRecorder.record (kg/provenance_store.py:85-131): per subject,
+  compare the new content hash against the previous manifest; only
+  changed subjects regenerate downstream artefacts; the new manifest is
+  exactly this run's entries; date-only retrieved_at values get
+  'T00:00:00Z' appended.
+- AnchorIndex.update_part (kg/anchors.py:43-59): anchors normalize
+  (title/url strip, snippet whitespace collapse, empty publication date
+  -> null) and sort by (document_id, lower(title)) within their part.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def provenance_upsert(prev: DataFrame | None, current: DataFrame) -> DataFrame:
+    """Hash-gated provenance MERGE: `current(subject, source_url,
+    provider, retrieved_at, content_hash, request_url)` against the
+    previous manifest. Output = the new manifest rows + `changed`
+    (no previous entry, or the content hash differs). Iceberg MERGE INTO
+    in production; the join is subject-keyed, same bucketing as every
+    other identity join here."""
+    ts = F.col("retrieved_at")
+    cur = current.withColumn(
+        "retrieved_at",
+        F.when(
+            ts.isNotNull() & (ts != "") & ~ts.contains("T"),
+            F.concat(ts, F.lit("T00:00:00Z")),
+        ).otherwise(ts),
+    )
+    if prev is None:
+        return cur.withColumn("changed", F.lit(True))
+    p = prev.select("subject", F.col("content_hash").alias("_prev_hash"))
+    return (
+        cur.join(p, "subject", "left")
+        .withColumn(
+            "changed",
+            F.col("_prev_hash").isNull()
+            | (F.col("_prev_hash") != F.col("content_hash")),
+        )
+        .drop("_prev_hash")
+    )
+
+
+def anchor_index(anchors: DataFrame) -> DataFrame:
+    """Normalize + deterministically order anchors within each part:
+    `anchors(part, document_id, title, source_url, snippet,
+    publication_date)` -> the same rows normalized with a 1-based
+    `ordinal` following the reference's (document_id, lower(title))
+    sort."""
+    normed = anchors.select(
+        "part",
+        F.col("document_id"),
+        F.trim("title").alias("title"),
+        F.trim("source_url").alias("source_url"),
+        F.trim(F.regexp_replace("snippet", r"\s+", " ")).alias("snippet"),
+        F.when(
+            F.trim(F.coalesce("publication_date", F.lit(""))) != "",
+            F.trim("publication_date"),
+        ).alias("publication_date"),
+    )
+    w = W.partitionBy("part").orderBy("document_id", F.lower("title"))
+    return normed.withColumn("ordinal", F.row_number().over(w))

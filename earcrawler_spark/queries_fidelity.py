@@ -1040,3 +1040,106 @@ SELECT per.*, stats.* FROM per, stats ORDER BY decision
 
 
 FIDELITY_ORACLES["reconcile_summary"] = _reconcile_summary_sql()
+
+
+# --- D7/J14 fidelity: provenance upsert + anchor index ----------------------
+
+def q_provenance_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 hash-gated provenance upsert (kg/provenance_store.py:85-131):
+    previous manifest = subjects from even order keys; current run =
+    subjects from keys % 3 == 0 with every 4th hash changed — emits the
+    new manifest with the changed flag (regenerate signal)."""
+    from earcrawler_spark.operators.kg import provenance_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    subject = F.concat(F.lit("https://ear.example.org/resource/order/"),
+                       (k % 2000).cast("string"))
+    prev = orders.filter(k % 2 == 0).select(
+        subject.alias("subject"),
+        F.sha2(F.concat(F.lit("h"), (k % 2000).cast("string")), 256).alias("content_hash"),
+    ).dropDuplicates(["subject"])
+    current = orders.filter(k % 3 == 0).select(
+        subject.alias("subject"),
+        F.concat(F.lit("https://src/"), (k % 2000).cast("string")).alias("source_url"),
+        F.lit("ear.example.org").alias("provider"),
+        F.when(k % 5 == 0, F.lit("2024-03-01")).otherwise(F.lit("2024-03-01T08:00:00Z")).alias("retrieved_at"),
+        F.sha2(
+            F.concat(F.lit("h"), ((k % 2000) + F.when(k % 4 == 0, 1).otherwise(0)).cast("string")),
+            256,
+        ).alias("content_hash"),
+        F.lit(None).cast("string").alias("request_url"),
+    ).dropDuplicates(["subject"])
+    return (
+        provenance_upsert(prev, current)
+        .select("subject", "source_url", "provider", "retrieved_at",
+                "content_hash", "changed")
+        .orderBy("subject")
+    )
+
+
+_SQL_PROVENANCE = """
+WITH prev AS (
+  SELECT DISTINCT ON (subject) subject, content_hash FROM (
+    SELECT 'https://ear.example.org/resource/order/' || CAST(o_orderkey % 2000 AS VARCHAR) AS subject,
+           sha256('h' || CAST(o_orderkey % 2000 AS VARCHAR)) AS content_hash
+    FROM orders WHERE o_orderkey % 2 = 0)
+), cur AS (
+  SELECT DISTINCT ON (subject) * FROM (
+    SELECT 'https://ear.example.org/resource/order/' || CAST(o_orderkey % 2000 AS VARCHAR) AS subject,
+           'https://src/' || CAST(o_orderkey % 2000 AS VARCHAR) AS source_url,
+           'ear.example.org' AS provider,
+           CASE WHEN o_orderkey % 5 = 0 THEN '2024-03-01' ELSE '2024-03-01T08:00:00Z' END AS retrieved_at,
+           sha256('h' || CAST(o_orderkey % 2000 + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END AS VARCHAR)) AS content_hash
+    FROM orders WHERE o_orderkey % 3 = 0)
+)
+SELECT c.subject, c.source_url, c.provider,
+       CASE WHEN c.retrieved_at NOT LIKE '%T%' AND c.retrieved_at <> ''
+            THEN c.retrieved_at || 'T00:00:00Z' ELSE c.retrieved_at END AS retrieved_at,
+       c.content_hash,
+       (p.content_hash IS NULL OR p.content_hash <> c.content_hash) AS changed
+FROM cur c LEFT JOIN prev p ON c.subject = p.subject
+ORDER BY c.subject
+"""
+
+
+def q_part_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 part-anchor grouping (kg/anchors.py:43-59): anchors normalize
+    (strip / whitespace-collapse / empty-date -> null) and order
+    deterministically by (document_id, lower(title)) within each part."""
+    from earcrawler_spark.operators.kg import anchor_index
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    anchors = part.select(
+        F.concat(F.lit("PART-"), (k % 50).cast("string")).alias("part"),
+        F.concat(F.lit("D"), F.lpad(k.cast("string"), 6, "0")).alias("document_id"),
+        F.concat(F.lit("  "), F.when(k % 2 == 0, F.upper("p_name")).otherwise(F.col("p_name")), F.lit(" ")).alias("title"),
+        F.concat(F.lit(" https://fr.example/d/"), k.cast("string"), F.lit(" ")).alias("source_url"),
+        F.concat(F.lit("snippet   with    "), F.col("p_name"), F.lit("  spaces")).alias("snippet"),
+        F.when(k % 3 == 0, F.lit(" 2024-01-15 ")).when(k % 3 == 1, F.lit("")).alias("publication_date"),
+    )
+    return anchor_index(anchors).orderBy("part", "ordinal")
+
+
+_SQL_PART_ANCHORS = """
+WITH anchors AS (
+  SELECT 'PART-' || CAST(p_partkey % 50 AS VARCHAR) AS part,
+         'D' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS document_id,
+         trim('  ' || CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END || ' ') AS title,
+         trim(' https://fr.example/d/' || CAST(p_partkey AS VARCHAR) || ' ') AS source_url,
+         trim(regexp_replace('snippet   with    ' || p_name || '  spaces', '\\s+', ' ', 'g')) AS snippet,
+         CASE WHEN p_partkey % 3 = 0 THEN '2024-01-15' END AS publication_date
+  FROM part
+)
+SELECT part, document_id, title, source_url, snippet, publication_date,
+       row_number() OVER (PARTITION BY part ORDER BY document_id, lower(title)) AS ordinal
+FROM anchors
+ORDER BY part, ordinal
+"""
+
+
+FIDELITY_QUERIES["provenance_upsert"] = q_provenance_upsert
+FIDELITY_QUERIES["part_anchors"] = q_part_anchors
+FIDELITY_ORACLES["provenance_upsert"] = _SQL_PROVENANCE
+FIDELITY_ORACLES["part_anchors"] = _SQL_PART_ANCHORS
