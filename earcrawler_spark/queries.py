@@ -985,9 +985,42 @@ ORACLES: dict[str, str] = {
     "reconcile_parts": _SQL_RECONCILE,
     "connected_components": _SQL_CC,
     "events_json": _SQL_EVENTS_JSON,
-    # simhash_buckets / ann_lsh_buckets: intentionally no oracle
-    # (rows-only driver check; pytest covers recall/equivalence).
+    # ann_lsh_buckets: intentionally no oracle (rows-only; recall pytest)
+    "simhash_buckets": None,  # filled below
 }
+
+# SimHash IS SQL-expressible in the explode form: bit b of the 60-bit
+# token hash comes out of its hex digit (char 15-b/4, bit b%4), the vote
+# is a grouped sum(CASE), and the fingerprint reassembles via 1<<b —
+# exactly the Spark pipeline in similarity.simhash_fingerprints.
+_SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tk FROM documents
+), tok AS (
+  SELECT doc_id, unnest(tk) AS t FROM toks
+), h AS (
+  SELECT doc_id, substr(sha256(t), 1, 15) AS hx FROM tok
+), bits AS (
+  SELECT doc_id, b,
+    CAST(floor((strpos('0123456789abcdef',
+                substr(hx, 15 - CAST(b // 4 AS INT), 1)) - 1)
+         / pow(2, b % 4)) AS INT) % 2 AS bit
+  FROM h, unnest(range(0, 60)) AS u(b)
+), votes AS (
+  SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash,
+       CAST(coalesce(f.simhash, 0) % 65536 AS INT) AS bucket
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN fp f ON d.doc_id = f.doc_id
+ORDER BY d.doc_id
+"""
+ORACLES["simhash_buckets"] = _SQL_SIMHASH
 
 
 def _late_oracles() -> None:
