@@ -985,9 +985,35 @@ ORACLES: dict[str, str] = {
     "reconcile_parts": _SQL_RECONCILE,
     "connected_components": _SQL_CC,
     "events_json": _SQL_EVENTS_JSON,
-    # ann_lsh_buckets: intentionally no oracle (rows-only; recall pytest)
+    "ann_lsh_buckets": None,  # filled below
     "simhash_buckets": None,  # filled below
 }
+
+# Hyperplane-LSH buckets ARE oracle-expressible: plane component signs
+# come from sha256 hex-digit parity (int(hex[:8],16) % 2 == parity of the
+# 8th hex digit), dot products from an exploded (plane, dim) weight table.
+_SQL_ANN_LSH = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), planes AS (
+  SELECT p, d,
+    CASE WHEN (strpos('0123456789abcdef',
+               substr(sha256(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 8, 1))
+               - 1) % 2 = 1
+         THEN 1.0 ELSE -1.0 END AS w
+  FROM unnest(range(0, 12)) AS pp(p), unnest(range(0, 64)) AS dd(d)
+), dots AS (
+  SELECT e.vec_id, pl.p, sum(e.v[CAST(pl.d AS INT) + 1] * pl.w) AS dp
+  FROM e, planes pl GROUP BY e.vec_id, pl.p
+), buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n_vecs FROM buckets
+GROUP BY bucket ORDER BY n_vecs DESC, bucket
+"""
+ORACLES["ann_lsh_buckets"] = _SQL_ANN_LSH
 
 # SimHash IS SQL-expressible in the explode form: bit b of the 60-bit
 # token hash comes out of its hex digit (char 15-b/4, bit b%4), the vote

