@@ -1143,3 +1143,73 @@ FIDELITY_QUERIES["provenance_upsert"] = q_provenance_upsert
 FIDELITY_QUERIES["part_anchors"] = q_part_anchors
 FIDELITY_ORACLES["provenance_upsert"] = _SQL_PROVENANCE
 FIDELITY_ORACLES["part_anchors"] = _SQL_PART_ANCHORS
+
+
+# --- J10 full: hybrid RRF over the DENSE ranking ----------------------------
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 full hybrid fusion (retriever_ranking.py:190-245): BM25 top-50
+    (lexical signal) ⊕ embedding-cosine top-50 to the query vector
+    (dense signal, vec_id aligned with doc_id) → Σ 1/(60+rank) top-20.
+    This is the reference's actual BM25⊕dense pairing; rrf_fusion keeps
+    the lexical⊕length variant for comparison."""
+    from earcrawler_spark.operators.ranking import bm25_scores, rrf_fuse, topk_ranked
+    from earcrawler_spark.operators.similarity import cosine
+    from earcrawler_spark.queries import BM25_QUERY
+
+    docs = _t(spark, sf_dir, "documents")
+    bm25 = bm25_scores(docs, BM25_QUERY, k=50).select("doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dense_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    dense = topk_ranked(
+        dense_scored, [F.desc("sim"), F.col("doc_id")], 50
+    ).select("doc_id", "rank")
+    return rrf_fuse(bm25, dense, k=20)
+
+
+def _rrf_hybrid_sql() -> str:
+    from earcrawler_spark.operators.ranking import bm25_sql
+    from earcrawler_spark.queries import BM25_QUERY
+
+    return f"""
+WITH bm25 AS (
+  SELECT doc_id, rank FROM ({bm25_sql(BM25_QUERY, k=50)}) ranked
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), dense_scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), 'sum'))), 6)
+         AS sim
+  FROM e, q WHERE e.vec_id <> 0
+), dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+    FROM dense_scored) WHERE rank <= 50
+), fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.rank AS rank_a, b.rank AS rank_b,
+         round(coalesce(1.0 / (60 + a.rank), 0.0) + coalesce(1.0 / (60 + b.rank), 0.0), 6) AS rrf
+  FROM bm25 a FULL OUTER JOIN dense b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, rank_a, rank_b, rrf, fused_rank FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank FROM fused
+) WHERE fused_rank <= 20
+ORDER BY fused_rank
+"""
+
+
+FIDELITY_QUERIES["rrf_hybrid"] = q_rrf_hybrid
+FIDELITY_ORACLES["rrf_hybrid"] = _rrf_hybrid_sql()
