@@ -956,7 +956,10 @@ def q_reconcile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver actions in the query path."""
     from earcrawler_spark.operators.reconcile import RECONCILE_WEIGHTS
 
-    decided = q_reconcile_v2(spark, sf_dir)
+    # three aggregations consume the scored pairs — materialize once
+    # (107k rows) instead of re-running the blocking+scoring pipeline per
+    # aggregate
+    decided = q_reconcile_v2(spark, sf_dir).localCheckpoint()
     feats = sorted(RECONCILE_WEIGHTS)
     per_decision = decided.groupBy("decision").agg(
         F.count(F.lit(1)).alias("n_pairs"),
