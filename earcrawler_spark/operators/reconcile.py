@@ -156,14 +156,18 @@ def url_host(col):
 
 
 def _common_prefix_len(a, b):
-    """Length of the common prefix: count of i where the i-prefixes are
-    equal (monotone, so the count IS the length). O(n^2) on short names."""
+    """Length of the common prefix = (first differing position - 1), or
+    the shorter length when no position differs. O(n) per pair — the
+    earlier build-every-prefix-and-compare form was O(n^2) substring
+    construction and dominated full-corpus scoring."""
     n = F.least(F.length(a), F.length(b))
-    return F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: (n > 0) & (a.substr(F.lit(1), i) == b.substr(F.lit(1), i)),
-        )
+    ca, cb = F.split(a, ""), F.split(b, "")
+    diffs = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.element_at(ca, i) != F.element_at(cb, i),
+    )
+    return F.when(n == 0, F.lit(0)).otherwise(
+        F.coalesce(F.array_min(diffs) - 1, n)
     )
 
 
@@ -214,6 +218,11 @@ def blocking_pairs_v2(entities: DataFrame) -> DataFrame:
         ),
         ["kt", "kv"],
     )
+    # The keyed rows are narrow, so AQE coalesces them into a couple of
+    # partitions — which serializes the pair-generating self-join and the
+    # distinct. Pre-partition on the join key at full parallelism.
+    parallelism = entities.sparkSession.sparkContext.defaultParallelism
+    ok = ok.repartition(parallelism, "kt", "kv")
     a, b = ok.alias("a"), ok.alias("b")
     return (
         a.join(
