@@ -102,7 +102,11 @@ def lsh_candidate_pairs(
     are 256-bit hashes (only true near-dups collide).
     """
     nh = bands * rows
-    exploded = shingle_docs(docs, n).select(
+    # The per-(doc, shingle) hash projection is the dominant compute
+    # (bands*rows sha256 per row); a small parquet source arrives as ONE
+    # input split, which would serialize it — spread docs first.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    exploded = shingle_docs(docs.repartition(par, "doc_id"), n).select(
         "doc_id", F.explode("shingles").alias("s")
     )
     hashed = exploded.select(
