@@ -37,6 +37,13 @@ _DIGIT_RE = r"^\s*\(\s*([0-9]+)\s*\)\s"
 _ROMANS = ("i", "v", "x")
 
 
+def _strip(col: Column) -> Column:
+    """Python str.strip() equivalent: ALL whitespace, not just spaces
+    (F.trim removes 0x20 only — newline-edged blocks diverged from the
+    reference until the fuzz sweep caught it)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def _probe(line: Column, pos: Column, n_lines: Column) -> Column:
     return F.when(pos < n_lines - 1, F.concat(line, F.lit("\n"))).otherwise(line)
 
@@ -44,7 +51,7 @@ def _probe(line: Column, pos: Column, n_lines: Column) -> Column:
 def _pack_whitespace(text: Column, max_chars: int) -> Column:
     """Greedy <=max_chars whitespace packing (chunking.py:18-69) as an
     aggregate fold over the word array; over-long words hard-slice."""
-    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(_strip(text), r"\s+"), lambda w: w != "")
 
     def slices(w: Column) -> Column:
         return F.transform(
@@ -100,11 +107,11 @@ def _paragraphs(text: Column, max_chars: int) -> Column:
     """The reference's split-strategy ladder: blank lines, then single
     newlines, then whitespace packing (chunking.py:72-98)."""
     blank = F.filter(
-        F.transform(F.split(text, r"\n\s*\n"), lambda p: F.trim(p)),
+        F.transform(F.split(text, r"\n\s*\n"), lambda p: _strip(p)),
         lambda p: p != ""
     )
     nl = F.filter(
-        F.transform(F.split(text, r"\n+"), lambda p: F.trim(p)),
+        F.transform(F.split(text, r"\n+"), lambda p: _strip(p)),
         lambda p: p != "",
     )
     return (
@@ -153,7 +160,7 @@ def emit_chunks(containers: DataFrame, max_chars: int) -> DataFrame:
         F.when(
             over & ~F.col("split_error"),
             F.array_join(F.slice("paras", 1, kept_n), "\n\n"),
-        ).otherwise(F.trim("chunk_text")),
+        ).otherwise(_strip(F.col("chunk_text"))),
     )
     parents = c.select(
         "chunk_id",
@@ -222,6 +229,23 @@ def chunk_sections(
     )
     wsec = W.partitionBy("sec").orderBy("pos")
     blocked = flagged.withColumn("blk", F.count("letter").over(wsec))
+    # Reference fidelity quirk (found by the fuzz sweep): digit markers
+    # are detected inside the STRIPPED letter block
+    # (chunking.py:227,230), so a digit marker on the block's last
+    # non-blank line matches only when non-whitespace follows the ')'
+    # within the line — the restored-newline probe must not apply there.
+    w_blk_all = W.partitionBy("sec", "blk")
+    last_content_pos = F.max(
+        F.when(F.trim("line") != "", F.col("pos"))
+    ).over(w_blk_all)
+    blocked = blocked.withColumn(
+        "digit",
+        F.when(F.col("pos") < last_content_pos, F.col("digit")).otherwise(
+            F.when(
+                F.col("line").rlike(r"^\s*\(\s*[0-9]+\s*\)\s*\S"), F.col("digit")
+            )
+        ),
+    )
     wblk = W.partitionBy("sec", "blk").orderBy("pos")
     blocked = blocked.withColumn(
         "dblk", F.when(F.col("blk") > 0, F.count("digit").over(wblk)).otherwise(0)
@@ -256,13 +280,13 @@ def chunk_sections(
         )
 
     def block_text(pred):
-        return F.trim(
+        return _strip(
             F.array_join(F.transform(F.filter(ls, pred), lambda y: y["line"]), "\n")
         )
 
     base_c = mk(
         sec, sec, F.lit(None).cast("string"), "section",
-        F.lit(0), F.trim("raw"), F.lit(0),
+        F.lit(0), _strip(F.col("raw")), F.lit(0),
     )
 
     def letter_containers(m):

@@ -108,8 +108,21 @@ WITH tk AS (
   FROM (SELECT sec, pos, line,
                CASE WHEN pos < n_lines - 1 THEN line || chr(10) ELSE line END AS probe
         FROM lines)
-), blocked AS (
+), blocked0 AS (
   SELECT *, count(letter) OVER (PARTITION BY sec ORDER BY pos) AS blk FROM flagged
+), blocked0b AS (
+  SELECT *, max(CASE WHEN regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''
+                     THEN pos END) OVER (PARTITION BY sec, blk) AS last_content_pos
+  FROM blocked0
+), blocked AS (
+  -- digit markers live inside the STRIPPED letter block: on the block's
+  -- last content line they only count when non-ws follows the ')'
+  SELECT sec, pos, line, letter,
+         CASE WHEN pos < last_content_pos THEN digit
+              WHEN regexp_matches(line, '^\s*\(\s*[0-9]+\s*\)\s*\S') THEN digit
+         END AS digit,
+         blk
+  FROM blocked0b
 ), blocked2 AS (
   SELECT *, CASE WHEN blk > 0
                  THEN count(digit) OVER (PARTITION BY sec, blk ORDER BY pos)
@@ -124,11 +137,11 @@ WITH tk AS (
 ), base AS (
   SELECT sec AS chunk_id, sec AS section_id, CAST(NULL AS VARCHAR) AS parent_id,
          'section' AS chunk_kind, CAST(0 AS BIGINT) AS ordinal,
-         trim(raw) AS chunk_text, CAST(0 AS BIGINT) AS emit_order
+         regexp_replace(raw, '^\s+|\s+$', '', 'g') AS chunk_text, CAST(0 AS BIGINT) AS emit_order
   FROM secs
 ), lblocks AS (
   SELECT b.sec, b.blk, max(b.letter) AS letter,
-         trim(string_agg(b.line, chr(10) ORDER BY b.pos)) AS block_text,
+         regexp_replace(string_agg(b.line, chr(10) ORDER BY b.pos), '^\s+|\s+$', '', 'g') AS block_text,
          max(CASE WHEN b.digit IS NOT NULL THEN 1 ELSE 0 END) AS has_digits
   FROM blocked2 b JOIN lguard g USING (sec)
   WHERE b.blk > 0 AND g.letters_ok
@@ -144,7 +157,7 @@ WITH tk AS (
   FROM lblocks2 WHERE NOT split_digits
 ), dgroups AS (
   SELECT b.sec, b.blk, l.letter_id, b.dblk, max(b.digit) AS digit,
-         trim(string_agg(b.line, chr(10) ORDER BY b.pos)) AS block_text
+         regexp_replace(string_agg(b.line, chr(10) ORDER BY b.pos), '^\s+|\s+$', '', 'g') AS block_text
   FROM blocked2 b JOIN lblocks2 l ON b.sec = l.sec AND b.blk = l.blk AND l.split_digits
   GROUP BY b.sec, b.blk, l.letter_id, b.dblk
 ), lead AS (

@@ -72,6 +72,61 @@ def test_chunking_matches_model(spark, max_chars):
             assert g[col] == w[col], f"{key} {col}: {g[col]!r} != {w[col]!r}"
 
 
+def _random_section_text(rng) -> str:
+    """Grammar-random section text exercising arbitrary combinations of
+    the chunking rules: letter/digit/roman markers (with odd spacing),
+    blank lines, duplicate labels, long words, digit-edged paragraphs."""
+    words = ["alpha", "beta", "gamma", "delta", "x9", "10", "word0",
+             "1end", "licence", "export"]
+    lines = []
+    for _ in range(rng.randint(1, 14)):
+        kind = rng.random()
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(0, 9)))
+        if kind < 0.30:
+            letter = rng.choice("abcdivx")  # includes romans + dup chances
+            spaced = rng.choice([f"({letter})", f"( {letter} )", f"  ({letter})"])
+            lines.append(f"{spaced} {body}".rstrip())
+        elif kind < 0.45:
+            digit = rng.choice(["1", "2", "3", "12"])
+            lines.append(f"({digit}) {body}".rstrip())
+        elif kind < 0.55:
+            lines.append("")  # blank line -> paragraph boundary
+        elif kind < 0.60:
+            lines.append("w" * rng.randint(50, 90))  # long unbroken word
+        else:
+            lines.append(body)
+    text = "\n".join(lines).strip()
+    return text or "fallback body"
+
+
+def test_chunking_fuzz_matches_model(spark):
+    """200 grammar-random sections, one Spark pass, exact row equality vs
+    the sequential rule model (ids, kinds, ordinals, texts, errors)."""
+    import random
+
+    rng = random.Random(20260816)
+    cases = {f"f{i:03d}": _random_section_text(rng) for i in range(200)}
+    df = spark.createDataFrame(list(cases.items()), "section_id string, text string")
+    max_chars = 70
+    got = {
+        (r["chunk_id"],): r.asDict()
+        for r in chunk_sections(df, max_chars=max_chars).collect()
+    }
+    want = {}
+    for sec, text in cases.items():
+        for row in chunk_model(sec, text, max_chars):
+            want[(row["chunk_id"],)] = row
+    assert set(got) == set(want), (
+        f"extra={sorted(set(got) - set(want))[:5]} "
+        f"missing={sorted(set(want) - set(got))[:5]}"
+    )
+    for key, w in want.items():
+        g = got[key]
+        for col in ("section_id", "parent_id", "chunk_kind", "ordinal",
+                    "chunk_text", "split_error"):
+            assert g[col] == w[col], (key, col, g[col], w[col])
+
+
 def test_emit_order_is_document_order(spark):
     df = spark.createDataFrame(
         [("s5", FIXTURES["s5"])], "section_id string, text string"
