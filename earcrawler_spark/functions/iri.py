@@ -26,13 +26,16 @@ _SHA256_RE = r"^[0-9a-fA-F]{64}$"
 
 
 def quote_segment(col: Column) -> Column:
-    """urllib.parse.quote(value, safe='-._~') for ASCII input."""
+    """urllib.parse.quote(value, safe='-._~'): unreserved characters pass
+    through, everything else percent-encodes its UTF-8 BYTES (hex(encode)
+    gives the byte string; '%' is injected per byte pair) — byte-identical
+    to urllib for any input, fuzz-verified."""
     chars = F.filter(F.split(col, ""), lambda c: c != "")
     return F.array_join(
         F.transform(
             chars,
             lambda c: F.when(c.rlike(_UNRESERVED), c).otherwise(
-                F.concat(F.lit("%"), F.lpad(F.upper(F.hex(F.ascii(c))), 2, "0"))
+                F.regexp_replace(F.hex(F.encode(c, "UTF-8")), "(..)", r"%$1")
             ),
         ),
         "",

@@ -634,7 +634,8 @@ def _iri_sql() -> str:
         return (
             "array_to_string(list_transform(list_filter(string_split("
             f"{x}, ''), c -> c <> ''), c -> CASE WHEN regexp_matches(c, "
-            "'^[A-Za-z0-9._~-]$') THEN c ELSE '%' || printf('%02X', ascii(c)) "
+            "'^[A-Za-z0-9._~-]$') THEN c ELSE "
+            "regexp_replace(hex(encode(c)), '(..)', '%\\1', 'g') "
             "END), '')"
         )
 
