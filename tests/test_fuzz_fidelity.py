@@ -129,6 +129,67 @@ def test_fuzz_date_normalization(spark):
         assert got[i] == model(v), (v, got[i], model(v))
 
 
+def test_fuzz_temporal_classification(spark):
+    import datetime as dt
+
+    from earcrawler_spark.operators.temporal import classify_temporal
+
+    AS_OF = "2020-06-15"
+
+    def model(rows):
+        as_of = dt.date.fromisoformat(AS_OF)
+        chosen = {}
+        for r in rows:
+            _, sec, snap, _, _ = r
+            if sec and snap and snap <= as_of:
+                if sec not in chosen or snap > chosen[sec]:
+                    chosen[sec] = snap
+        out = {}
+        for doc_id, sec, snap, eff_from, eff_to in rows:
+            if eff_from or eff_to:
+                if eff_from and as_of < eff_from:
+                    st = ("future", "effective_from_after_query_date")
+                elif eff_to and as_of > eff_to:
+                    st = ("expired", "effective_to_before_query_date")
+                else:
+                    st = ("applicable", "within_effective_window")
+            elif sec and snap:
+                c = chosen.get(sec)
+                if c is None:
+                    st = ("future", "no_snapshot_at_or_before_query_date")
+                elif snap == c:
+                    st = ("applicable", "latest_snapshot_at_or_before_query_date")
+                elif snap > as_of:
+                    st = ("future", "snapshot_after_query_date")
+                else:
+                    st = ("superseded", "older_snapshot_superseded_for_query_date")
+            else:
+                st = ("unknown", "no_temporal_metadata")
+            out[doc_id] = st
+        return out
+
+    rng = random.Random(SEED)
+
+    def rand_date():
+        if rng.random() < 0.3:
+            return None
+        return dt.date(2020, rng.randint(1, 12), rng.randint(1, 28))
+
+    rows = []
+    for i in range(300):
+        sec = rng.choice([None, "A", "B", "C", "D"])
+        rows.append((i, sec, rand_date(), rand_date(), rand_date()))
+    schema = ("doc_id long, section_id string, snapshot_date date, "
+              "effective_from date, effective_to date")
+    got = {
+        r["doc_id"]: (r["temporal_status"], r["temporal_reason"])
+        for r in classify_temporal(spark.createDataFrame(rows, schema), AS_OF).collect()
+    }
+    want = model(rows)
+    for i in range(300):
+        assert got[i] == want[i], (rows[i], got[i], want[i])
+
+
 def test_fuzz_iri_quote_and_sections(spark):
     from earcrawler_spark.functions import iri as I
 
