@@ -129,6 +129,91 @@ def test_fuzz_date_normalization(spark):
         assert got[i] == model(v), (v, got[i], model(v))
 
 
+def test_fuzz_record_entity_merge(spark):
+    from pyspark.sql.types import (
+        ArrayType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    from earcrawler_spark.operators.records import merge_corpus_records
+
+    def model(frags):
+        out = {}
+        by_rid = {}
+        for f in frags:
+            by_rid.setdefault(f[0], []).append(f)
+        for rid, fs in by_rid.items():
+            fs_sorted = sorted(fs, key=lambda f: f[1])
+            ids = sorted({f[2] for f in fs})
+            def first_nonempty(idx):
+                for f in fs_sorted:
+                    if f[idx]:
+                        return f[idx]
+                return None
+            ents = {}
+            for f in fs:
+                for bucket_raw, vals in (f[5] or {}).items():
+                    b = bucket_raw.strip().upper()
+                    if not b:
+                        continue
+                    clean = {v.strip() for v in vals if v and v.strip()}
+                    if clean:
+                        ents.setdefault(b, set()).update(clean)
+            out[rid] = {
+                "identifiers": ids,
+                "source_url": first_nonempty(4),
+                "conflict": len({f[3] for f in fs}) > 1,
+                "entities": {b: sorted(v) for b, v in ents.items()},
+            }
+        return out
+
+    rng = random.Random(SEED)
+    buckets = ["ORG", " org ", "PROGRAM", "", "x"]
+    names = ["Acme", " Beta ", "", "Gamma", "D-1"]
+    frags = []
+    for i in range(300):
+        rid = f"r{rng.randint(0, 40)}"
+        ents = {
+            rng.choice(buckets): [rng.choice(names) for _ in range(rng.randint(0, 3))]
+            for _ in range(rng.randint(0, 2))
+        }
+        frags.append((
+            rid, i, f"id{i}", f"fp{rng.randint(0, 1)}" if rng.random() < 0.2 else "fp0",
+            rng.choice([None, "", f"https://u/{i}"]), ents,
+        ))
+    schema = StructType([
+        StructField("record_id", StringType()),
+        StructField("seq", LongType()),
+        StructField("identifier", StringType()),
+        StructField("content_sha256", StringType()),
+        StructField("source_url", StringType()),
+        StructField("entities", MapType(StringType(), ArrayType(StringType()))),
+    ])
+    rows = [
+        (rid, seq, ident, fp, url, ents, None, None, None, "t")
+        for rid, seq, ident, fp, url, ents in frags
+    ]
+    full_schema = StructType(
+        schema.fields[:5]
+        + [StructField(c, StringType()) for c in ("date", "provider", "section", "paragraph")]
+        + [schema.fields[5]]
+    )
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[6], r[7], r[8], r[9], r[5]) for r in rows],
+        full_schema,
+    )
+    got = {
+        r["record_id"]: r.asDict() for r in merge_corpus_records(df).collect()
+    }
+    want = model(frags)
+    assert set(got) == set(want)
+    for rid, w in want.items():
+        g = got[rid]
+        assert g["identifiers"] == w["identifiers"], rid
+        assert g["source_url"] == w["source_url"], (rid, g["source_url"], w["source_url"])
+        assert g["conflict"] == w["conflict"], rid
+        assert g["entities"] == w["entities"], (rid, g["entities"], w["entities"])
+
+
 def test_fuzz_temporal_classification(spark):
     import datetime as dt
 
