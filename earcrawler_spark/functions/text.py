@@ -238,11 +238,15 @@ def lang_id_sql(expr: str) -> str:
 # --- Date normalization (corpus/metadata.py:24-31) -----------------------
 DEFAULT_DATE = "1970-01-01"
 # the fromisoformat-shaped inputs this normalizer attempts to parse
-# (padded date, optional T/space time, optional offset/Z) — anything
+# (padded date, optional T/space time down to hour-only 'YYYY-MM-DDTHH',
+# '.'- or ','-separated fractional seconds, optional offset/Z) — anything
 # looser falls through to the dashed-shape keep / default rules exactly
-# like datetime.fromisoformat's ValueError
+# like datetime.fromisoformat's ValueError. Deliberately narrower than
+# Python 3.11 fromisoformat in ways out of this corpus's domain: ISO week
+# dates ('2024-W01-1'), ordinal dates, and colon-less ±HHMM offsets are
+# not accepted and take the 1970-01-01 default.
 _ISO_SHAPE = (
-    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?"
+    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}(:\d{2}(:\d{2}([.,]\d+)?)?)?"
     r"(Z|[+-]\d{2}:\d{2})?)?$"
 )
 

@@ -290,7 +290,7 @@ def chunk_sections(
     )
 
     def letter_containers(m):
-        b = m["blk"]
+        b = m["blk"].cast("long")
         letter_id = F.concat(sec, F.lit("("), m["letter"], F.lit(")"))
         in_block = lambda y: y["blk"] == b
         dl = F.filter(ls, lambda y: in_block(y) & y["digit"].isNotNull())
@@ -298,13 +298,19 @@ def chunk_sections(
             F.array_distinct(F.transform(dl, lambda y: y["digit"]))
         ) == F.size(dl)
         split = (F.size(dl) > 0) & digits_ok
+        # Band layout: letter bands are 1e9 apart, digit sub-bands 1e6
+        # apart, so each container has ~1e6 headroom for '#pNNNN'
+        # paragraph children (emit_order + pidx + 1) before touching the
+        # next sibling's band — a >=1000-paragraph split no longer
+        # collides (long arithmetic; 1e6 paragraphs per chunk is beyond
+        # any max_chars in domain).
         whole = mk(
             letter_id, letter_id, sec, "subsection",
-            b, block_text(in_block), b * 1000000,
+            b, block_text(in_block), b * 1000000000,
         )
         lead = mk(
             letter_id, letter_id, sec, "subsection",
-            b, block_text(lambda y: in_block(y) & (y["dblk"] == 0)), b * 1000000,
+            b, block_text(lambda y: in_block(y) & (y["dblk"] == 0)), b * 1000000000,
         )
         dchunks = F.transform(
             dl,
@@ -313,7 +319,7 @@ def chunk_sections(
                 F.concat(letter_id, F.lit("("), d["digit"], F.lit(")")),
                 letter_id, "subsection", d["dblk"],
                 block_text(lambda y: in_block(y) & (y["dblk"] == d["dblk"])),
-                b * 1000000 + d["dblk"] * 1000,
+                b * 1000000000 + d["dblk"].cast("long") * 1000000,
             ),
         )
         return F.when(~split, F.array(whole)).otherwise(

@@ -53,15 +53,22 @@ def anchor_index(anchors: DataFrame) -> DataFrame:
     publication_date)` -> the same rows normalized with a 1-based
     `ordinal` following the reference's (document_id, lower(title))
     sort."""
+    # str.strip() parity: ALL whitespace, not F.trim's 0x20-only. And the
+    # reference's `pd.strip() if pd else None` keeps '' for a truthy
+    # whitespace-only date (strip -> '') and yields None only for falsy
+    # input — preserve that ''-vs-null distinction for byte-for-byte
+    # manifest comparisons.
+    strip = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")
     normed = anchors.select(
         "part",
         F.col("document_id"),
-        F.trim("title").alias("title"),
-        F.trim("source_url").alias("source_url"),
-        F.trim(F.regexp_replace("snippet", r"\s+", " ")).alias("snippet"),
+        strip("title").alias("title"),
+        strip("source_url").alias("source_url"),
+        strip(F.regexp_replace("snippet", r"\s+", " ")).alias("snippet"),
         F.when(
-            F.trim(F.coalesce("publication_date", F.lit(""))) != "",
-            F.trim("publication_date"),
+            F.col("publication_date").isNotNull()
+            & (F.col("publication_date") != ""),
+            strip("publication_date"),
         ).alias("publication_date"),
     )
     w = W.partitionBy("part").orderBy("document_id", F.lower("title"))

@@ -130,7 +130,10 @@ def soundex_v2(norm_col):
     + consonant digits (no adjacent-dedup, vowels/digits/spaces dropped),
     4 chars right-padded with '0'; empty input stays empty."""
     up = F.upper(norm_col)
-    tail = up.substr(F.lit(2), F.length(up))
+    # Strip input digits 0-9 from the tail BEFORE the consonant translate:
+    # the reference maps every non-consonant (incl. digits) to '', so a
+    # '1'-'6' in the input must not survive as a fake vote digit.
+    tail = F.translate(up.substr(F.lit(2), F.length(up)), "0123456789", "")
     digits = F.regexp_replace(
         F.translate(tail, "BFPVCGJKQSXZDTLMNR", "111122222222334556"),
         "[^1-6]",
@@ -144,7 +147,8 @@ def soundex_v2_sql(norm_expr: str) -> str:
     return (
         f"CASE WHEN {norm_expr} = '' THEN '' ELSE "
         f"rpad(substr(upper({norm_expr})[1] || regexp_replace(translate("
-        f"substr(upper({norm_expr}), 2), 'BFPVCGJKQSXZDTLMNR', "
+        f"translate(substr(upper({norm_expr}), 2), '0123456789', ''), "
+        f"'BFPVCGJKQSXZDTLMNR', "
         f"'111122222222334556'), '[^1-6]', '', 'g'), 1, 4), 4, '0') END"
     )
 

@@ -96,8 +96,16 @@ def merge_corpus_records(
         F.array_sort(F.collect_set("identifier")).alias("identifiers"),
         *[first_nonempty(c).alias(c) for c in SCALAR_FIELDS if c != "identifier"],
         F.count(F.lit(1)).alias("n_fragments"),
-        F.countDistinct("content_sha256").alias("n_fingerprints"),
-        F.min("content_sha256").alias("content_sha256"),
+        # empty fingerprints neither conflict nor win the merged value:
+        # the reference only raises when BOTH sides are non-empty and
+        # back-fills the non-empty one (corpus/records.py:84-125)
+        F.countDistinct(
+            F.when(F.col("content_sha256") != "", F.col("content_sha256"))
+        ).alias("n_fingerprints"),
+        F.coalesce(
+            F.min(F.when(F.col("content_sha256") != "", F.col("content_sha256"))),
+            F.lit(""),
+        ).alias("content_sha256"),
     )
     conflict = F.col("n_fingerprints") > 1
     if on_conflict == "error":

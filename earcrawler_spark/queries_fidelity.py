@@ -153,7 +153,7 @@ WITH tk AS (
 ), whole_letter AS (
   SELECT letter_id AS chunk_id, letter_id AS section_id, sec AS parent_id,
          'subsection' AS chunk_kind, blk AS ordinal, block_text AS chunk_text,
-         CAST(blk * 1000000 AS BIGINT) AS emit_order
+         CAST(blk * 1000000000 AS BIGINT) AS emit_order
   FROM lblocks2 WHERE NOT split_digits
 ), dgroups AS (
   SELECT b.sec, b.blk, l.letter_id, b.dblk, max(b.digit) AS digit,
@@ -163,14 +163,14 @@ WITH tk AS (
 ), lead AS (
   SELECT letter_id AS chunk_id, letter_id AS section_id, sec AS parent_id,
          'subsection' AS chunk_kind, blk AS ordinal, block_text AS chunk_text,
-         CAST(blk * 1000000 AS BIGINT) AS emit_order
+         CAST(blk * 1000000000 AS BIGINT) AS emit_order
   FROM dgroups WHERE dblk = 0 AND block_text <> ''
 ), dchunks AS (
   SELECT letter_id || '(' || digit || ')' AS chunk_id,
          letter_id || '(' || digit || ')' AS section_id,
          letter_id AS parent_id, 'subsection' AS chunk_kind, dblk AS ordinal,
          block_text AS chunk_text,
-         CAST(blk * 1000000 + dblk * 1000 AS BIGINT) AS emit_order
+         CAST(blk * 1000000000 + dblk * 1000000 AS BIGINT) AS emit_order
   FROM dgroups WHERE dblk > 0
 ), containers AS (
   SELECT * FROM base UNION ALL SELECT * FROM whole_letter
@@ -560,14 +560,14 @@ WITH frags AS (
 ), scal AS (
   SELECT record_id,
          array_to_string(list_sort(list(DISTINCT identifier)), '|') AS identifiers,
-         min(content_sha256) AS content_sha256,
+         coalesce(min(nullif(content_sha256, '')), '') AS content_sha256,
          arg_min(source_url, seq) FILTER (WHERE source_url IS NOT NULL AND source_url <> '') AS source_url,
          arg_min(date_s, seq) FILTER (WHERE date_s IS NOT NULL AND date_s <> '') AS "date",
          arg_min(provider, seq) FILTER (WHERE provider IS NOT NULL AND provider <> '') AS provider,
          arg_min(section, seq) FILTER (WHERE section IS NOT NULL AND section <> '') AS section,
          arg_min(paragraph, seq) FILTER (WHERE paragraph IS NOT NULL AND paragraph <> '') AS paragraph,
          count(*) AS n_fragments,
-         count(DISTINCT content_sha256) > 1 AS conflict
+         count(DISTINCT nullif(content_sha256, '')) > 1 AS conflict
   FROM frags GROUP BY record_id
 )
 SELECT s.record_id, s.identifiers, s.content_sha256, s.source_url, s."date",
@@ -1131,10 +1131,13 @@ def q_part_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = part.select(
         F.concat(F.lit("PART-"), (k % 50).cast("string")).alias("part"),
         F.concat(F.lit("D"), F.lpad(k.cast("string"), 6, "0")).alias("document_id"),
-        F.concat(F.lit("  "), F.when(k % 2 == 0, F.upper("p_name")).otherwise(F.col("p_name")), F.lit(" ")).alias("title"),
+        F.concat(F.lit("\t "), F.when(k % 2 == 0, F.upper("p_name")).otherwise(F.col("p_name")), F.lit(" \n")).alias("title"),
         F.concat(F.lit(" https://fr.example/d/"), k.cast("string"), F.lit(" ")).alias("source_url"),
         F.concat(F.lit("snippet   with    "), F.col("p_name"), F.lit("  spaces")).alias("snippet"),
-        F.when(k % 3 == 0, F.lit(" 2024-01-15 ")).when(k % 3 == 1, F.lit("")).alias("publication_date"),
+        # k%3==0: padded real date -> stripped; k%3==1: truthy
+        # whitespace-only -> '' (reference keeps empty string, not null);
+        # k%3==2: NULL -> null
+        F.when(k % 3 == 0, F.lit(" 2024-01-15 ")).when(k % 3 == 1, F.lit("  ")).alias("publication_date"),
     )
     return anchor_index(anchors).orderBy("part", "ordinal")
 
@@ -1143,10 +1146,11 @@ _SQL_PART_ANCHORS = """
 WITH anchors AS (
   SELECT 'PART-' || CAST(p_partkey % 50 AS VARCHAR) AS part,
          'D' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS document_id,
-         trim('  ' || CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END || ' ') AS title,
+         regexp_replace(chr(9) || ' ' || CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END || ' ' || chr(10), '^\\s+|\\s+$', '', 'g') AS title,
          trim(' https://fr.example/d/' || CAST(p_partkey AS VARCHAR) || ' ') AS source_url,
          trim(regexp_replace('snippet   with    ' || p_name || '  spaces', '\\s+', ' ', 'g')) AS snippet,
-         CASE WHEN p_partkey % 3 = 0 THEN '2024-01-15' END AS publication_date
+         CASE WHEN p_partkey % 3 = 0 THEN '2024-01-15'
+              WHEN p_partkey % 3 = 1 THEN '' END AS publication_date
   FROM part
 )
 SELECT part, document_id, title, source_url, snippet, publication_date,

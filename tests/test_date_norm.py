@@ -26,6 +26,10 @@ CASES = [
     "1998-02-30",        # shaped, invalid day -> kept verbatim
     "not a date", "19980102", "98-07-04",
     "1998-7-4",          # unpadded: fromisoformat rejects -> DEFAULT
+    "1998-07-04T10",     # hour-only time, fromisoformat accepts
+    "1998-07-04T10+05:00",
+    "1998-07-04T10:30:00,123456",  # comma fractional seconds
+    "1998-07-04T10:30:00.123456",
 ]
 
 

@@ -161,7 +161,8 @@ def test_fuzz_record_entity_merge(spark):
             out[rid] = {
                 "identifiers": ids,
                 "source_url": first_nonempty(4),
-                "conflict": len({f[3] for f in fs}) > 1,
+                # empty fingerprints neither conflict nor participate
+                "conflict": len({f[3] for f in fs if f[3]}) > 1,
                 "entities": {b: sorted(v) for b, v in ents.items()},
             }
         return out
@@ -177,7 +178,8 @@ def test_fuzz_record_entity_merge(spark):
             for _ in range(rng.randint(0, 2))
         }
         frags.append((
-            rid, i, f"id{i}", f"fp{rng.randint(0, 1)}" if rng.random() < 0.2 else "fp0",
+            rid, i, f"id{i}",
+            rng.choice(["fp0", "fp0", "fp0", "fp1", ""]),
             rng.choice([None, "", f"https://u/{i}"]), ents,
         ))
     schema = StructType([

@@ -72,6 +72,10 @@ def test_soundex_vectors(spark):
         ("acme timber", "A253"),  # c->2, m->5, t->3 (space dropped), ...
         ("", ""),
         ("a", "A000"),
+        # digit-bearing names: input digits must be dropped, not kept as
+        # fake vote digits (reference _soundex maps non-consonants to '')
+        ("a1 logistics", "A422"),
+        ("route 66 freight", "R316"),
     ]
     df = spark.createDataFrame([(v,) for v, _ in vecs], "s string")
     got = dict(
