@@ -1074,6 +1074,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(FIDELITY_QUERIES)
     ORACLES.update(FIDELITY_ORACLES)
+    from earcrawler_spark.queries_rag import RAG_ORACLES, RAG_QUERIES
+
+    QUERIES.update(RAG_QUERIES)
+    ORACLES.update(RAG_ORACLES)
 
 
 _late_oracles()

@@ -1,0 +1,450 @@
+"""RAG retrieval surface: citation boost + the composed
+retrieve_regulation_context pipeline.
+
+Reference:
+- rag/retriever_citation_policy.py:12-31,89-137 — explicit `§ ddd.dd`
+  citations force their sections into the top-k (see operators/citation).
+- rag/retrieval_runtime.py:188-297 (`retrieve_regulation_context`) +
+  rag/retriever.py:461-492 (`Retriever.query`, hybrid mode) +
+  rag/retriever_ranking.py:180-245 — the composed pipeline: temporal
+  over-fetch query_k = max(12, 4*top_k); hybrid candidate_k =
+  min(total, max(20, 4*query_k)); dense + BM25 → RRF(60) top-query_k;
+  citation boost at query_k; as-of temporal selection over the
+  candidates; applicable docs truncated to top_k; textless docs skipped
+  after truncation; section ids via normalize_section_id
+  (retrieval_runtime.py:134-148).
+
+The metadata table is the documents corpus annotated with deterministic
+EAR section ids, chunk kinds, and temporal lineage fields, so every
+branch of the policy (present / exact-parenthesised / base / miss
+targets, +100/+60/+10/+5 best-row scoring, applicable / superseded /
+future / expired / unknown statuses) fires on the synthetic domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from earcrawler_spark.operators.citation import (
+    apply_citation_boost,
+    canonical_section_sql,
+    extract_targets,
+    targets_sql,
+)
+
+RAG_QUERIES: dict = {}
+RAG_ORACLES: dict = {}
+
+BM25_TERMS = ["spark", "join", "stream"]
+
+# citation_boost fixture: EAR-703.5 is present in the BM25 top-10 at
+# sf0.01 with a non-empty section_id (skip path — note the top-ranked
+# doc 14 carries section_id '' so citing ITS section would boost, which
+# is genuine reference behavior); § 703.4(b) yields an exact
+# parenthesised hit (doc with section_id 'EAR-703.4(b)') AND a
+# base-section boost; § 702.4 boosts a plain section; 999.99 has no
+# metadata (miss path).
+CITATION_PROMPT = (
+    "Under 703.5 and § 703.4(b), does § 702.4 still control re-exports "
+    "per 999.99?"
+)
+CITATION_K = 10
+
+# rag_context: 702.4 is inside the fused top-20 at sf0.01 (skip),
+# § 703.4 is outside (boost fires), § 999.99 misses.
+RAG_PROMPT = (
+    "As of 2020-06-15, does § 703.4 remain in force alongside 702.4, "
+    "and what about § 999.99?"
+)
+RAG_AS_OF = "2020-06-15"
+RAG_TOP_K = 5
+# reference: temporal_candidate_count(5) = max(12, 5*4) = 20, then
+# hybrid_candidate_count(20, total) = min(total, max(20, 20*4)) = 80
+# on every shipped sf (total >= 500).
+RAG_QUERY_K = 20
+RAG_CAND_K = 80
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _rag_metadata(docs: DataFrame) -> DataFrame:
+    """Chunk-style metadata rows over the documents corpus: row_id,
+    plain + effective (possibly parenthesised) section ids, doc-id
+    string forms exercising the exact/child/opaque branches, chunk
+    kind/ordinal, and as-of temporal lineage fields."""
+    d = F.col("doc_id")
+    sec_base = F.concat(
+        F.lit("EAR-"),
+        (d % 37 + 700).cast("string"),
+        F.lit("."),
+        (d % 7 + 1).cast("string"),
+    )
+    sec_eff = F.when(d % 11 == 3, F.concat(sec_base, F.lit("(b)"))).otherwise(
+        sec_base
+    )
+    return docs.select(
+        d.alias("row_id"),
+        sec_base.alias("sec_base"),
+        F.when(d % 5 == 4, F.lit("")).otherwise(sec_eff).alias("section_id"),
+        F.when(d % 3 == 0, sec_eff)
+        .when(d % 3 == 1, F.concat(sec_base, F.lit("#p0001")))
+        .otherwise(F.concat(F.lit("D"), d.cast("string")))
+        .alias("mdoc_id"),
+        F.when(d % 3 == 0, F.lit("section"))
+        .otherwise(F.lit("paragraph"))
+        .alias("chunk_kind"),
+        F.when(d % 3 == 0, F.lit(0)).otherwise(d % 4).cast("int").alias("ordinal"),
+        F.when(d % 17 == 0, F.lit(None).cast("date"))
+        .otherwise(F.date_add(F.to_date(F.lit("2020-01-01")), (d % 300).cast("int")))
+        .alias("snapshot_date"),
+        F.when(
+            d % 4 == 1,
+            F.date_add(F.to_date(F.lit("2020-04-01")), (d % 120).cast("int")),
+        ).alias("effective_from"),
+        F.when(
+            d % 4 == 2,
+            F.date_add(F.to_date(F.lit("2020-03-01")), (d % 150).cast("int")),
+        ).alias("effective_to"),
+    )
+
+
+_SQL_META = """
+  SELECT doc_id AS row_id,
+         'EAR-' || CAST(doc_id % 37 + 700 AS VARCHAR) || '.' || CAST(doc_id % 7 + 1 AS VARCHAR) AS sec_base,
+         CASE WHEN doc_id % 11 = 3
+              THEN 'EAR-' || CAST(doc_id % 37 + 700 AS VARCHAR) || '.' || CAST(doc_id % 7 + 1 AS VARCHAR) || '(b)'
+              ELSE 'EAR-' || CAST(doc_id % 37 + 700 AS VARCHAR) || '.' || CAST(doc_id % 7 + 1 AS VARCHAR) END AS sec_eff,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE DATE '2020-01-01' + CAST(doc_id % 300 AS INT) END AS snapshot_date,
+         CASE WHEN doc_id % 4 = 1 THEN DATE '2020-04-01' + CAST(doc_id % 120 AS INT) END AS effective_from,
+         CASE WHEN doc_id % 4 = 2 THEN DATE '2020-03-01' + CAST(doc_id % 150 AS INT) END AS effective_to
+  FROM documents
+"""
+
+_SQL_META2 = f"""
+  SELECT row_id, sec_base,
+         CASE WHEN row_id % 5 = 4 THEN '' ELSE sec_eff END AS section_id,
+         CASE WHEN row_id % 3 = 0 THEN sec_eff
+              WHEN row_id % 3 = 1 THEN sec_base || '#p0001'
+              ELSE 'D' || CAST(row_id AS VARCHAR) END AS mdoc_id,
+         CASE WHEN row_id % 3 = 0 THEN 'section' ELSE 'paragraph' END AS chunk_kind,
+         CASE WHEN row_id % 3 = 0 THEN 0 ELSE row_id % 4 END AS ordinal,
+         snapshot_date, effective_from, effective_to
+  FROM ({_SQL_META})
+"""
+
+
+def _boost_sql(prompt: str, k: int) -> str:
+    """DuckDB mirror of apply_citation_boost over CTEs `results`
+    (rank, doc_id, section_id, score) and `meta` (_SQL_META2 shape);
+    yields CTE fragments ending in `boosted_out` (rank, doc_id,
+    section_id, score, boost_reason, ref_id)."""
+    canon_res = canonical_section_sql(
+        "coalesce(nullif(section_id, ''), CAST(doc_id AS VARCHAR))"
+    )
+    canon_doc = canonical_section_sql("CAST(doc_id AS VARCHAR)")
+    canon_meta = canonical_section_sql(
+        "coalesce(nullif(section_id, ''), nullif(mdoc_id, ''))"
+    )
+    prompt_lit = prompt.replace("'", "''")
+    return f"""
+targets AS ({targets_sql(f"'{prompt_lit}'")}),
+present AS (
+  SELECT DISTINCT coalesce({canon_res}, {canon_doc}) AS sec
+  FROM results
+  WHERE coalesce({canon_res}, {canon_doc}) IS NOT NULL
+), missing AS (
+  SELECT t.target, t.tpos FROM targets t
+  LEFT JOIN present p ON t.target = p.sec WHERE p.sec IS NULL
+), cand AS (
+  SELECT m.*, t.target, t.tpos,
+         (CASE WHEN m.mdoc_id = t.target THEN 100
+               WHEN m.mdoc_id LIKE t.target || '#%' THEN 60 ELSE 0 END
+          + CASE WHEN m.chunk_kind = 'section' THEN 10 ELSE 0 END
+          + CASE WHEN m.ordinal = 0 THEN 5 ELSE 0 END) AS row_score
+  FROM meta m JOIN missing t ON {canon_meta} = t.target
+), best AS (
+  SELECT target, tpos, mdoc_id, section_id, row_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY target
+                                 ORDER BY row_score DESC, row_id) AS rn
+    FROM cand) WHERE rn = 1
+), mx AS (
+  SELECT coalesce(max(score), 0.0) AS mx FROM results
+), boosted AS (
+  SELECT row_number() OVER (ORDER BY tpos) - 1 AS bidx, target, mdoc_id,
+         section_id, row_id
+  FROM best
+), unioned AS (
+  SELECT 0 AS _grp, bidx AS _ord, mdoc_id AS doc_id,
+         coalesce(section_id, target) AS section_id,
+         CAST(round(mx + 1.0 - bidx * 0.001, 6) AS DOUBLE) AS score,
+         'explicit_citation' AS boost_reason,
+         CAST(row_id AS VARCHAR) AS ref_id
+  FROM boosted, mx
+  UNION ALL
+  SELECT 1, rank, CAST(doc_id AS VARCHAR), section_id, score,
+         CAST(NULL AS VARCHAR), CAST(doc_id AS VARCHAR)
+  FROM results
+), boosted_out AS (
+  SELECT row_number() OVER (ORDER BY _grp, _ord) AS rank,
+         doc_id, section_id, score, boost_reason, ref_id
+  FROM (SELECT * FROM unioned ORDER BY _grp, _ord LIMIT {max(1, k)})
+)"""
+
+
+# --- citation_boost ----------------------------------------------------------
+
+def q_citation_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-boost policy (retriever_citation_policy.py:89-137) over
+    the BM25 top-10: cited-but-missing sections are prepended from their
+    best metadata row with score max+1.0-idx*0.001; present targets are
+    skipped; targets without metadata are dropped."""
+    from earcrawler_spark.operators.ranking import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = _rag_metadata(docs)
+    bm = bm25_scores(docs, BM25_TERMS, k=CITATION_K)
+    results = bm.join(
+        meta.select(F.col("row_id").alias("doc_id"), "section_id"), "doc_id"
+    ).select("rank", "doc_id", "section_id", "score")
+    out = apply_citation_boost(
+        results, meta, extract_targets(spark, CITATION_PROMPT), k=CITATION_K
+    )
+    return out.select(
+        "rank", "doc_id", "section_id", "score", "boost_reason"
+    ).orderBy("rank")
+
+
+def _citation_boost_sql() -> str:
+    from earcrawler_spark.operators.ranking import bm25_sql
+
+    return f"""
+WITH meta AS ({_SQL_META2}),
+results AS (
+  SELECT b.rank, b.doc_id, m.section_id, b.score
+  FROM ({bm25_sql(BM25_TERMS, k=CITATION_K)}) b
+  JOIN meta m ON b.doc_id = m.row_id
+),
+{_boost_sql(CITATION_PROMPT, CITATION_K)}
+SELECT rank, doc_id, section_id, score, boost_reason
+FROM boosted_out ORDER BY rank
+"""
+
+
+# --- rag_context -------------------------------------------------------------
+
+def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's #3 entry point end-to-end as ONE Spark plan:
+    BM25 + dense over-fetch (candidate_k=80) → RRF(60) top-20 →
+    citation boost (query_k=20) → as-of temporal classification over the
+    candidates → applicable-only, truncated to top_k=5, textless rows
+    skipped after truncation (retrieval_runtime.py:188-297)."""
+    from earcrawler_spark.operators.ranking import bm25_scores, rrf_fuse, topk_ranked
+    from earcrawler_spark.operators.similarity import cosine
+    from earcrawler_spark.operators.temporal import classify_temporal
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = _rag_metadata(docs)
+
+    bm25 = bm25_scores(docs, BM25_TERMS, k=RAG_CAND_K).select("doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dense_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    dense = topk_ranked(
+        dense_scored, [F.desc("sim"), F.col("doc_id")], RAG_CAND_K
+    ).select("doc_id", "rank")
+    fused = rrf_fuse(bm25, dense, k=RAG_QUERY_K)
+    results = fused.join(
+        meta.select(F.col("row_id").alias("doc_id"), "section_id"), "doc_id", "left"
+    ).select(
+        F.col("fused_rank").alias("rank"),
+        "doc_id",
+        "section_id",
+        F.col("rrf").alias("score"),
+    )
+
+    boosted = apply_citation_boost(
+        results, meta, extract_targets(spark, RAG_PROMPT), k=RAG_QUERY_K
+    )
+
+    tm = meta.select(
+        F.col("row_id").cast("string").alias("ref_id"),
+        "sec_base",
+        "snapshot_date",
+        "effective_from",
+        "effective_to",
+    )
+    texts = docs.select(
+        F.col("doc_id").cast("string").alias("ref_id"), "text"
+    )
+    cands = (
+        boosted.join(F.broadcast(tm), "ref_id", "left")
+        .join(texts, "ref_id", "left")
+        .select(
+            F.col("rank").alias("cand_rank"),
+            F.col("doc_id").alias("res_doc_id"),
+            F.col("section_id").alias("res_section"),
+            "score",
+            "boost_reason",
+            F.col("ref_id").alias("doc_id"),
+            F.col("sec_base").alias("section_id"),
+            "snapshot_date",
+            "effective_from",
+            "effective_to",
+            "text",
+        )
+    )
+    classified = classify_temporal(cands, RAG_AS_OF)
+    selected = (
+        classified.filter(F.col("temporal_status") == "applicable")
+        .orderBy("cand_rank")
+        .limit(RAG_TOP_K)
+        .filter(F.coalesce(F.col("text"), F.lit("")) != "")
+    )
+    # normalize_section_id (retrieval_runtime.py:134-148) on the result's
+    # section: EAR-prefixed keeps its '#'-stripped head, ''/null -> null,
+    # anything else passes through raw (our ids are all EAR-shaped or '').
+    raw_sec = F.regexp_replace(
+        F.coalesce(F.col("res_section"), F.lit("")), r"^\s+|\s+$", ""
+    )
+    out_sec = (
+        F.when(raw_sec == "", F.lit(None).cast("string"))
+        .when(
+            F.upper(raw_sec).startswith("EAR-"),
+            F.regexp_replace(
+                F.substring_index(raw_sec, "#", 1), r"^\s+|\s+$", ""
+            ),
+        )
+        .otherwise(raw_sec)
+    )
+    pk = (F.crc32(F.col("doc_id")) * F.lit(0)).alias("_pk")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(pk).orderBy("cand_rank")
+    return (
+        selected.withColumn("ctx_rank", F.row_number().over(w))
+        .select(
+            "ctx_rank",
+            F.col("res_doc_id").alias("doc_id"),
+            out_sec.alias("section_id"),
+            "score",
+            "boost_reason",
+            "snapshot_date",
+            "effective_from",
+            "effective_to",
+            "temporal_status",
+            "temporal_reason",
+            F.sha2(F.col("text"), 256).alias("text_sha256"),
+        )
+        .orderBy("ctx_rank")
+    )
+
+
+def _rag_context_sql() -> str:
+    from earcrawler_spark.operators.ranking import bm25_sql
+
+    norm_sec = (
+        "CASE WHEN trim(coalesce(res_section, '')) = '' THEN NULL "
+        "WHEN upper(trim(res_section)) LIKE 'EAR-%' "
+        "THEN regexp_replace(split_part(trim(res_section), '#', 1), '^\\s+|\\s+$', '', 'g') "
+        "ELSE trim(res_section) END"
+    )
+    return f"""
+WITH meta AS ({_SQL_META2}),
+bm25 AS (
+  SELECT doc_id, rank FROM ({bm25_sql(BM25_TERMS, k=RAG_CAND_K)}) ranked
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dense_scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), 'sum'))), 6)
+         AS sim
+  FROM e, q WHERE e.vec_id <> 0
+), dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+    FROM dense_scored) WHERE rank <= {RAG_CAND_K}
+), fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + a.rank), 0.0) + coalesce(1.0 / (60 + b.rank), 0.0), 6) AS rrf
+  FROM bm25 a FULL OUTER JOIN dense b ON a.doc_id = b.doc_id
+), results AS (
+  SELECT f.fused_rank AS rank, f.doc_id, m.section_id,
+         CAST(f.rrf AS DOUBLE) AS score
+  FROM (SELECT doc_id, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+        FROM fused) f
+  LEFT JOIN meta m ON f.doc_id = m.row_id
+  WHERE f.fused_rank <= {RAG_QUERY_K}
+),
+{_boost_sql(RAG_PROMPT, RAG_QUERY_K)},
+cands AS (
+  SELECT b.rank AS cand_rank, b.doc_id AS res_doc_id,
+         b.section_id AS res_section, b.score, b.boost_reason,
+         m.sec_base AS tsection, m.snapshot_date, m.effective_from,
+         m.effective_to, d.text
+  FROM boosted_out b
+  LEFT JOIN meta m ON CAST(m.row_id AS VARCHAR) = b.ref_id
+  LEFT JOIN documents d ON CAST(d.doc_id AS VARCHAR) = b.ref_id
+), chosen AS (
+  SELECT tsection, max(snapshot_date) AS chosen_snapshot
+  FROM cands
+  WHERE tsection IS NOT NULL AND snapshot_date IS NOT NULL
+    AND snapshot_date <= DATE '{RAG_AS_OF}'
+  GROUP BY tsection
+), classified AS (
+  SELECT c.*,
+    CASE
+      WHEN c.effective_from IS NOT NULL OR c.effective_to IS NOT NULL THEN
+        CASE WHEN c.effective_from IS NOT NULL AND DATE '{RAG_AS_OF}' < c.effective_from
+               THEN ['future', 'effective_from_after_query_date']
+             WHEN c.effective_to IS NOT NULL AND DATE '{RAG_AS_OF}' > c.effective_to
+               THEN ['expired', 'effective_to_before_query_date']
+             ELSE ['applicable', 'within_effective_window'] END
+      WHEN c.tsection IS NOT NULL AND c.snapshot_date IS NOT NULL THEN
+        CASE WHEN ch.chosen_snapshot IS NULL
+               THEN ['future', 'no_snapshot_at_or_before_query_date']
+             WHEN c.snapshot_date = ch.chosen_snapshot
+               THEN ['applicable', 'latest_snapshot_at_or_before_query_date']
+             WHEN c.snapshot_date > DATE '{RAG_AS_OF}'
+               THEN ['future', 'snapshot_after_query_date']
+             ELSE ['superseded', 'older_snapshot_superseded_for_query_date'] END
+      ELSE ['unknown', 'no_temporal_metadata']
+    END AS sr
+  FROM cands c LEFT JOIN chosen ch ON c.tsection = ch.tsection
+), selected AS (
+  SELECT * FROM (
+    SELECT * FROM classified WHERE sr[1] = 'applicable'
+    ORDER BY cand_rank LIMIT {RAG_TOP_K}
+  ) WHERE coalesce(text, '') <> ''
+)
+SELECT row_number() OVER (ORDER BY cand_rank) AS ctx_rank,
+       res_doc_id AS doc_id,
+       {norm_sec} AS section_id,
+       score, boost_reason, snapshot_date, effective_from, effective_to,
+       sr[1] AS temporal_status, sr[2] AS temporal_reason,
+       sha256(text) AS text_sha256
+FROM selected
+ORDER BY ctx_rank
+"""
+
+
+RAG_QUERIES["citation_boost"] = q_citation_boost
+RAG_ORACLES["citation_boost"] = _citation_boost_sql()
+RAG_QUERIES["rag_context"] = q_rag_context
+RAG_ORACLES["rag_context"] = _rag_context_sql()

@@ -1,0 +1,198 @@
+"""Citation-boost operator vs a direct model of
+retriever_citation_policy.py (extract/canonical/best-row/boost)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from earcrawler_spark.operators.citation import (
+    apply_citation_boost,
+    extract_targets,
+)
+
+_CFR_RE = re.compile(r"(?:§\s*)?(?P<section>\d{3}\.\d+(?:\([A-Za-z0-9]+\))*)")
+
+
+def model_targets(prompt: str) -> list[str]:
+    seen, targets = set(), []
+    for m in _CFR_RE.finditer(prompt or ""):
+        sec = (m.group("section") or "").strip()
+        if not sec:
+            continue
+        exact = f"EAR-{sec}"
+        if exact not in seen:
+            targets.append(exact)
+            seen.add(exact)
+        if "(" in sec:
+            base = f"EAR-{sec.split('(', 1)[0]}"
+            if base not in seen:
+                targets.append(base)
+                seen.add(base)
+    return targets
+
+
+def model_canonical(row: dict) -> str | None:
+    raw = row.get("section_id") or row.get("doc_id")
+    if raw is None:
+        return None
+    sec = str(raw).strip()
+    if not sec:
+        return None
+    if sec.upper().startswith("EAR-"):
+        if "#" in sec:
+            sec = sec.split("#", 1)[0].strip()
+        return sec
+    return None
+
+
+def model_boost(prompt, results, metadata, k):
+    targets = model_targets(prompt)
+    if not targets:
+        return list(results)
+    present = set()
+    for row in results:
+        sec = model_canonical(row) or model_canonical({"doc_id": row.get("doc_id")})
+        if sec:
+            present.add(sec)
+    mx = max((float(r.get("score") or 0.0) for r in results), default=0.0)
+    out = []
+    idx = 0
+    for target in targets:
+        if target in present:
+            continue
+        best, best_score = None, -1_000_000
+        for row in metadata:
+            if model_canonical({"section_id": row["section_id"], "doc_id": row["mdoc_id"]}) != target:
+                continue
+            score = 0
+            if row["mdoc_id"] == target:
+                score += 100
+            elif row["mdoc_id"].startswith(target + "#"):
+                score += 60
+            if row["chunk_kind"] == "section":
+                score += 10
+            if row["ordinal"] == 0:
+                score += 5
+            if score > best_score:
+                best, best_score = row, score
+        if best is None:
+            continue
+        out.append(
+            {
+                "doc_id": best["mdoc_id"],
+                # setdefault: an existing (even '') section_id is kept
+                "section_id": best["section_id"]
+                if best["section_id"] is not None
+                else target,
+                "score": round(mx + 1.0 - idx * 0.001, 6),
+                "boost_reason": "explicit_citation",
+            }
+        )
+        present.add(target)
+        idx += 1
+    merged = out + [
+        {
+            "doc_id": str(r["doc_id"]),
+            "section_id": r["section_id"],
+            "score": r["score"],
+            "boost_reason": None,
+        }
+        for r in results
+    ]
+    return merged[: max(1, int(k))]
+
+
+METADATA = [
+    # target exact section row (should win: 100+10+5=115)
+    {"row_id": 0, "mdoc_id": "EAR-744.11", "section_id": "EAR-744.11",
+     "chunk_kind": "section", "ordinal": 0},
+    # child paragraph of the same section (60)
+    {"row_id": 1, "mdoc_id": "EAR-744.11#p0001", "section_id": "EAR-744.11",
+     "chunk_kind": "paragraph", "ordinal": 1},
+    # empty section_id, canonical comes from mdoc_id
+    {"row_id": 2, "mdoc_id": "EAR-746.3#p0002", "section_id": "",
+     "chunk_kind": "paragraph", "ordinal": 0},
+    # opaque ids never match
+    {"row_id": 3, "mdoc_id": "D3", "section_id": "",
+     "chunk_kind": "paragraph", "ordinal": 2},
+    # parenthesised canonical section
+    {"row_id": 4, "mdoc_id": "EAR-744.11(b)", "section_id": "EAR-744.11(b)",
+     "chunk_kind": "section", "ordinal": 0},
+    # tie on score within EAR-746.3: earliest row_id must win
+    {"row_id": 5, "mdoc_id": "EAR-746.3#p0003", "section_id": "EAR-746.3",
+     "chunk_kind": "paragraph", "ordinal": 0},
+]
+
+RESULTS = [
+    {"rank": 1, "doc_id": "10", "section_id": "EAR-700.1", "score": 2.5},
+    {"rank": 2, "doc_id": "11", "section_id": "", "score": 1.5},
+    {"rank": 3, "doc_id": "EAR-712.9#p0004", "section_id": "", "score": 1.0},
+]
+
+
+def _dfs(spark):
+    meta = spark.createDataFrame(
+        [tuple(m.values()) for m in METADATA],
+        "row_id long, mdoc_id string, section_id string, chunk_kind string, ordinal int",
+    )
+    res = spark.createDataFrame(
+        [tuple(r.values()) for r in RESULTS],
+        "rank int, doc_id string, section_id string, score double",
+    )
+    return res, meta
+
+
+def run_boost(spark, prompt, k):
+    res, meta = _dfs(spark)
+    out = apply_citation_boost(res, meta, extract_targets(spark, prompt), k)
+    return [r.asDict() for r in out.orderBy("rank").collect()]
+
+
+def test_extract_targets_order_and_dedup(spark):
+    prompt = "See § 744.11(b) then 744.11 and §746.3, also 746.3 again; 99.9 no"
+    got = [
+        r["target"]
+        for r in extract_targets(spark, prompt).orderBy("tpos").collect()
+    ]
+    assert got == model_targets(prompt) == [
+        "EAR-744.11(b)", "EAR-744.11", "EAR-746.3"
+    ]
+
+
+def test_boost_matches_model_full(spark):
+    # present (700.1 via result section), exact+base, canonical-from-
+    # doc_id fallback, miss (999.99), tie->earliest-row
+    prompt = "§ 700.1 and § 744.11(b) with 746.3 and § 712.9 but 999.99"
+    got = run_boost(spark, prompt, k=6)
+    want = model_boost(prompt, RESULTS, METADATA, k=6)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["doc_id"] == w["doc_id"], (g, w)
+        assert g["section_id"] == w["section_id"], (g, w)
+        assert abs(g["score"] - w["score"]) < 1e-9, (g, w)
+        assert g["boost_reason"] == w["boost_reason"], (g, w)
+
+
+def test_boost_no_targets_keeps_results(spark):
+    got = run_boost(spark, "no citations here", k=3)
+    assert [g["doc_id"] for g in got] == ["10", "11", "EAR-712.9#p0004"]
+    assert all(g["boost_reason"] is None for g in got)
+
+
+def test_boost_truncates_to_k(spark):
+    prompt = "§ 744.11 and 746.3"
+    got = run_boost(spark, prompt, k=3)
+    want = model_boost(prompt, RESULTS, METADATA, k=3)
+    assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want]
+    assert len(got) == 3
+    # boosted rows displaced the tail of the original results
+    assert got[0]["boost_reason"] == "explicit_citation"
+
+
+def test_tie_breaks_to_earliest_metadata_row(spark):
+    # EAR-746.3: row 2 (mdoc canonical, ordinal 0 -> 5) vs row 5
+    # (section_id canonical, ordinal 0 -> 5): equal scores, row 2 wins
+    got = run_boost(spark, "cite § 746.3", k=5)
+    assert got[0]["doc_id"] == "EAR-746.3#p0002"
