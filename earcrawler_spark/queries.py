@@ -1078,6 +1078,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(RAG_QUERIES)
     ORACLES.update(RAG_ORACLES)
+    from earcrawler_spark.queries_media import MEDIA_ORACLES, MEDIA_QUERIES
+
+    QUERIES.update(MEDIA_QUERIES)
+    ORACLES.update(MEDIA_ORACLES)
 
 
 _late_oracles()

@@ -144,3 +144,19 @@ def test_media_pipeline_over_synthetic_crawl(spark, tmp_path):
     )
     assert media.count() == n_refs == feats.count()
     assert n_refs > 0
+
+
+def test_media_features_query(spark):
+    from earcrawler_spark.queries_media import q_media_features
+
+    r1 = [tuple(r) for r in q_media_features(spark, "/root/testdata/sf0.001").collect()]
+    r2 = [tuple(r) for r in q_media_features(spark, "/root/testdata/sf0.001").collect()]
+    assert r1 == r2
+    kinds = [r[0] for r in r1]
+    assert kinds == sorted(kinds) and set(kinds) <= {"image", "audio", "video"}
+    # distinct assets after sidecar dedup: primary pool d%120 restricted
+    # by d%4!=3 (120%4==0 -> 90 reachable refs) + secondary d%40+200
+    # restricted by d%8==0 (-> 5 reachable refs)
+    assert sum(r[1] for r in r1) == 95
+    for r in r1:
+        assert r[2] > 0  # avg feature norm
