@@ -865,6 +865,36 @@ ORDER BY id
 """
 
 
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (kg/sparql.py:55-62): a BGP projected into new
+    (s, p, o) triples — here the reference's owl:sameAs materialization
+    from reconcile decisions (kg/reconcile.py:375-393): every non-
+    canonical member id yields `<urn:entity:canonical> owl:sameAs
+    <urn:entity:id>`, sorted like the TTL sink."""
+    from earcrawler_spark.operators.reconcile import connected_components
+
+    pairs = q_reconcile_parts(spark, sf_dir).filter(F.col("decision") == "auto_merge")
+    canon = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        canon.filter(F.col("id") != F.col("component"))
+        .select(
+            F.concat(F.lit("urn:entity:"), F.col("component")).alias("s"),
+            F.lit("owl:sameAs").alias("p"),
+            F.concat(F.lit("urn:entity:"), F.col("id")).alias("o"),
+        )
+        .orderBy("s", "o")
+    )
+
+
+_SQL_SPARQL_CONSTRUCT = f"""
+WITH cc AS ({_SQL_CC.replace("ORDER BY id", "")})
+SELECT 'urn:entity:' || component AS s, 'owl:sameAs' AS p,
+       'urn:entity:' || id AS o
+FROM cc WHERE id <> component
+ORDER BY s, o
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar surface (§2.9): extract props.k, bucket by decile,
     aggregate (reference parses JSON payloads per row; here it's
@@ -952,6 +982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn_bruteforce,
     "reconcile_parts": q_reconcile_parts,
     "connected_components": q_connected_components,
+    "sparql_construct": q_sparql_construct,
     "events_json": q_events_json,
     "simhash_buckets": q_simhash_buckets,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -984,6 +1015,7 @@ ORACLES: dict[str, str] = {
     "knn_bruteforce": _SQL_KNN,
     "reconcile_parts": _SQL_RECONCILE,
     "connected_components": _SQL_CC,
+    "sparql_construct": _SQL_SPARQL_CONSTRUCT,
     "events_json": _SQL_EVENTS_JSON,
     "ann_lsh_buckets": None,  # filled below
     "simhash_buckets": None,  # filled below
@@ -1082,6 +1114,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(MEDIA_QUERIES)
     ORACLES.update(MEDIA_ORACLES)
+    from earcrawler_spark.queries_shacl import SHACL_ORACLES, SHACL_QUERIES
+
+    QUERIES.update(SHACL_QUERIES)
+    ORACLES.update(SHACL_ORACLES)
 
 
 _late_oracles()

@@ -495,6 +495,57 @@ ORDER BY cust_iri
 """
 
 
+def q_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK (kg/sparql.py:46-53): exists-as-boolean per pattern.
+    Three asks over the triples table — a 3-hop BGP that holds, a
+    constant lookup that holds, and one that cannot — each compiled to a
+    broadcast-joined count aggregate (no collect; the boolean is a 1-row
+    DataFrame exactly like the reference's {'boolean': ...} payload)."""
+    t = _triples(spark, sf_dir)
+
+    def exists(name: str, df) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("pattern"), (F.count(F.lit(1)) > 0).alias("ask")
+        )
+
+    has_name = t.filter(F.col("p") == "has_name")
+    germany = has_name.filter(F.col("o") == "GERMANY").select(
+        F.col("s").alias("nation_iri")
+    )
+    in_nation = t.filter(F.col("p") == "in_nation").select(
+        F.col("s").alias("cust_iri"), F.col("o").alias("nation_iri")
+    )
+    by_cust = t.filter(F.col("p") == "by_customer").select(
+        F.col("o").alias("cust_iri")
+    )
+    ask1 = exists(
+        "order_by_customer_in_germany",
+        by_cust.join(in_nation, "cust_iri").join(F.broadcast(germany), "nation_iri"),
+    )
+    ask2 = exists("nation_named_germany", germany)
+    ask3 = exists(
+        "nation_named_atlantis", has_name.filter(F.col("o") == "ATLANTIS")
+    )
+    return ask1.unionByName(ask2).unionByName(ask3).orderBy("pattern")
+
+
+_SQL_SPARQL_ASK = f"""
+WITH triples AS ({_SQL_TRIPLES})
+SELECT 'order_by_customer_in_germany' AS pattern,
+       EXISTS (SELECT 1 FROM triples o
+               JOIN triples c ON c.p = 'in_nation' AND c.s = o.o
+               JOIN triples n ON n.p = 'has_name' AND n.s = c.o AND n.o = 'GERMANY'
+               WHERE o.p = 'by_customer') AS ask
+UNION ALL
+SELECT 'nation_named_germany',
+       EXISTS (SELECT 1 FROM triples WHERE p = 'has_name' AND o = 'GERMANY')
+UNION ALL
+SELECT 'nation_named_atlantis',
+       EXISTS (SELECT 1 FROM triples WHERE p = 'has_name' AND o = 'ATLANTIS')
+ORDER BY pattern
+"""
+
+
 # --- A9: perf budget gate ----------------------------------------------------
 
 BUDGETS = [("click", 60.0), ("purchase", 65.0), ("signup", 55.0), ("error", 50.0), ("view", 70.0)]
@@ -584,6 +635,7 @@ CORPUS_QUERIES = {
     "asof_status": q_asof_status,
     "triples_bgp": q_triples_bgp,
     "triples_integrity": q_triples_integrity,
+    "sparql_ask": q_sparql_ask,
     "budget_gate": q_budget_gate,
     "soundex_keys": q_soundex_keys,
 }
@@ -598,6 +650,7 @@ CORPUS_ORACLES = {
     "asof_status": _SQL_ASOF_STATUS,
     "triples_bgp": _SQL_TRIPLES_BGP,
     "triples_integrity": _SQL_TRIPLES_INTEGRITY,
+    "sparql_ask": _SQL_SPARQL_ASK,
     "budget_gate": _SQL_BUDGET_GATE,
     "soundex_keys": _soundex_keys_sql(),
 }
