@@ -97,3 +97,31 @@ def merge_cache(old: DataFrame | None, fetched: DataFrame, it: int) -> DataFrame
         .join(revalidated, "url_hash", "left_anti")
     )
     return kept.unionByName(refreshed).unionByName(new_entries)
+
+
+def evict_cache(
+    cache: DataFrame,
+    it: int,
+    max_entries: int = 4096,
+    evict_ttl_iters: int | None = None,
+) -> DataFrame:
+    """Post-merge maintenance — the reference's ``_evict``
+    (http_cache.py:173-197): TTL eviction first (entries whose last
+    write/touch is older than evict_ttl_iters drop entirely, losing
+    their validator exactly like the reference unlinks the file), then
+    size-capped LRU — keep the newest ``max_entries`` by fetched_iter.
+    fetched_iter is the mtime analogue: 200 upserts and 304 touches both
+    refresh it, so revalidation keeps an entry alive in LRU order.
+
+    Ties inside one iteration break on url_hash (the reference's
+    same-mtime order is filesystem-dependent; here it is pinned for
+    determinism). The cap is a bounded constant, so the keep-set is a
+    TakeOrderedAndProject — no full sort materializes at scale."""
+    kept = cache
+    if evict_ttl_iters is not None:
+        kept = kept.filter((F.lit(it) - F.col("fetched_iter")) <= evict_ttl_iters)
+    if max_entries and max_entries > 0:
+        kept = kept.orderBy(
+            F.desc("fetched_iter"), F.desc("url_hash")
+        ).limit(max_entries)
+    return kept

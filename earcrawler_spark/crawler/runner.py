@@ -54,7 +54,7 @@ from earcrawler_spark.crawler.bloom import (
     probe_hashes,
     probe_maybe_seen_join,
 )
-from earcrawler_spark.crawler.cache import merge_cache, split_by_cache
+from earcrawler_spark.crawler.cache import evict_cache, merge_cache, split_by_cache
 from earcrawler_spark.crawler.canonicalize import (
     canonical_url,
     canonicalize_one,
@@ -85,6 +85,12 @@ class CrawlConfig:
     # S7/D8 fetch cache: entries younger than this many iterations bypass
     # the fetch stage (visit recorded with status 304). None = disabled.
     cache_ttl_iters: int | None = None
+    # size-capped LRU eviction after each merge (reference
+    # http_cache.py:165-197, max_entries=4096). None = unbounded.
+    cache_max_entries: int | None = 4096
+    # optional hard TTL eviction (drops the validator too); distinct
+    # from cache_ttl_iters, which only gates the fresh-hit fast path.
+    cache_evict_ttl_iters: int | None = None
     # S9 retry policy inside the fetch UDF
     max_attempts: int = 3
     backoff_base: float = 0.0
@@ -423,14 +429,20 @@ class Crawler:
                 )
             )
         if cfg.cache_ttl_iters is not None:
-            self.state.write(
-                "fetch_cache", it,
-                merge_cache(
-                    cache,
-                    fetched.select("url_hash", "content_hash", "status", "spans", "links"),
+            merged_cache = merge_cache(
+                cache,
+                fetched.select("url_hash", "content_hash", "status", "spans", "links"),
+                it,
+            )
+            if cfg.cache_max_entries is not None or cfg.cache_evict_ttl_iters is not None:
+                merged_cache = evict_cache(
+                    merged_cache,
                     it,
-                ),
-                n_files=cfg.write_partitions,
+                    max_entries=cfg.cache_max_entries or 0,
+                    evict_ttl_iters=cfg.cache_evict_ttl_iters,
+                )
+            self.state.write(
+                "fetch_cache", it, merged_cache, n_files=cfg.write_partitions,
             )
         self.state.write("visits", it, visits, n_files=cfg.write_partitions)
 

@@ -155,6 +155,132 @@ def point_lookup(spark: SparkSession, keys: list[str], fetch_one) -> DataFrame:
     return keys_df.mapInPandas(run, "key string, record_json string")
 
 
+def point_lookup_df(keys: DataFrame, fetch_one) -> DataFrame:
+    """point_lookup over a DataFrame of keys (column ``key``) — the
+    distributed form: missing ids fan out through tasks, never through a
+    driver-side list."""
+    import json as _json
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out_k, out_j = [], []
+            for k in pdf["key"]:
+                rec = fetch_one(k)
+                if rec is not None:
+                    out_k.append(k)
+                    out_j.append(_json.dumps(rec, sort_keys=True))
+            yield pd.DataFrame({"key": out_k, "record_json": out_j})
+
+    return keys.select("key").mapInPandas(run, "key string, record_json string")
+
+
+_LISTING_SCHEMA = (
+    "document_number string, id string, title string, publication_date string, "
+    "html_url string, url string, body_html string, body_text string, "
+    "abstract string, excerpts array<string>"
+)
+
+
+def _html_unescape_basic(col: Column) -> Column:
+    """The named entities this synthetic domain produces; the reference
+    runs Python html.unescape (full table) after tag stripping."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def scan_with_detail_fallback(
+    spark: SparkSession,
+    fetch_page,
+    fetch_one,
+    n_pages: int | None = None,
+    probe_total=None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """S3: list scan + conditional detail fetch + clean
+    (federalregister_client.py:284-342): list results often omit body
+    text — rows with an id but no body fan out through the detail
+    lookup and left-join back; the text ladder is list body_html/
+    body_text → detail body_html/body_text → abstract → joined
+    excerpts → ''; tags strip, entities unescape, whitespace collapses.
+
+    Scale shape: only the body-missing subset (typically a small
+    fraction) hits the detail stage, and the join back is keyed on the
+    document id — no driver-side loop, no full-listing refetch."""
+    from earcrawler_spark.functions.text import normalize_ws
+
+    listing = (
+        paginated_scan(
+            spark, fetch_page, n_pages=n_pages, probe_total=probe_total,
+            n_partitions=n_partitions,
+        )
+        .select("page", F.from_json("record_json", _LISTING_SCHEMA).alias("r"))
+        .select("page", "r.*")
+        .withColumn(
+            "doc_id",
+            F.coalesce(
+                F.nullif(F.col("document_number"), F.lit("")),
+                F.nullif(F.col("id"), F.lit("")),
+                F.lit(""),
+            ),
+        )
+    )
+    list_text = F.coalesce(
+        F.nullif(F.col("body_html"), F.lit("")),
+        F.nullif(F.col("body_text"), F.lit("")),
+    )
+    listing = listing.withColumn("_list_text", list_text)
+    missing = (
+        listing.filter(F.col("_list_text").isNull() & (F.col("doc_id") != ""))
+        .select(F.col("doc_id").alias("key"))
+        .distinct()
+    )
+    details = (
+        point_lookup_df(missing, fetch_one)
+        .select(
+            F.col("key").alias("doc_id"),
+            F.from_json(
+                "record_json", "body_html string, body_text string"
+            ).alias("d"),
+        )
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.nullif(F.col("d.body_html"), F.lit("")),
+                F.nullif(F.col("d.body_text"), F.lit("")),
+            ).alias("_detail_text"),
+        )
+    )
+    joined = listing.join(details, "doc_id", "left")
+    text_raw = F.coalesce(
+        F.col("_list_text"),
+        F.col("_detail_text"),
+        F.nullif(F.col("abstract"), F.lit("")),
+        F.nullif(F.array_join(F.coalesce(F.col("excerpts"), F.array()), " "), F.lit("")),
+        F.lit(""),
+    )
+    cleaned = normalize_ws(
+        _html_unescape_basic(F.regexp_replace(text_raw, r"<[^>]+>", " "))
+    )
+    return joined.select(
+        F.col("doc_id").alias("id"),
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        F.coalesce(F.col("publication_date"), F.lit("")).alias("publication_date"),
+        F.coalesce(
+            F.nullif(F.col("html_url"), F.lit("")),
+            F.nullif(F.col("url"), F.lit("")),
+            F.lit(""),
+        ).alias("source_url"),
+        cleaned.alias("text"),
+    ).orderBy("id")
+
+
 def load_section_snapshot(spark: SparkSession, path: str) -> DataFrame:
     """S16: JSONL section snapshot -> contract-shaped section documents
     (ecfr_snapshot_loader.py:26-100). Section ids normalize to EAR- form

@@ -232,3 +232,48 @@ def test_filter_config_persisted_and_validated(spark, tmp_path):
             spark, state,
             CrawlConfig(max_iters=1, n_partitions=4, n_shards=16, seen_filter="cuckoo"),
         )
+
+
+def test_cache_lru_eviction_unit(spark):
+    from earcrawler_spark.crawler.cache import CACHE_SCHEMA, evict_cache
+
+    rows = [
+        (f"h{i:02d}", f"e{i}", f"c{i}", it, None, None)
+        for i, it in enumerate([0, 1, 1, 2, 3, 3, 5])
+    ]
+    cache = spark.createDataFrame(rows, CACHE_SCHEMA)
+    # size cap: newest 3 by fetched_iter, same-iter ties -> url_hash desc
+    kept = {r["url_hash"] for r in evict_cache(cache, it=5, max_entries=3).collect()}
+    assert kept == {"h06", "h05", "h04"}
+    # cap larger than table keeps everything
+    assert evict_cache(cache, it=5, max_entries=100).count() == 7
+    # TTL eviction drops entries older than it - ttl even under the cap
+    kept2 = {
+        r["url_hash"]
+        for r in evict_cache(cache, it=5, max_entries=100, evict_ttl_iters=2).collect()
+    }
+    assert kept2 == {"h06", "h04", "h05"}  # fetched_iter >= 3
+    # a 304 touch (refreshed fetched_iter) keeps an entry alive in LRU
+    touched = cache.withColumn(
+        "fetched_iter",
+        F.when(F.col("url_hash") == "h00", F.lit(5)).otherwise(F.col("fetched_iter")),
+    )
+    kept3 = {r["url_hash"] for r in evict_cache(touched, it=5, max_entries=3).collect()}
+    assert "h00" in kept3
+
+
+def test_cache_cap_respected_in_crawl(spark, tmp_path):
+    cfg = CrawlConfig(
+        max_iters=3, n_partitions=4, cache_ttl_iters=0, cache_max_entries=5
+    )
+    c = Crawler(spark, str(tmp_path / "s"), cfg)
+    c.init_seeds(synth.seed_list())
+    c.run()
+    upto = c.state.manifest()["completed_iter"]
+    for it in range(upto + 1):
+        cache = c.state.read_latest("fetch_cache", it)
+        if cache is not None:
+            assert cache.count() <= 5
+    # the survivors are the newest entries
+    final = c.state.read_latest("fetch_cache", upto)
+    assert final.agg(F.min("fetched_iter")).collect()[0][0] >= upto - 1

@@ -110,3 +110,73 @@ def test_load_section_snapshot(spark, tmp_path):
     assert b["effective_to"] is None  # unparseable -> omitted (null)
     c = got["not a section"]  # raw value kept when normalization fails
     assert c["doc_id"] == "not a section" and c["title"] is None
+
+
+def test_scan_with_detail_fallback(spark):
+    """S3 composite: N of M listing rows lack bodies -> detail fetch +
+    left-join; output equals the reference loop's full-detail parse."""
+    import re
+    from html import unescape
+
+    from earcrawler_spark.sources import scan_with_detail_fallback
+
+    def page_docs(p):
+        docs = []
+        for i in range(3):
+            n = (p - 1) * 3 + i
+            doc = {
+                "document_number": f"FR-{n:03d}",
+                "title": f"Doc {n}",
+                "publication_date": f"2024-01-{n % 28 + 1:02d}",
+                "html_url": f"https://fr.example/d/{n}",
+                "abstract": f"abstract {n} &amp; more",
+            }
+            if n % 3 == 0:
+                doc["body_html"] = f"<p>list body {n} &amp; co</p>"
+            # n % 3 == 1 -> body only in detail; n % 3 == 2 -> nowhere
+            docs.append(doc)
+        return docs
+
+    def fetch_one(doc_id):
+        n = int(doc_id.split("-")[1])
+        if n % 3 == 1:
+            return {"body_html": f"<div>detail body {n}</div>"}
+        return None  # detail exists but still no body -> abstract ladder
+
+    def clean(html):
+        return " ".join(unescape(re.sub("<[^>]+>", " ", html)).split())
+
+    # the reference loop (federalregister_client.py:322-342)
+    want = []
+    for p in (1, 2, 3):
+        for doc in page_docs(p):
+            doc_id = doc.get("document_number") or ""
+            text_raw = doc.get("body_html") or doc.get("body_text") or ""
+            if not text_raw and doc_id:
+                detail = fetch_one(doc_id) or {}
+                text_raw = detail.get("body_html") or detail.get("body_text") or ""
+            if not text_raw:
+                text_raw = doc.get("abstract") or " ".join(doc.get("excerpts") or []) or ""
+            want.append(
+                {
+                    "id": doc_id,
+                    "title": doc.get("title", ""),
+                    "publication_date": doc.get("publication_date", ""),
+                    "source_url": doc.get("html_url") or doc.get("url") or "",
+                    "text": clean(text_raw),
+                }
+            )
+    want.sort(key=lambda d: d["id"])
+
+    got = [
+        r.asDict()
+        for r in scan_with_detail_fallback(
+            spark, page_docs, fetch_one, n_pages=3
+        ).collect()
+    ]
+    assert got == want
+    # every ladder rung fired
+    texts = {d["id"]: d["text"] for d in got}
+    assert any(t.startswith("list body") for t in texts.values())
+    assert any(t.startswith("detail body") for t in texts.values())
+    assert any(t.startswith("abstract") for t in texts.values())
