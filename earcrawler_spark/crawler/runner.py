@@ -277,13 +277,15 @@ class Crawler:
         cfg, spark = self.cfg, self.spark
         _timing = os.environ.get("EARCRAWLER_TIMING")
         _t0 = time.perf_counter()
+        _stage_secs: dict[str, float] = {}
 
         def _mark(phase: str) -> None:
             nonlocal _t0
+            now = time.perf_counter()
+            _stage_secs[phase] = round(now - _t0, 3)
             if _timing:
-                now = time.perf_counter()
                 print(f"[wave {it}] {phase}: {now - _t0:.2f}s", flush=True)
-                _t0 = now
+            _t0 = now
         prev_chain = manifest["chain_hash"]
         max_seq = manifest["max_seq"]
 
@@ -300,11 +302,14 @@ class Crawler:
             .collect()
         )
         if new_hosts:
+            # the robots table only changes when a new host appears —
+            # skip the full-table rewrite (a per-wave fixed cost) on
+            # no-op waves; read_latest falls back to the last write.
             robots = robots.unionByName(
                 fetch_robots(spark, new_hosts, self.robots_fetcher)
             )
-        self.state.write("robots", it, robots)
-        robots = self.state.read_latest("robots", it)
+            self.state.write("robots", it, robots)
+            robots = self.state.read_latest("robots", it)
 
         _mark("robots")
         # 2. politeness dequeue (budget = wave_seconds / crawl_delay)
@@ -477,7 +482,7 @@ class Crawler:
         documents = new_docs.select(
             F.col("url").alias("doc_id"), "url_hash", "content_hash", "spans",
             F.lit(it).alias("iter"),
-        )
+        ).cache()  # consumed 3x: documents write, content_seen write, totals
         self.state.write("documents", it, documents, n_files=cfg.write_partitions)
         self.state.write(
             "content_seen", it,
@@ -534,6 +539,8 @@ class Crawler:
                 return pd.Series(res, index=hashes.index)
 
             candidates = candidates.withColumn("_maybe", maybe_seen("url_hash")).cache()
+        n_cand = candidates.count()
+        _mark(f"probe_cache(n={n_cand})")
         definitely_new = candidates.filter(~F.col("_maybe")).drop("_maybe")
         seen = self.state.read_all("seen", it - 1)
         checked_new = (
@@ -544,10 +551,16 @@ class Crawler:
         new_urls = definitely_new.unionByName(checked_new)
 
         # deterministic seq assignment (global order over this wave's news)
-        w_seq = W.orderBy("parent_seq", "link_idx", "url_hash")
+        # deliberate single-partition window over the wave's NEW urls only
+        # (bounded by wave fan-out); the non-foldable constant key makes
+        # that explicit instead of tripping the empty-partition-spec warn
+        w_seq = W.partitionBy(F.crc32(F.col("url_hash")) * F.lit(0)).orderBy(
+            "parent_seq", "link_idx", "url_hash"
+        )
         new_urls = new_urls.withColumn(
             "seq", (F.lit(max_seq) + F.row_number().over(w_seq)).cast("long")
         ).select("url", "url_hash", "host", "priority", "seq").cache()
+        _mark("new_urls_plan")
         n_new = new_urls.count()
 
         _mark("dedup_new_urls")
@@ -557,6 +570,7 @@ class Crawler:
             new_urls.select("url_hash", "url", F.lit(it).alias("iter")),
             n_files=cfg.write_partitions,
         )
+        _mark("seen_write")
         if cfg.probe_mode == "join":
             self.state.write(
                 "bloom", it,
@@ -568,10 +582,12 @@ class Crawler:
             )
         else:
             self._write_filter(it, new_urls.select("url_hash"), previous=blooms)
+        _mark("filter_write")
         frontier_next = remainder.select(
             "url", "url_hash", "host", "priority", "seq"
         ).unionByName(new_urls)
         self.state.write("frontier", it, frontier_next, n_files=cfg.write_partitions)
+        _mark("frontier_write")
 
         part_metrics = (
             fetched.groupBy("part_id")
@@ -598,6 +614,7 @@ class Crawler:
             totals["revalidated"] = n_revalidated
         chain = self._chain(prev_chain, totals)
         new_max_seq = max_seq + n_new
+        documents.unpersist()
         fetched.unpersist()
         candidates.unpersist()
         new_urls.unpersist()
@@ -606,7 +623,14 @@ class Crawler:
             cache_hits.unpersist()
         if revalidated is not None:
             revalidated.unpersist()
-        self.state.commit(it, chain, extra={"max_seq": new_max_seq, "totals": totals})
+        # stage timings ride the manifest OUTSIDE the chained totals —
+        # wall-clock is host-dependent and must not perturb the
+        # deterministic lineage chain hash.
+        self.state.commit(
+            it, chain,
+            extra={"max_seq": new_max_seq, "totals": totals,
+                   "stage_secs": _stage_secs},
+        )
         _mark("metrics+commit")
 
     # ------------------------------------------------------------------
