@@ -401,7 +401,9 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
     )
 
 
-def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 16) -> DataFrame:
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame, n_planes: int = 16, dim: int | None = None
+) -> DataFrame:
     """Random-hyperplane LSH bucket per vector (cosine ANN scale path).
 
     Hyperplane p's component d is a deterministic pseudo-random ±1 derived
@@ -409,10 +411,15 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 16) -> DataFra
     n_planes sign bits. ANN search = per-bucket brute force (+ optional
     multi-probe). Verified against brute force by a recall test, not a SQL
     oracle (sign-bit parity in SQL is possible but adds nothing).
+
+    Pass ``dim`` (from the table contract / catalog metadata) at scale —
+    the None fallback probes one row driver-side, which is one extra job
+    on a 100 TB table.
     """
     import hashlib as _hl
 
-    dim = len(embeddings.select("embedding").first()[0])
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
     planes = [
         [
             1.0 if int(_hl.sha256(f"{p}|{d}".encode()).hexdigest()[:8], 16) % 2 else -1.0

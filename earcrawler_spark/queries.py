@@ -944,7 +944,9 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return (
-        hyperplane_lsh_buckets(emb, n_planes=12)
+        # dim from the testdata table contract (embeddings are 64-wide at
+        # every sf) — no driver-side row probe in the query path
+        hyperplane_lsh_buckets(emb, n_planes=12, dim=64)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy(F.desc("n_vecs"), "bucket")

@@ -276,26 +276,32 @@ def _synth_entities(part: DataFrame) -> DataFrame:
 _DECIDED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def build_decided_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw (un-checkpointed) blocking → scoring → decisions plan —
+    also the target of the plan-shape regression guard, which must see
+    the joins, not the materialized scan."""
+    from earcrawler_spark.operators.reconcile import (
+        blocking_pairs_v2,
+        decide_pairs_v2,
+        score_pairs_v2,
+    )
+
+    ents = _synth_entities(_t(spark, sf_dir, "part"))
+    pairs = blocking_pairs_v2(ents)
+    attrs = ents
+    left = attrs.select(*[F.col(c).alias(f"{c}_a") for c in attrs.columns])
+    right = attrs.select(*[F.col(c).alias(f"{c}_b") for c in attrs.columns])
+    enriched = pairs.join(left, "id_a").join(right, "id_b")
+    scored = score_pairs_v2(enriched)
+    return decide_pairs_v2(
+        scored, whitelist=RECONCILE_WHITELIST, blacklist=RECONCILE_BLACKLIST
+    )
+
+
 def _decided_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DECIDED_CACHE:
-        from earcrawler_spark.operators.reconcile import (
-            blocking_pairs_v2,
-            decide_pairs_v2,
-            score_pairs_v2,
-        )
-
-        ents = _synth_entities(_t(spark, sf_dir, "part"))
-        pairs = blocking_pairs_v2(ents)
-        attrs = ents
-        left = attrs.select(*[F.col(c).alias(f"{c}_a") for c in attrs.columns])
-        right = attrs.select(*[F.col(c).alias(f"{c}_b") for c in attrs.columns])
-        enriched = pairs.join(left, "id_a").join(right, "id_b")
-        scored = score_pairs_v2(enriched)
-        decided = decide_pairs_v2(
-            scored, whitelist=RECONCILE_WHITELIST, blacklist=RECONCILE_BLACKLIST
-        )
-        _DECIDED_CACHE[key] = decided.localCheckpoint()
+        _DECIDED_CACHE[key] = build_decided_pairs(spark, sf_dir).localCheckpoint()
     return _DECIDED_CACHE[key]
 
 

@@ -444,7 +444,148 @@ ORDER BY ctx_rank
 """
 
 
+# --- rag_context_kg: KG expansion of the retrieved sections ------------------
+
+KG_MAX_HOPS = 2
+KG_MAX_PATHS = 4
+
+
+def _section_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic section-graph edges over the EAR section universe:
+    each doc contributes a 'cites' or 'amends' edge from its section to
+    a neighbour section (offset derivation keeps the graph connected
+    across the modulo classes)."""
+    d = F.col("doc_id")
+
+    def sec(col):
+        return F.concat(
+            F.lit("EAR-"),
+            (col % 37 + 700).cast("string"),
+            F.lit("."),
+            (col % 7 + 1).cast("string"),
+        )
+
+    return docs.select(
+        sec(d).alias("src"),
+        F.when(d % 2 == 0, F.lit("cites")).otherwise(F.lit("amends")).alias("rel"),
+        sec(d + 17).alias("dst"),
+    ).distinct()
+
+
+_SQL_SECTION_EDGES = """
+  SELECT DISTINCT
+    'EAR-' || CAST(doc_id % 37 + 700 AS VARCHAR) || '.' || CAST(doc_id % 7 + 1 AS VARCHAR) AS src,
+    CASE WHEN doc_id % 2 = 0 THEN 'cites' ELSE 'amends' END AS rel,
+    'EAR-' || CAST((doc_id + 17) % 37 + 700 AS VARCHAR) || '.' || CAST((doc_id + 17) % 7 + 1 AS VARCHAR) AS dst
+  FROM documents
+"""
+
+
+def q_rag_context_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG expansion of the retrieval context
+    (retrieval_runtime.py:523-596 + kg_expansion_fuseki.py:81-205): the
+    rag_context sections expand over the section graph with a bounded
+    BFS (max_hops=2) — no-revisit paths, max 4 per section in
+    deterministic (hop, rel, target) order (the reference caps in
+    gateway result order, which SPARQL leaves unspecified — pinned here
+    for reproducibility) — emitting per-section path counts and the
+    sorted related-section set minus the start.
+
+    Scale shape: hops are UNROLLED joins (bounded constant), the seed
+    side is ≤ top_k sections and broadcast; the edge table is the only
+    large relation and is touched once per hop."""
+    sections = (
+        q_rag_context(spark, sf_dir)
+        .filter(F.col("section_id").isNotNull())
+        .select(F.col("section_id").alias("sec"))
+        .distinct()
+    )
+    edges = _section_edges(_t(spark, sf_dir, "documents"))
+    h1 = (
+        F.broadcast(sections)
+        .join(edges, sections["sec"] == edges["src"])
+        .select("sec", F.col("rel").alias("rel1"), F.col("dst").alias("n1"))
+        .filter(F.col("n1") != F.col("sec"))
+    )
+    paths1 = h1.select(
+        "sec",
+        F.lit(1).alias("hops"),
+        F.col("rel1").alias("path_rel"),
+        F.col("n1").alias("target"),
+    )
+    h2 = (
+        h1.join(edges, h1["n1"] == edges["src"])
+        .filter((F.col("dst") != F.col("sec")) & (F.col("dst") != F.col("n1")))
+        .select(
+            "sec",
+            F.lit(2).alias("hops"),
+            F.concat(F.col("rel1"), F.lit(">"), F.col("rel")).alias("path_rel"),
+            F.col("dst").alias("target"),
+        )
+    )
+    paths = paths1.unionByName(h2)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("sec").orderBy("hops", "path_rel", "target")
+    capped = paths.withColumn("prank", F.row_number().over(w)).filter(
+        F.col("prank") <= KG_MAX_PATHS
+    )
+    return (
+        paths.groupBy("sec")
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("target"))).alias("all_targets")
+        )
+        .join(
+            capped.groupBy("sec").agg(F.count(F.lit(1)).alias("n_paths")),
+            "sec",
+        )
+        .select(
+            F.col("sec").alias("section_id"),
+            "n_paths",
+            F.array_join(
+                F.filter(F.col("all_targets"), lambda t: t != F.col("sec")), "|"
+            ).alias("related_sections"),
+        )
+        .orderBy("section_id")
+    )
+
+
+def _rag_context_kg_sql() -> str:
+    rag_sql = _rag_context_sql().rstrip()
+    return f"""
+WITH rag AS ({rag_sql}),
+secs AS (
+  SELECT DISTINCT section_id AS sec FROM rag WHERE section_id IS NOT NULL
+), edges AS ({_SQL_SECTION_EDGES}),
+h1 AS (
+  SELECT s.sec, e.rel AS rel1, e.dst AS n1
+  FROM secs s JOIN edges e ON s.sec = e.src
+  WHERE e.dst <> s.sec
+), paths AS (
+  SELECT sec, 1 AS hops, rel1 AS path_rel, n1 AS target FROM h1
+  UNION ALL
+  SELECT h1.sec, 2, h1.rel1 || '>' || e.rel, e.dst
+  FROM h1 JOIN edges e ON h1.n1 = e.src
+  WHERE e.dst <> h1.sec AND e.dst <> h1.n1
+), capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sec
+                                 ORDER BY hops, path_rel, target) AS prank
+    FROM paths) WHERE prank <= {KG_MAX_PATHS}
+)
+SELECT p.sec AS section_id,
+       c.n_paths,
+       array_to_string(list_sort(list_distinct(list(p.target) FILTER (WHERE p.target <> p.sec))), '|') AS related_sections
+FROM paths p
+JOIN (SELECT sec, count(*) AS n_paths FROM capped GROUP BY sec) c ON p.sec = c.sec
+GROUP BY p.sec, c.n_paths
+ORDER BY section_id
+"""
+
+
 RAG_QUERIES["citation_boost"] = q_citation_boost
 RAG_ORACLES["citation_boost"] = _citation_boost_sql()
 RAG_QUERIES["rag_context"] = q_rag_context
 RAG_ORACLES["rag_context"] = _rag_context_sql()
+RAG_QUERIES["rag_context_kg"] = q_rag_context_kg
+RAG_ORACLES["rag_context_kg"] = _rag_context_kg_sql()

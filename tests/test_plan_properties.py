@@ -90,7 +90,16 @@ def test_mention_scoring_stays_jvm_side(spark, sf_small):
 
 
 def test_reconcile_v2_blocking_joins_shapes(spark, sf_small):
-    p = plan_of(spark, sf_small, "reconcile_v2")
+    # inspect the RAW pipeline plan — the registered query serves a
+    # shared localCheckpoint (decisions-table contract), which shows as
+    # a materialized scan
+    from earcrawler_spark.queries_fidelity import build_decided_pairs
+
+    df = build_decided_pairs(spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     # hot-bucket size filter and override table ride broadcast joins; the
     # JW feature is the one sanctioned Arrow-batched UDF
     assert "BroadcastHashJoin" in p
@@ -114,3 +123,18 @@ def test_record_merge_full_partial_aggregation(spark, sf_small):
     p = plan_of(spark, sf_small, "record_merge_full")
     # map-side combine on the entity-bucket and scalar groupBys
     assert p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2
+
+
+def test_citation_boost_stays_jvm_side(spark, sf_small):
+    # extraction/canonicalization/argmax are pure Column exprs
+    p = plan_of(spark, sf_small, "citation_boost")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rag_context_plan_shape(spark, sf_small):
+    p = plan_of(spark, sf_small, "rag_context")
+    # over-fetch top-k stages compile to bounded heaps, not global sorts
+    assert "TakeOrderedAndProject" in p
+    # the 1-row query-vector / stats sides broadcast
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
