@@ -132,7 +132,14 @@ def test_citation_boost_stays_jvm_side(spark, sf_small):
 
 
 def test_rag_context_plan_shape(spark, sf_small):
-    p = plan_of(spark, sf_small, "rag_context")
+    # raw builder — the registered query serves a shared localCheckpoint
+    from earcrawler_spark.queries_rag import build_rag_context
+
+    df = build_rag_context(spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     # over-fetch top-k stages compile to bounded heaps, not global sorts
     assert "TakeOrderedAndProject" in p
     # the 1-row query-vector / stats sides broadcast
