@@ -47,6 +47,51 @@ def provenance_upsert(prev: DataFrame | None, current: DataFrame) -> DataFrame:
     )
 
 
+def apply_graph_update(
+    graph: DataFrame, inserts: DataFrame, deletes: DataFrame | None = None
+) -> DataFrame:
+    """SPARQL UPDATE semantics (kg/sparql.py:63-76 carries the verb; the
+    reference's actual update workload is DELETE/INSERT upserts like
+    sparql/upsert_part_anchor.sparql): apply a batch of deletes then
+    inserts to a triples graph, returning the new graph state.
+
+    ``deletes(s, p, o)`` rows are patterns — a null ``o`` is a wildcard
+    (DELETE WHERE { s p ?o }). The graph is a SET, so inserts that
+    already exist are no-ops (INSERT DATA idempotence). Iceberg MERGE
+    INTO in production; here delete = broadcast-pattern anti-join,
+    insert = anti-join union — both keyed joins, no full-graph shuffle
+    beyond the delete probe."""
+    kept = graph
+    if deletes is not None:
+        pat = deletes.select(
+            F.col("s").alias("_ds"),
+            F.col("p").alias("_dp"),
+            F.col("o").alias("_do"),
+        ).distinct()
+        cond = (
+            (F.col("s") == F.col("_ds"))
+            & (F.col("p") == F.col("_dp"))
+            & (F.col("_do").isNull() | (F.col("o") == F.col("_do")))
+        )
+        kept = graph.join(F.broadcast(pat), cond, "left_anti")
+    new_triples = inserts.select("s", "p", "o").distinct().join(
+        kept.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
+    )
+    return kept.unionByName(new_triples)
+
+
+def graph_delta(before: DataFrame, after: DataFrame) -> DataFrame:
+    """(op, s, p, o) delta between two graph states — 'delete' rows
+    vanished, 'insert' rows appeared (both via set anti-joins)."""
+    gone = before.join(after, ["s", "p", "o"], "left_anti").select(
+        F.lit("delete").alias("op"), "s", "p", "o"
+    )
+    added = after.join(before, ["s", "p", "o"], "left_anti").select(
+        F.lit("insert").alias("op"), "s", "p", "o"
+    )
+    return gone.unionByName(added)
+
+
 def anchor_index(anchors: DataFrame) -> DataFrame:
     """Normalize + deterministically order anchors within each part:
     `anchors(part, document_id, title, source_url, snippet,

@@ -1120,6 +1120,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(SHACL_QUERIES)
     ORACLES.update(SHACL_ORACLES)
+    from earcrawler_spark.queries_update import UPDATE_ORACLES, UPDATE_QUERIES
+
+    QUERIES.update(UPDATE_QUERIES)
+    ORACLES.update(UPDATE_ORACLES)
 
 
 _late_oracles()
