@@ -293,15 +293,30 @@ def build_decided_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = attrs.select(*[F.col(c).alias(f"{c}_b") for c in attrs.columns])
     enriched = pairs.join(left, "id_a").join(right, "id_b")
     scored = score_pairs_v2(enriched)
-    return decide_pairs_v2(
+    decided = decide_pairs_v2(
         scored, whitelist=RECONCILE_WHITELIST, blacklist=RECONCILE_BLACKLIST
+    )
+    # the decisions-TABLE contract is exactly these columns — carrying
+    # the scoring intermediates (token arrays, normalized names) into
+    # the shared materialization would double its compute+storage
+    return decided.select(
+        "id_a", "id_b", "name_exact", "token_jaccard", "jaro_winkler",
+        "prefix_overlap", "suffix_overlap", "country_match", "id_equal",
+        "url_host", "source_bonus", "score", "decision",
+        F.coalesce("reason", F.lit("")).alias("reason"),
     )
 
 
 def _decided_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DECIDED_CACHE:
-        _DECIDED_CACHE[key] = build_decided_pairs(spark, sf_dir).localCheckpoint()
+        # cache + eager count, NOT localCheckpoint: checkpointing 416k
+        # wide rows re-executes the plan as a raw RDD job (~3x the cost
+        # of the pipeline itself); a storage-level cache materializes at
+        # pipeline cost and serves every later consumer at read cost
+        d = build_decided_pairs(spark, sf_dir).cache()
+        d.count()
+        _DECIDED_CACHE[key] = d
     return _DECIDED_CACHE[key]
 
 
@@ -311,13 +326,7 @@ def q_reconcile_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 weighted features incl. Jaro-Winkler / prefix / suffix / attribute
     equality, whitelist/blacklist pair overrides, hard country-mismatch
     reject, rules.yml default weights and thresholds."""
-    decided = _decided_pairs(spark, sf_dir)
-    return decided.select(
-        "id_a", "id_b", "name_exact", "token_jaccard", "jaro_winkler",
-        "prefix_overlap", "suffix_overlap", "country_match", "id_equal",
-        "url_host", "source_bonus", "score", "decision",
-        F.coalesce("reason", F.lit("")).alias("reason"),
-    ).orderBy("id_a", "id_b")
+    return _decided_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def _reconcile_v2_sql() -> str:
