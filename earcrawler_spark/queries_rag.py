@@ -350,12 +350,17 @@ def build_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             "temporal_status",
             "temporal_reason",
             F.sha2(F.col("text"), 256).alias("text_sha256"),
+            # carried in the shared bundle for context_lines; the
+            # registered rag_context query drops it
+            "text",
         )
         .orderBy("ctx_rank")
     )
 
 
-def _rag_context_sql() -> str:
+def _rag_core_sql() -> str:
+    """CTE chain ending in `ctx` — the full context bundle including
+    text; the per-query oracles project from it."""
     from earcrawler_spark.operators.ranking import bm25_sql
 
     norm_sec = (
@@ -435,15 +440,44 @@ cands AS (
     SELECT * FROM classified WHERE sr[1] = 'applicable'
     ORDER BY cand_rank LIMIT {RAG_TOP_K}
   ) WHERE coalesce(text, '') <> ''
-)
-SELECT row_number() OVER (ORDER BY cand_rank) AS ctx_rank,
-       res_doc_id AS doc_id,
-       {norm_sec} AS section_id,
-       score, boost_reason, snapshot_date, effective_from, effective_to,
-       sr[1] AS temporal_status, sr[2] AS temporal_reason,
-       sha256(text) AS text_sha256
-FROM selected
-ORDER BY ctx_rank
+), ctx AS (
+  SELECT row_number() OVER (ORDER BY cand_rank) AS ctx_rank,
+         res_doc_id AS doc_id,
+         {norm_sec} AS section_id,
+         score, boost_reason, snapshot_date, effective_from, effective_to,
+         sr[1] AS temporal_status, sr[2] AS temporal_reason,
+         sha256(text) AS text_sha256, text
+  FROM selected
+)"""
+
+
+def _rag_context_sql() -> str:
+    return f"""
+{_rag_core_sql()}
+SELECT ctx_rank, doc_id, section_id, score, boost_reason, snapshot_date,
+       effective_from, effective_to, temporal_status, temporal_reason,
+       text_sha256
+FROM ctx ORDER BY ctx_rank
+"""
+
+
+def _context_lines_sql() -> str:
+    parts = (
+        "list_filter(["
+        "CASE WHEN snapshot_date IS NOT NULL THEN 'snapshot=' || strftime(snapshot_date, '%Y-%m-%d') END, "
+        "CASE WHEN effective_from IS NOT NULL THEN 'from=' || strftime(effective_from, '%Y-%m-%d') END, "
+        "CASE WHEN effective_to IS NOT NULL THEN 'to=' || strftime(effective_to, '%Y-%m-%d') END"
+        "], x -> x IS NOT NULL)"
+    )
+    return f"""
+{_rag_core_sql()}
+SELECT ctx_rank,
+       CASE WHEN section_id IS NOT NULL THEN
+         '[' || CASE WHEN len({parts}) > 0
+                     THEN section_id || ' | ' || array_to_string({parts}, '; ')
+                     ELSE section_id END || '] ' || text
+       ELSE text END AS context_line
+FROM ctx ORDER BY ctx_rank
 """
 
 
@@ -463,7 +497,43 @@ def _rag_context_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See build_rag_context — served from the shared materialization."""
-    return _rag_context_materialized(spark, sf_dir).orderBy("ctx_rank")
+    return (
+        _rag_context_materialized(spark, sf_dir).drop("text").orderBy("ctx_rank")
+    )
+
+
+def q_context_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_context_lines (retrieval_runtime.py:593-631): each selected
+    doc renders as `[section | snapshot=...; from=...; to=...] text`
+    (header parts only when present; bare text when the section is
+    null) — the prompt-context block the reference hands to the LLM."""
+    ctx = _rag_context_materialized(spark, sf_dir)
+    parts = F.filter(
+        F.array(
+            F.when(
+                F.col("snapshot_date").isNotNull(),
+                F.concat(F.lit("snapshot="), F.date_format("snapshot_date", "yyyy-MM-dd")),
+            ),
+            F.when(
+                F.col("effective_from").isNotNull(),
+                F.concat(F.lit("from="), F.date_format("effective_from", "yyyy-MM-dd")),
+            ),
+            F.when(
+                F.col("effective_to").isNotNull(),
+                F.concat(F.lit("to="), F.date_format("effective_to", "yyyy-MM-dd")),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    header = F.when(
+        F.size(parts) > 0,
+        F.concat(F.col("section_id"), F.lit(" | "), F.array_join(parts, "; ")),
+    ).otherwise(F.col("section_id"))
+    line = F.when(
+        F.col("section_id").isNotNull(),
+        F.concat(F.lit("["), header, F.lit("] "), F.col("text")),
+    ).otherwise(F.col("text"))
+    return ctx.select("ctx_rank", line.alias("context_line")).orderBy("ctx_rank")
 
 
 # --- rag_context_kg: KG expansion of the retrieved sections ------------------
@@ -609,5 +679,7 @@ RAG_QUERIES["citation_boost"] = q_citation_boost
 RAG_ORACLES["citation_boost"] = _citation_boost_sql()
 RAG_QUERIES["rag_context"] = q_rag_context
 RAG_ORACLES["rag_context"] = _rag_context_sql()
+RAG_QUERIES["context_lines"] = q_context_lines
+RAG_ORACLES["context_lines"] = _context_lines_sql()
 RAG_QUERIES["rag_context_kg"] = q_rag_context_kg
 RAG_ORACLES["rag_context_kg"] = _rag_context_kg_sql()

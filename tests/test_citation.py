@@ -196,3 +196,67 @@ def test_tie_breaks_to_earliest_metadata_row(spark):
     # (section_id canonical, ordinal 0 -> 5): equal scores, row 2 wins
     got = run_boost(spark, "cite § 746.3", k=5)
     assert got[0]["doc_id"] == "EAR-746.3#p0002"
+
+
+def test_fuzz_extract_targets(spark):
+    """300 random prompts mixing citation shapes, unicode §, stray
+    digits, and dupes — column extraction equals the reference regex
+    model exactly (order + dedup)."""
+    import random
+
+    rng = random.Random(20260816)
+    frags = [
+        "§ {a}.{b}", "§{a}.{b}", "section {a}.{b}", "{a}.{b}",
+        "§ {a}.{b}(b)", "{a}.{b}({c})", "§ {a}.{b}(1)(i)x",
+        "part {a}", "{a}", "{a}.{b}.", "EAR {a}.{b}", "no cite here",
+        "v1.2", "10.5", "§ 12.3",  # 2-digit section bodies must NOT match... (12.3 has 2 digits)
+    ]
+    # build prompts
+    prompts = []
+    for _ in range(300):
+        n = rng.randint(1, 6)
+        words = []
+        for _ in range(n):
+            f = rng.choice(frags)
+            words.append(
+                f.format(
+                    a=rng.randint(1, 999), b=rng.randint(0, 99),
+                    c=rng.choice("ab1ix"),
+                )
+            )
+            if rng.random() < 0.3:
+                words.append(rng.choice(["and", "under", "see", ",", "—"]))
+        prompts.append(" ".join(words))
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prompts)], "i int, prompt string"
+    )
+    from earcrawler_spark.operators.citation import CITATION_PATTERN
+
+    pairs = F.flatten(
+        F.transform(
+            F.regexp_extract_all(F.col("prompt"), F.lit(CITATION_PATTERN), F.lit(1)),
+            lambda m: F.array(
+                F.concat(F.lit("EAR-"), m),
+                F.when(
+                    m.contains("("),
+                    F.concat(F.lit("EAR-"), F.substring_index(m, "(", 1)),
+                ),
+            ),
+        )
+    )
+    # keep-first dedup as an aggregate fold (same semantics as the
+    # operator's posexplode+min-pos, expressible per-row here)
+    dedup = F.aggregate(
+        F.filter(pairs, lambda x: x.isNotNull()),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    got = {
+        r["i"]: list(r["targets"])
+        for r in df.select("i", dedup.alias("targets")).collect()
+    }
+    for i, p in enumerate(prompts):
+        assert got[i] == model_targets(p), (p, got[i], model_targets(p))
