@@ -1192,6 +1192,67 @@ ORDER BY part, ordinal
 """
 
 
+# --- EAR part-number mining (transforms/ear_fr_to_rdf.py:8-22) ---------------
+
+PART_MINE_PATTERN = r"(?i)\b15\s*CFR\s*Part\s*(\d{3})\b"
+
+
+def q_part_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_parts_from_text + pick_parts
+    (transforms/ear_fr_to_rdf.py:8-22): '15 CFR Part NNN' mentions
+    (case-insensitive, whitespace-tolerant) mined per doc into the
+    sorted distinct digit list; docs without mentions are absent (the
+    reference returns an empty set)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" See 15 CFR Part "),
+                (700 + d % 37).cast("string"),
+                F.lit(" and 15 cfr part 744."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 10 == 3, F.lit(" Also 15  CFR  PART 736 applies; part 99 does not.")).otherwise(F.lit("")),
+    )
+    parts = F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(seeded, F.lit(PART_MINE_PATTERN), F.lit(1))
+        )
+    )
+    return (
+        docs.select("doc_id", F.array_join(parts, "|").alias("parts"))
+        .filter(F.col("parts") != "")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_PART_MINING = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' See 15 CFR Part ' || CAST(700 + doc_id % 37 AS VARCHAR)
+                      || ' and 15 cfr part 744.' ELSE '' END
+         || CASE WHEN doc_id % 10 = 3
+                 THEN ' Also 15  CFR  PART 736 applies; part 99 does not.'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(
+         regexp_extract_all(t, '(?i)\b15\s*CFR\s*Part\s*(\d{3})\b', 1))), '|') AS parts
+FROM seeded
+WHERE len(regexp_extract_all(t, '(?i)\b15\s*CFR\s*Part\s*(\d{3})\b', 1)) > 0
+ORDER BY doc_id
+"""
+
+
+FIDELITY_QUERIES["part_mining"] = q_part_mining
+FIDELITY_ORACLES["part_mining"] = _SQL_PART_MINING
+
 FIDELITY_QUERIES["provenance_upsert"] = q_provenance_upsert
 FIDELITY_QUERIES["part_anchors"] = q_part_anchors
 FIDELITY_ORACLES["provenance_upsert"] = _SQL_PROVENANCE
