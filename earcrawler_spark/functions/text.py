@@ -127,6 +127,65 @@ def tokens(col: Column, lowercase: bool = True) -> Column:
     return F.filter(F.split(base, TOKEN_SPLIT_PATTERN), lambda t: t != "")
 
 
+BM25_TOKEN_PATTERN = r"[A-Za-z0-9]+(?:\.[A-Za-z0-9]+)*(?:\([A-Za-z0-9]+\))*"
+
+
+def normalize_bm25_token(tok: Column) -> Column:
+    """The reference's BM25 token normalizer
+    (rag/retriever_ranking.py:66-76): lowercase, then ONE plural rule —
+    'ies'→'y' (len>4), else drop 'es' (len>4), else drop 's' (len>3)."""
+    t = F.lower(F.trim(tok))
+    n = F.length(t)
+    return (
+        F.when((n > 4) & t.endswith("ies"), F.concat(F.substring(t, 1, n - 3), F.lit("y")))
+        .when((n > 4) & t.endswith("es"), F.substring(t, 1, n - 2))
+        .when((n > 3) & t.endswith("s"), F.substring(t, 1, n - 1))
+        .otherwise(t)
+    )
+
+
+def bm25_tokens(col: Column) -> Column:
+    """tokenize_for_bm25 (retriever_ranking.py:79-85): TOKEN_RE matches
+    (word chars with optional .sub and (paren) tails) through the plural
+    normalizer, empties dropped."""
+    raw = F.regexp_extract_all(col, F.lit(BM25_TOKEN_PATTERN), F.lit(0))
+    return F.filter(
+        F.transform(raw, normalize_bm25_token), lambda t: t != ""
+    )
+
+
+def normalize_bm25_token_py(token: str) -> str:
+    """Python mirror for constant query-term lists (same rules)."""
+    token = str(token or "").strip().lower()
+    if not token:
+        return ""
+    if token.endswith("ies") and len(token) > 4:
+        return token[:-3] + "y"
+    if token.endswith("es") and len(token) > 4:
+        return token[:-2]
+    if token.endswith("s") and len(token) > 3:
+        return token[:-1]
+    return token
+
+
+def bm25_tokens_sql(expr: str) -> str:
+    """DuckDB mirror of bm25_tokens."""
+    pat = BM25_TOKEN_PATTERN  # RE2-compatible as written
+    tok = "lower(trim(x))"
+    norm = (
+        f"CASE WHEN len({tok}) > 4 AND {tok} LIKE '%ies' "
+        f"THEN substr({tok}, 1, len({tok}) - 3) || 'y' "
+        f"WHEN len({tok}) > 4 AND {tok} LIKE '%es' "
+        f"THEN substr({tok}, 1, len({tok}) - 2) "
+        f"WHEN len({tok}) > 3 AND {tok} LIKE '%s' "
+        f"THEN substr({tok}, 1, len({tok}) - 1) ELSE {tok} END"
+    )
+    return (
+        f"list_filter(list_transform(regexp_extract_all({expr}, '{pat}'), "
+        f"x -> {norm}), t -> t <> '')"
+    )
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col, lowercase=False))
 

@@ -45,8 +45,14 @@ def topk_ranked(
     return survivors.withColumn(rank_name, F.row_number().over(w))
 
 
-def bm25_scores(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFrame:
+def bm25_scores(
+    docs: DataFrame, query_terms: list[str], k: int = 20, tokenizer=None
+) -> DataFrame:
     """Deterministic BM25 top-k of `docs(doc_id, text)` for query_terms.
+
+    ``tokenizer`` maps a text Column to an array<string> (default: the
+    whitespace tokenizer; pass functions.text.bm25_tokens for the
+    reference's TOKEN_RE + plural-stripping normalizer).
 
     Plan shape (checked with .explain): ONE corpus scan — per-doc length
     and per-query-term tf come out of a single explode+groupBy(doc_id)
@@ -55,7 +61,8 @@ def bm25_scores(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFra
     back. The naive formulation (separate tf/df/doc-length aggregations)
     re-scans the corpus per aggregate — 8 scans at 100 TB.
     """
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tokenize = tokenizer or tokens
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
         *[
@@ -96,8 +103,13 @@ def bm25_scores(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFra
     return topk_ranked(scored, [F.desc("score"), F.col("doc_id")], k).orderBy("rank")
 
 
-def bm25_sql(query_terms: list[str], k: int = 20, table: str = "documents") -> str:
-    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+def bm25_sql(
+    query_terms: list[str], k: int = 20, table: str = "documents",
+    tokenizer_sql: str | None = None,
+) -> str:
+    toks = tokenizer_sql or (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    )
     terms = ", ".join(f"'{t}'" for t in query_terms)
     return f"""
 WITH tok AS (

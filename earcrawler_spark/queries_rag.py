@@ -675,6 +675,40 @@ ORDER BY section_id
 """
 
 
+# --- BM25 with the reference tokenizer ---------------------------------------
+
+# raw query words; both sides run them through the plural normalizer
+BM25_TOK_QUERY_RAW = ["sparks", "joins", "tables", "stream"]
+
+
+def q_bm25_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the reference's ACTUAL tokenizer
+    (retriever_ranking.py:19,66-85): TOKEN_RE word units (with .sub and
+    (paren) tails) through the 'ies'→'y' / drop-'es' / drop-'s' plural
+    normalizer — so 'tables' matches 'table' and 'joins' matches 'join'.
+    The plain whitespace variant stays registered as bm25_topk."""
+    from earcrawler_spark.functions.text import bm25_tokens, normalize_bm25_token_py
+    from earcrawler_spark.operators.ranking import bm25_scores
+
+    terms = [t for t in (normalize_bm25_token_py(w) for w in BM25_TOK_QUERY_RAW) if t]
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, terms, k=20, tokenizer=bm25_tokens)
+
+
+def _bm25_tokenized_sql() -> str:
+    from earcrawler_spark.functions.text import (
+        bm25_tokens_sql,
+        normalize_bm25_token_py,
+    )
+    from earcrawler_spark.operators.ranking import bm25_sql
+
+    terms = [t for t in (normalize_bm25_token_py(w) for w in BM25_TOK_QUERY_RAW) if t]
+    return bm25_sql(terms, k=20, tokenizer_sql=bm25_tokens_sql("text"))
+
+
+RAG_QUERIES["bm25_tokenized"] = q_bm25_tokenized
+RAG_ORACLES["bm25_tokenized"] = _bm25_tokenized_sql()
+
 RAG_QUERIES["citation_boost"] = q_citation_boost
 RAG_ORACLES["citation_boost"] = _citation_boost_sql()
 RAG_QUERIES["rag_context"] = q_rag_context

@@ -68,3 +68,44 @@ def test_approx_distinct_within_bound(spark, sf_small):
 
     r = q_seen_set_cardinality(spark, sf_small).collect()[0]
     assert abs(r["approx_distinct"] - r["exact_distinct"]) <= 0.1 * r["exact_distinct"]
+
+
+def test_bm25_token_normalizer_vectors(spark):
+    """normalize_bm25_token vs the reference rules
+    (retriever_ranking.py:66-76) incl. the length guards."""
+    from pyspark.sql import functions as F
+
+    from earcrawler_spark.functions.text import (
+        bm25_tokens,
+        normalize_bm25_token_py,
+    )
+
+    def model(raw):
+        out = []
+        import re
+        for tok in re.findall(r"[A-Za-z0-9]+(?:\.[A-Za-z0-9]+)*(?:\([A-Za-z0-9]+\))*", raw):
+            t = normalize_bm25_token_py(tok)
+            if t:
+                out.append(t)
+        return out
+
+    cases = [
+        "tables joins ladies cases bus es ies s As",
+        "section 744.11(b) applies; entities' LICENSES expire",
+        "gas pass news yes axes 123s a.b.c(d) x",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, t string")
+    got = {
+        r["i"]: list(r["tk"])
+        for r in df.select("i", bm25_tokens(F.col("t")).alias("tk")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == model(c), (c, got[i], model(c))
+    # the rules themselves
+    assert normalize_bm25_token_py("ladies") == "lady"
+    assert normalize_bm25_token_py("cases") == "cas"
+    assert normalize_bm25_token_py("tables") == "tabl"
+    assert normalize_bm25_token_py("gas") == "gas"    # len guard (3)
+    assert normalize_bm25_token_py("ies") == "ies"    # len guard
+    assert normalize_bm25_token_py("news") == "new"
