@@ -675,6 +675,70 @@ ORDER BY section_id
 """
 
 
+# --- dense retrieval, reference scoring shape --------------------------------
+
+def q_knn_l2_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dense-retrieval scoring exactly
+    (rag/retriever.py:407-441): L2 distance to the query vector →
+    score = 1/(1+distance), ranked by the 1e-6 score BUCKET with the
+    deterministic metadata tie key (doc id here) breaking equal buckets
+    (retriever_ranking.py:12,37-40 score_bucket + tie key). knn_bruteforce
+    keeps the cosine variant."""
+    from earcrawler_spark.operators.ranking import topk_ranked
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dist, 6).alias("l2_dist"),
+            F.round(1.0 / (1.0 + dist), 6).alias("score"),
+            F.round((1.0 / (1.0 + dist)) / 1e-6).cast("long").alias("bucket"),
+        )
+    )
+    return topk_ranked(
+        scored, [F.desc("bucket"), F.col("doc_id")], 50
+    ).orderBy("rank")
+
+
+_SQL_KNN_L2 = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+              i -> (v[i]-qv[i])*(v[i]-qv[i])), 'sum')) AS d
+  FROM e, q WHERE e.vec_id <> 0
+)
+SELECT doc_id, l2_dist, score, bucket, rank FROM (
+  SELECT doc_id, round(d, 6) AS l2_dist,
+         round(1.0/(1.0+d), 6) AS score,
+         CAST(round((1.0/(1.0+d)) / 0.000001) AS BIGINT) AS bucket,
+         row_number() OVER (
+           ORDER BY CAST(round((1.0/(1.0+d)) / 0.000001) AS BIGINT) DESC,
+                    doc_id) AS rank
+  FROM scored
+) WHERE rank <= 50
+ORDER BY rank
+"""
+
+
+RAG_QUERIES["knn_l2_bucket"] = q_knn_l2_bucket
+RAG_ORACLES["knn_l2_bucket"] = _SQL_KNN_L2
+
+
 # --- BM25 with the reference tokenizer ---------------------------------------
 
 # raw query words; both sides run them through the plural normalizer
