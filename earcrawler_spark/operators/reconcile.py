@@ -253,6 +253,15 @@ def score_pairs_v2(pairs_with_attrs: DataFrame) -> DataFrame:
     na, nb = normalize_name_v2(F.col("name_a")), normalize_name_v2(F.col("name_b"))
     d = d.withColumn("norm_a", na).withColumn("norm_b", nb)
     a, b = F.col("norm_a"), F.col("norm_b")
+    # ALL name-derived features compute on the DISTINCT normalized name
+    # pairs and join back: blocking emits each hot name pair many times
+    # (27x on the synthetic domain — 416k pair rows, 15.6k distinct name
+    # pairs), and these are the expensive features (the Arrow JW stage,
+    # plus token-set and per-char prefix/suffix HOFs, which Spark
+    # evaluates interpreted). Per-row attribute equalities stay on the
+    # pair rows — they are codegen'd comparisons. Drop the broadcast
+    # hint if the distinct name-pair set ever outgrows broadcast range
+    # and let AQE pick the strategy.
     ta = F.array_distinct(F.filter(F.split(a, " "), lambda t: t != ""))
     tb = F.array_distinct(F.filter(F.split(b, " "), lambda t: t != ""))
     union_n = F.size(F.array_union(ta, tb))
@@ -263,6 +272,17 @@ def score_pairs_v2(pairs_with_attrs: DataFrame) -> DataFrame:
     suffix = F.when(
         nonempty, _common_prefix_len(F.reverse(a), F.reverse(b)) / maxlen
     ).otherwise(0.0)
+    name_feats = (
+        d.select("norm_a", "norm_b")
+        .distinct()
+        .repartition(parallelism)
+        .withColumn("_jw", jaro_winkler_udf(a, b))
+        .withColumn("_name_exact", (a == b).cast("double"))
+        .withColumn("_token_jaccard", jac)
+        .withColumn("_prefix_overlap", prefix)
+        .withColumn("_suffix_overlap", suffix)
+    )
+    d = d.join(F.broadcast(name_feats), ["norm_a", "norm_b"])
     def _both_eq(x, y):
         # null-safe: a missing attribute on either side is a non-match,
         # never a null feature (reference treats None as falsy)
@@ -283,11 +303,11 @@ def score_pairs_v2(pairs_with_attrs: DataFrame) -> DataFrame:
         return expr
 
     feats = {
-        "name_exact": (a == b).cast("double"),
-        "token_jaccard": jac,
-        "jaro_winkler": jaro_winkler_udf(a, b),
-        "prefix_overlap": prefix,
-        "suffix_overlap": suffix,
+        "name_exact": F.col("_name_exact"),
+        "token_jaccard": F.col("_token_jaccard"),
+        "jaro_winkler": F.col("_jw"),
+        "prefix_overlap": F.col("_prefix_overlap"),
+        "suffix_overlap": F.col("_suffix_overlap"),
         "country_match": (F.col("country_a") == F.col("country_b")).cast("double"),
         "id_equal": id_eq,
         "url_host": host_eq,
