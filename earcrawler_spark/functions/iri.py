@@ -134,3 +134,23 @@ def canonicalize_iri(col: Column) -> Column:
         .when(raw.startswith(LEGACY_ENT), ent_rewrite)
         .otherwise(raw)
     )
+
+
+def apply_version_suffix(doc_id, version_suffix) -> Column:
+    """rag/temporal.py:70-83 apply_version_suffix: attach a version
+    suffix while preserving existing '#'-suffixes — 'id' -> 'id#v',
+    'id#p1' -> 'id#v:p1', already-versioned ids ('id#v' / 'id#v:rest')
+    pass through; empty id or suffix is a no-op."""
+    did = F.regexp_replace(F.coalesce(doc_id, F.lit("")), r"^\s+|\s+$", "")
+    suf = F.regexp_replace(F.coalesce(version_suffix, F.lit("")), r"^\s+|\s+$", "")
+    left = F.substring_index(did, "#", 1)
+    right = F.substring(did, F.length(left) + 2, 1 << 20)
+    return (
+        F.when((did == "") | (suf == ""), did)
+        .when(~did.contains("#"), F.concat(did, F.lit("#"), suf))
+        .when(
+            (right == suf) | right.startswith(F.concat(suf, F.lit(":"))),
+            did,
+        )
+        .otherwise(F.concat(left, F.lit("#"), suf, F.lit(":"), right))
+    )

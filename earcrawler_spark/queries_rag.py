@@ -675,6 +675,167 @@ ORDER BY section_id
 """
 
 
+# --- temporal request resolution ---------------------------------------------
+
+ISO_DATE_RE = r"\b(\d{4}-\d{2}-\d{2})\b"
+
+
+def resolve_temporal_requests(
+    questions: DataFrame, param_col: str | None = None
+) -> DataFrame:
+    """resolve_temporal_request (rag/temporal.py:132-176) as columns over
+    questions(q_id, question [, param]): ISO dates mined from the
+    question in first-seen order (invalid calendar dates drop, exactly
+    like normalize_iso_date's fromisoformat ValueError), then the
+    reference's precedence — explicit parameter (conflict refusal when
+    the question names a different date), multiple question dates
+    (refusal), single date, none."""
+    matches = F.regexp_extract_all(
+        F.col("question"), F.lit(ISO_DATE_RE), F.lit(1)
+    )
+    qd = F.aggregate(
+        matches,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            F.try_to_date(x).isNull() | F.array_contains(acc, x), acc
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    d = questions.withColumn("_qd", qd)
+    param = (
+        F.col(param_col) if param_col else F.lit(None).cast("string")
+    )
+    d = d.withColumn("_param", param)
+    has_param = F.col("_param").isNotNull()
+    conflicts = F.exists(F.col("_qd"), lambda x: x != F.col("_param"))
+    res = (
+        F.when(
+            has_param,
+            F.struct(
+                F.lit(True).alias("requested"),
+                F.col("_param").alias("effective_date"),
+                F.lit("parameter").alias("source"),
+                F.when(conflicts, F.lit("conflicting_effective_dates"))
+                .alias("refusal_reason"),
+            ),
+        )
+        .when(
+            F.size("_qd") > 1,
+            F.struct(
+                F.lit(True).alias("requested"),
+                F.lit(None).cast("string").alias("effective_date"),
+                F.lit("question").alias("source"),
+                F.lit("multiple_dates_in_question").alias("refusal_reason"),
+            ),
+        )
+        .when(
+            F.size("_qd") == 1,
+            F.struct(
+                F.lit(True).alias("requested"),
+                F.element_at("_qd", 1).alias("effective_date"),
+                F.lit("question").alias("source"),
+                F.lit(None).cast("string").alias("refusal_reason"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(False).alias("requested"),
+                F.lit(None).cast("string").alias("effective_date"),
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast("string").alias("refusal_reason"),
+            )
+        )
+    )
+    return d.withColumn("_r", res).select(
+        "q_id",
+        F.col("_r.requested").alias("requested"),
+        F.col("_r.effective_date").alias("effective_date"),
+        F.col("_r.source").alias("source"),
+        F.array_join("_qd", "|").alias("question_dates"),
+        F.col("_r.refusal_reason").alias("refusal_reason"),
+    )
+
+
+def q_temporal_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal request resolution over a synthetic question table
+    exercising every branch: no dates, single date, multiple dates
+    (refusal), invalid calendar dates (dropped), duplicate mentions
+    (keep-first dedup), and explicit parameter dates with and without
+    conflicts."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = (d % 9 + 1).cast("string")
+    question = (
+        F.when(d % 4 == 0, F.lit("does Part 744 apply to re-exports"))
+        .when(d % 4 == 1, F.concat(F.lit("as of 2020-0"), m, F.lit("-15 does it apply")))
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("between 2020-03-01 and 2021-0"), m, F.lit("-20")),
+        )
+        .otherwise(F.lit("on 2021-13-45 (sic) and maybe 2021-02-30"))
+    )
+    question = F.when(
+        d % 8 == 1, F.concat(question, F.lit(" repeat 2020-0"), m, F.lit("-15"))
+    ).otherwise(question)
+    qs = docs.select(
+        d.alias("q_id"),
+        question.alias("question"),
+        F.when(d % 5 == 0, F.lit("2020-06-15")).alias("param"),
+    )
+    return resolve_temporal_requests(qs, param_col="param").orderBy("q_id")
+
+
+_SQL_TEMPORAL_REQUESTS = r"""
+WITH qs AS (
+  SELECT doc_id AS q_id,
+         CASE WHEN doc_id % 8 = 1 THEN base || ' repeat 2020-0' || m || '-15'
+              ELSE base END AS question,
+         CASE WHEN doc_id % 5 = 0 THEN '2020-06-15' END AS param
+  FROM (
+    SELECT doc_id, CAST(doc_id % 9 + 1 AS VARCHAR) AS m,
+           CASE WHEN doc_id % 4 = 0 THEN 'does Part 744 apply to re-exports'
+                WHEN doc_id % 4 = 1 THEN 'as of 2020-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15 does it apply'
+                WHEN doc_id % 4 = 2 THEN 'between 2020-03-01 and 2021-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-20'
+                ELSE 'on 2021-13-45 (sic) and maybe 2021-02-30' END AS base
+    FROM documents)
+), mined AS (
+  SELECT q_id, question, param, pos, v
+  FROM (SELECT q_id, question, param,
+               generate_subscripts(ms, 1) AS pos, unnest(ms) AS v
+        FROM (SELECT q_id, question, param,
+                     regexp_extract_all(question, '\b(\d{4}-\d{2}-\d{2})\b', 1) AS ms
+              FROM qs))
+  WHERE try_cast(v AS DATE) IS NOT NULL
+), dedup AS (
+  SELECT q_id, v, min(pos) AS first_pos FROM mined GROUP BY q_id, v
+), qdates AS (
+  SELECT q_id,
+         list(v ORDER BY first_pos) AS qd
+  FROM dedup GROUP BY q_id
+), resolved AS (
+  SELECT q.q_id, q.param, coalesce(d.qd, []) AS qd
+  FROM qs q LEFT JOIN qdates d ON q.q_id = d.q_id
+)
+SELECT q_id,
+       CASE WHEN param IS NOT NULL THEN true
+            WHEN len(qd) >= 1 THEN true ELSE false END AS requested,
+       CASE WHEN param IS NOT NULL THEN param
+            WHEN len(qd) = 1 THEN qd[1] END AS effective_date,
+       CASE WHEN param IS NOT NULL THEN 'parameter'
+            WHEN len(qd) >= 1 THEN 'question' END AS source,
+       coalesce(array_to_string(qd, '|'), '') AS question_dates,
+       CASE WHEN param IS NOT NULL THEN
+              CASE WHEN len(list_filter(qd, x -> x <> param)) > 0
+                   THEN 'conflicting_effective_dates' END
+            WHEN len(qd) > 1 THEN 'multiple_dates_in_question' END AS refusal_reason
+FROM resolved
+ORDER BY q_id
+"""
+
+
+RAG_QUERIES["temporal_requests"] = q_temporal_requests
+RAG_ORACLES["temporal_requests"] = _SQL_TEMPORAL_REQUESTS
+
+
 # --- dense retrieval, reference scoring shape --------------------------------
 
 def q_knn_l2_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,3 +52,45 @@ def test_iri_vectors(spark):
     got = {r["i"]: r[cases[r["i"]][0]] for r in out}
     for i, (kind, v, want) in enumerate(cases):
         assert got[i] == want, (kind, v, got[i], want)
+
+
+def test_apply_version_suffix_vectors(spark):
+    """apply_version_suffix vs the reference model (rag/temporal.py:70-83)."""
+    from earcrawler_spark.functions.iri import apply_version_suffix
+
+    def model(doc_id, suffix):
+        normalized = str(doc_id or "").strip()
+        s = str(suffix or "").strip()
+        if not normalized or not s:
+            return normalized
+        if "#" not in normalized:
+            return f"{normalized}#{s}"
+        left, right = normalized.split("#", 1)
+        if right == s or right.startswith(f"{s}:"):
+            return normalized
+        return f"{left}#{s}:{right}"
+
+    cases = [
+        ("EAR-744.11", "v2"),
+        ("EAR-744.11#p0001", "v2"),
+        ("EAR-744.11#v2", "v2"),
+        ("EAR-744.11#v2:p0001", "v2"),
+        ("EAR-744.11#v3:p0001", "v2"),
+        ("  EAR-744.11  ", " v2 "),
+        ("", "v2"),
+        ("EAR-744.11", ""),
+        (None, "v2"),
+        ("a#b#c", "v1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, d, s) for i, (d, s) in enumerate(cases)],
+        "i int, d string, s string",
+    )
+    got = {
+        r["i"]: r["o"]
+        for r in df.select(
+            "i", apply_version_suffix(F.col("d"), F.col("s")).alias("o")
+        ).collect()
+    }
+    for i, (d, s) in enumerate(cases):
+        assert got[i] == model(d, s), (d, s, got[i], model(d, s))
