@@ -41,9 +41,29 @@ def _fresh_spark(master: str, shuffle_partitions: int):
 BENCH_EXCLUDE = {"ngram_jaccard_pairs", "cosine_neardup"}
 
 
+def _warm_python_workers(spark) -> None:
+    """Spin up the per-core Python/Arrow worker pool before timing —
+    the reference retriever does the same (Retriever.warm). Cold worker
+    fork+import costs ~15 s spread across whichever Arrow query runs
+    first, turning its timing into a coin flip; steady-state clusters
+    run with warm pools."""
+    from pyspark.sql import functions as F
+
+    from earcrawler_spark.functions.similarity_udfs import jaro_winkler_udf
+
+    n = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n * 4)
+        .repartition(n)
+        .select(jaro_winkler_udf(F.lit("warm"), F.lit("worm")).alias("x"))
+        .count()
+    )
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from earcrawler_spark.queries import QUERIES
 
+    _warm_python_workers(spark)
     out: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if name in BENCH_EXCLUDE:
