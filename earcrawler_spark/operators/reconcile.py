@@ -113,6 +113,37 @@ RECONCILE_SOURCE_BONUS = {"tradegov": 0.5, "federalregister": 0.5}
 MAX_LEXICAL_BLOCK = 64
 
 
+def load_rules(spark, rules_path: str) -> dict:
+    """Reference load_rules (kg/reconcile.py:115-132): rules.yml plus
+    sibling whitelist.csv / blacklist.csv. The YAML config (thresholds /
+    weights / source bonuses / blocking params) is driver-side — it is
+    plan CONFIGURATION, exactly like the reference; the CSV override
+    lists load through spark.read.csv with an explicit schema (headered
+    left_id,right_id,reason) so at scale a million-row override table
+    never touches the driver."""
+    import os
+
+    import yaml
+
+    data = yaml.safe_load(open(rules_path, encoding="utf-8").read())
+    base = os.path.dirname(rules_path)
+    schema = "left_id string, right_id string, reason string"
+    for key, fn in (("whitelist", "whitelist.csv"), ("blacklist", "blacklist.csv")):
+        p = os.path.join(base, fn)
+        data[key + "_df"] = (
+            spark.read.csv(p, header=True, schema=schema)
+            if os.path.exists(p)
+            else spark.createDataFrame([], schema)
+        )
+        # driver-side tuple form for decide_pairs_v2's broadcast path
+        # (bounded lists in this engine's synthetic domain)
+        data[key] = [
+            (r["left_id"], r["right_id"], r["reason"])
+            for r in data[key + "_df"].collect()
+        ]
+    return data
+
+
 def normalize_name_v2(col):
     """Reference normalize (reconcile.py:63-71): casefold, punctuation to
     space, whitespace collapse, corporate-stopword removal. (NFC is a

@@ -101,3 +101,51 @@ def test_lexical_cap_drops_hot_bucket_but_id_keys_survive(spark):
     ]
     pairs = blocking_pairs_v2(spark.createDataFrame(rows, ENT_SCHEMA)).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {("e000", "e001")}
+
+
+def test_load_rules_csv_and_yaml(spark, tmp_path):
+    """load_rules parity (kg/reconcile.py:115-132): YAML config + CSV
+    override lists; overrides flow into decide_pairs_v2."""
+    from earcrawler_spark.operators.reconcile import (
+        RECONCILE_THRESHOLDS,
+        RECONCILE_WEIGHTS,
+        load_rules,
+    )
+
+    (tmp_path / "rules.yml").write_text(
+        "thresholds:\n  high: 0.82\n  low: 0.50\n"
+        "weights:\n" + "".join(f"  {k}: {v}\n" for k, v in RECONCILE_WEIGHTS.items())
+        + "sources:\n  tradegov: 0.5\n  federalregister: 0.5\n",
+        encoding="utf-8",
+    )
+    (tmp_path / "whitelist.csv").write_text(
+        "left_id,right_id,reason\nPA1,PB1,manual whitelist\n", encoding="utf-8"
+    )
+    (tmp_path / "blacklist.csv").write_text(
+        "left_id,right_id,reason\nPA2,PB2,manual blacklist\n", encoding="utf-8"
+    )
+    rules = load_rules(spark, str(tmp_path / "rules.yml"))
+    assert rules["thresholds"] == RECONCILE_THRESHOLDS
+    assert rules["weights"] == RECONCILE_WEIGHTS
+    assert rules["whitelist"] == [("PA1", "PB1", "manual whitelist")]
+    assert rules["blacklist"] == [("PA2", "PB2", "manual blacklist")]
+    assert rules["whitelist_df"].count() == 1
+
+    # loaded overrides drive decisions exactly like the constants:
+    # PA1/PB1 share a duns (id-key block) but have unrelated names ->
+    # whitelisted merge; PA2/PB2 share a name -> blacklisted reject
+    rows = [
+        ("PA1", "Acme", "US", "other", "D77", None, None, None),
+        ("PB1", "Zebra Corp", "US", "other", "D77", None, None, None),
+        ("PA2", "Same Name", "US", "other", None, None, None, None),
+        ("PB2", "Same Name", "US", "other", None, None, None, None),
+    ]
+    pairs = _pairs(spark, rows)
+    decided = {
+        (r["id_a"], r["id_b"]): (r["decision"], r["reason"])
+        for r in decide_pairs_v2(
+            pairs, whitelist=rules["whitelist"], blacklist=rules["blacklist"]
+        ).collect()
+    }
+    assert decided[("PA1", "PB1")] == ("auto_merge", "manual whitelist")
+    assert decided[("PA2", "PB2")] == ("reject", "manual blacklist")
