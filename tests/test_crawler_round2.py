@@ -277,3 +277,65 @@ def test_cache_cap_respected_in_crawl(spark, tmp_path):
     # the survivors are the newest entries
     final = c.state.read_latest("fetch_cache", upto)
     assert final.agg(F.min("fetched_iter")).collect()[0][0] >= upto - 1
+
+
+def test_fuzz_robots_grouping(spark):
+    """300 random robots.txt files (stacked UA lines, comments, rules
+    before any group, bogus crawl-delays, other bots' groups) vs an
+    independent model of RFC 9309 group selection."""
+    import random
+
+    def model(txt, ua="*", default_delay=1.0):
+        groups = {}
+        cur, body = [], False
+        for raw in (txt or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            k, _, v = line.partition(":")
+            k, v = k.strip().lower(), v.strip()
+            if k == "user-agent":
+                if body:
+                    cur, body = [], False
+                cur.append(v.lower())
+                groups.setdefault(v.lower(), ([], [None]))
+                continue
+            if not cur:
+                continue
+            body = True
+            if k == "disallow" and v:
+                for a in cur:
+                    groups[a][0].append(v)
+            elif k == "crawl-delay":
+                try:
+                    d = float(v)
+                except ValueError:
+                    continue
+                for a in cur:
+                    groups[a][1][0] = d
+        g = groups.get(ua.lower(), groups.get("*"))
+        if g is None:
+            return [], default_delay
+        return list(g[0]), default_delay if g[1][0] is None else g[1][0]
+
+    rng = random.Random(31337)
+    agents = ["*", "earcrawler", "otherbot", "GoogleBot"]
+    lines_pool = [
+        "User-agent: {a}", "user-agent:{a}", "Disallow: /private",
+        "Disallow: /tmp/{n}", "Disallow:", "disallow: /x",
+        "Crawl-delay: {d}", "crawl-delay: fast", "Allow: /ok",
+        "# comment", "", "garbage line without colon", "Sitemap: /map.xml",
+    ]
+    for trial in range(300):
+        n_lines = rng.randint(0, 14)
+        txt = "\n".join(
+            rng.choice(lines_pool).format(
+                a=rng.choice(agents), n=rng.randint(0, 9),
+                d=rng.choice(["0.5", "2", "1e-1", "oops"]),
+            )
+            for _ in range(n_lines)
+        )
+        for ua in ("*", "earcrawler", "unknownbot"):
+            got = parse_robots_txt(txt, default_delay=1.0, user_agent=ua)
+            want = model(txt, ua=ua, default_delay=1.0)
+            assert got == (want[0], want[1]), (trial, ua, txt, got, want)
