@@ -91,3 +91,45 @@ def test_fuzz_graph_update(spark):
         got = {tuple(r) for r in after.collect()}
         want = model(base, ins, dels)
         assert got == want, (trial, sorted(base), sorted(ins), dels, got ^ want)
+
+
+def test_policy_hints_loader(spark, tmp_path):
+    """load_hints/hints_manifest parity (policy/__init__.py) + the hint
+    upsert riding apply_graph_update like upsert_policy_hint.sparql."""
+    from earcrawler_spark.policy import hints_df, hints_manifest, load_hints
+
+    p = tmp_path / "hints.yml"
+    p.write_text(
+        "hints:\n"
+        "  - part: '744'\n    program: EAR-EXPORT\n    priority: 2\n"
+        "    rationale: core\n"
+        "  - part: '736'\n    program: GENERAL\n",
+        encoding="utf-8",
+    )
+    hints = load_hints(str(p))
+    assert hints == [
+        {"part": "744", "program": "EAR-EXPORT", "priority": 2.0,
+         "rationale": "core"},
+        {"part": "736", "program": "GENERAL", "priority": 0.0,
+         "rationale": ""},
+    ]
+    # manifest sorted by (part, program), keys sorted
+    m = hints_manifest(hints)
+    assert m.index('"part": "736"') < m.index('"part": "744"')
+    assert load_hints(str(tmp_path / "missing.yml")) == []
+
+    # hint upsert = the proven DELETE/INSERT merge
+    df = hints_df(spark, hints)
+    from pyspark.sql import functions as F
+
+    triples = df.select(
+        F.concat(F.lit("part:"), "part").alias("s"),
+        F.lit("ear:hasPolicyHint").alias("p"),
+        F.concat(F.lit("hint:"), "part", F.lit(":"), "program").alias("o"),
+    )
+    base = spark.createDataFrame(
+        [("part:744", "ear:hasPolicyHint", "hint:744:EAR-EXPORT")],
+        "s string, p string, o string",
+    )
+    after = apply_graph_update(base, triples, triples)
+    assert after.count() == 2  # dedup + re-upsert of the existing edge
