@@ -675,6 +675,136 @@ ORDER BY section_id
 """
 
 
+# --- citation precision/recall metrics ---------------------------------------
+
+def q_citation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """score_citations (eval/citation_metrics.py:115-139) per eval item:
+    tp/fp/fn over canonical predicted-vs-ground-truth section sets with
+    the reference's edge conventions — no predictions → precision 1.0
+    iff nothing to cite; empty ground truth → recall 1.0; F1 0.0 when
+    p+r=0. Items exercise full match, partial overlap, pure-fp,
+    no-prediction, and empty-gt branches."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def sec(x):
+        return F.concat(
+            F.lit("EAR-"),
+            (x % 37 + 700).cast("string"),
+            F.lit("."),
+            (x % 7 + 1).cast("string"),
+        )
+
+    gt = F.when(d % 13 == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.filter(
+                F.array(
+                    sec(d),
+                    F.when(d % 2 == 0, sec(d + 5)),
+                    F.when(d % 3 == 0, sec(d + 11)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+    )
+    pred = F.when(d % 11 == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.filter(
+                F.array(
+                    F.when(d % 4 != 1, sec(d)),
+                    F.when(d % 5 == 0, sec(d + 5)),
+                    F.when(d % 6 == 0, sec(d + 23)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+    )
+    out = docs.select(d.alias("item_id"), gt.alias("gt"), pred.alias("pred"))
+    tp = F.size(F.array_intersect("pred", "gt"))
+    fp = F.size("pred") - tp
+    fn = F.size("gt") - tp
+    gt_n = F.size("gt")
+    precision = F.when(
+        tp + fp == 0, F.when(gt_n == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    ).otherwise(tp / (tp + fp))
+    recall = (
+        F.when(gt_n == 0, F.lit(1.0))
+        .when(tp + fn == 0, F.lit(0.0))
+        .otherwise(tp / (tp + fn))
+    )
+    denom = precision + recall
+    f1 = F.when(denom > 0, 2 * precision * recall / denom).otherwise(
+        F.when((F.size("pred") == 0) & (gt_n == 0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return out.select(
+        "item_id",
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.array_join(F.array_sort("pred"), "|").alias("predicted"),
+        F.array_join(F.array_sort("gt"), "|").alias("ground_truth"),
+    ).orderBy("item_id")
+
+
+def _sec_sql(x: str) -> str:
+    return (
+        f"'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+        f"|| CAST(({x}) % 7 + 1 AS VARCHAR)"
+    )
+
+
+_SQL_CITATION_METRICS = f"""
+WITH items AS (
+  SELECT doc_id AS item_id,
+         CASE WHEN doc_id % 13 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_filter([
+                {_sec_sql('doc_id')},
+                CASE WHEN doc_id % 2 = 0 THEN {_sec_sql('doc_id + 5')} END,
+                CASE WHEN doc_id % 3 = 0 THEN {_sec_sql('doc_id + 11')} END
+              ], x -> x IS NOT NULL)) END AS gt,
+         CASE WHEN doc_id % 11 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_filter([
+                CASE WHEN doc_id % 4 <> 1 THEN {_sec_sql('doc_id')} END,
+                CASE WHEN doc_id % 5 = 0 THEN {_sec_sql('doc_id + 5')} END,
+                CASE WHEN doc_id % 6 = 0 THEN {_sec_sql('doc_id + 23')} END
+              ], x -> x IS NOT NULL)) END AS pred
+  FROM documents
+), scored AS (
+  SELECT item_id, gt, pred,
+         len(list_intersect(pred, gt)) AS tp,
+         len(pred) - len(list_intersect(pred, gt)) AS fp,
+         len(gt) - len(list_intersect(pred, gt)) AS fn
+  FROM items
+), m AS (
+  SELECT *,
+    CASE WHEN tp + fp = 0 THEN CASE WHEN len(gt) = 0 THEN 1.0 ELSE 0.0 END
+         ELSE tp * 1.0 / (tp + fp) END AS precision,
+    CASE WHEN len(gt) = 0 THEN 1.0
+         WHEN tp + fn = 0 THEN 0.0
+         ELSE tp * 1.0 / (tp + fn) END AS recall
+  FROM scored
+)
+SELECT item_id, tp, fp, fn,
+       CAST(round(precision, 6) AS DOUBLE) AS precision,
+       CAST(round(recall, 6) AS DOUBLE) AS recall,
+       CAST(round(CASE WHEN precision + recall > 0
+                       THEN 2 * precision * recall / (precision + recall)
+                       WHEN len(pred) = 0 AND len(gt) = 0 THEN 1.0
+                       ELSE 0.0 END, 6) AS DOUBLE) AS f1,
+       coalesce(array_to_string(list_sort(pred), '|'), '') AS predicted,
+       coalesce(array_to_string(list_sort(gt), '|'), '') AS ground_truth
+FROM m
+ORDER BY item_id
+"""
+
+
+RAG_QUERIES["citation_metrics"] = q_citation_metrics
+RAG_ORACLES["citation_metrics"] = _SQL_CITATION_METRICS
+
+
 # --- temporal request resolution ---------------------------------------------
 
 ISO_DATE_RE = r"\b(\d{4}-\d{2}-\d{2})\b"
