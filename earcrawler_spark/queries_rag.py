@@ -675,6 +675,112 @@ ORDER BY section_id
 """
 
 
+# --- heuristic label inference ------------------------------------------------
+
+# eval/label_inference.py LABEL_PATTERNS verbatim — ORDER MATTERS: the
+# first group with any substring hit wins (so 'no license is required'
+# labels license_required, because group 2's 'license is required' is a
+# substring and checks first — reference quirk, mirrored).
+LABEL_PATTERNS: list[tuple[str, list[str]]] = [
+    ("prohibited", [
+        "is prohibited", "are prohibited", "not permitted", "cannot export",
+        "ban", "prohibited export",
+    ]),
+    ("license_required", [
+        "license is required", "requires a license", "must obtain a license",
+        "license needed", "license before exporting",
+    ]),
+    ("permitted_with_license", [
+        "permitted with a license", "allowed with a license",
+        "allowed under license", "license exception tmp",
+        "export can proceed once a license",
+    ]),
+    ("no_license_required", [
+        "no license is required", "does not require a license",
+        "without a license to a country group b destination",
+    ]),
+    ("permitted", [
+        "can export", "is permitted", "allowed to export",
+        "export can proceed", "authorized to export",
+    ]),
+    ("unanswerable", [
+        "cannot be answered", "not enough information",
+        "insufficient information", "outside the covered export regulations",
+        "decline to answer", "no basis to answer",
+    ]),
+]
+
+
+def infer_label_col(answer):
+    """infer_label (eval/label_inference.py:74-81): lowercase-trim, empty
+    -> unanswerable, else first matching pattern group, else unknown."""
+    t = F.lower(F.regexp_replace(answer, r"^\s+|\s+$", ""))
+    expr = F.lit("unknown")
+    for label, patterns in reversed(LABEL_PATTERNS):
+        hit = F.lit(False)
+        for p in patterns:
+            hit = hit | t.contains(p)
+        expr = F.when(hit, F.lit(label)).otherwise(expr)
+    return F.when(t == "", F.lit("unanswerable")).otherwise(expr)
+
+
+def q_label_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label inference over seeded answers covering every group, the
+    empty/unknown fallbacks, and the group-precedence quirks ('license
+    exception tmp' wins over 'is permitted'; 'no license is required'
+    labels license_required)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    answer = (
+        F.when(d % 8 == 0, F.lit("The export IS PROHIBITED under part 744"))
+        .when(d % 8 == 1, F.lit("A license is required for this destination"))
+        .when(d % 8 == 2, F.lit("Permitted via License Exception TMP here"))
+        .when(d % 8 == 3, F.lit("No license is required for country group B"))
+        .when(d % 8 == 4, F.lit("You can export this freely"))
+        .when(d % 8 == 5, F.lit("This cannot be answered from the context"))
+        .when(d % 8 == 6, F.lit("   "))
+        .otherwise(F.lit("Completely unrelated commentary"))
+    )
+    answer = F.concat(answer, F.lit(" (case "), d.cast("string"), F.lit(")"))
+    answer = F.when(d % 8 == 6, F.lit("  ")).otherwise(answer)
+    return docs.select(
+        d.alias("item_id"), infer_label_col(answer).alias("label")
+    ).orderBy("item_id")
+
+
+def _label_inference_sql() -> str:
+    def grp(patterns):
+        return " OR ".join(f"contains(t, '{p}')" for p in patterns)
+
+    chain = "CASE WHEN t = '' THEN 'unanswerable' "
+    for label, patterns in LABEL_PATTERNS:
+        chain += f"WHEN {grp(patterns)} THEN '{label}' "
+    chain += "ELSE 'unknown' END"
+    return f"""
+WITH answers AS (
+  SELECT doc_id AS item_id,
+         CASE WHEN doc_id % 8 = 6 THEN '  ' ELSE
+           (CASE WHEN doc_id % 8 = 0 THEN 'The export IS PROHIBITED under part 744'
+                 WHEN doc_id % 8 = 1 THEN 'A license is required for this destination'
+                 WHEN doc_id % 8 = 2 THEN 'Permitted via License Exception TMP here'
+                 WHEN doc_id % 8 = 3 THEN 'No license is required for country group B'
+                 WHEN doc_id % 8 = 4 THEN 'You can export this freely'
+                 WHEN doc_id % 8 = 5 THEN 'This cannot be answered from the context'
+                 ELSE 'Completely unrelated commentary' END)
+           || ' (case ' || CAST(doc_id AS VARCHAR) || ')' END AS answer
+  FROM documents
+), norm AS (
+  SELECT item_id, lower(trim(answer)) AS t FROM answers
+)
+SELECT item_id, {chain} AS label
+FROM norm ORDER BY item_id
+"""
+
+
+RAG_QUERIES["label_inference"] = q_label_inference
+RAG_ORACLES["label_inference"] = _label_inference_sql()
+
+
 # --- citation precision/recall metrics ---------------------------------------
 
 def q_citation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
