@@ -1124,6 +1124,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(UPDATE_QUERIES)
     ORACLES.update(UPDATE_ORACLES)
+    from earcrawler_spark.queries_eval import EVAL_ORACLES, EVAL_QUERIES
+
+    QUERIES.update(EVAL_QUERIES)
+    ORACLES.update(EVAL_ORACLES)
 
 
 _late_oracles()
