@@ -86,6 +86,46 @@ def canonical_section(raw: Column) -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
+SECTION_BODY_PATTERN = r"(?i)^(?:15\s*CFR\s*)?(?:§+\s*)?(\d{3}(?:\.\S+)?)$"
+
+
+def normalize_section_full(raw: Column) -> Column:
+    """The FULL normalize_section_id (retrieval_runtime.py:134-148):
+    EAR-prefixed values keep their '#'-stripped head; otherwise trailing
+    punctuation and leading '§' strip and a bare `ddd[.suffix]` (with
+    optional '15 CFR' prefix) canonicalizes to 'EAR-<section>'; anything
+    else passes through stripped; empty -> null."""
+    s = F.regexp_replace(F.coalesce(raw, F.lit("")), r"^\s+|\s+$", "")
+    head = F.regexp_replace(F.substring_index(s, "#", 1), r"^\s+|\s+$", "")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(s, r"[.,;:]+$", ""), r"^§+\s*", ""
+    )
+    cleaned = F.regexp_replace(cleaned, r"^\s+|\s+$", "")
+    body = F.regexp_extract(cleaned, SECTION_BODY_PATTERN, 1)
+    return (
+        F.when(s == "", F.lit(None).cast("string"))
+        .when(F.upper(s).startswith("EAR-"), head)
+        .when(body != "", F.concat(F.lit("EAR-"), body))
+        .otherwise(s)
+    )
+
+
+def normalize_section_full_sql(raw_expr: str) -> str:
+    s = f"regexp_replace(coalesce({raw_expr}, ''), '^\\s+|\\s+$', '', 'g')"
+    head = f"regexp_replace(split_part({s}, '#', 1), '^\\s+|\\s+$', '', 'g')"
+    cleaned = (
+        f"regexp_replace(regexp_replace(regexp_replace({s}, '[.,;:]+$', ''), "
+        f"'^§+\\s*', ''), '^\\s+|\\s+$', '', 'g')"
+    )
+    body = f"regexp_extract({cleaned}, '(?i)^(?:15\\s*CFR\\s*)?(?:§+\\s*)?(\\d{{3}}(?:\\.\\S+)?)$', 1)"
+    return (
+        f"CASE WHEN {s} = '' THEN NULL "
+        f"WHEN upper({s}) LIKE 'EAR-%' THEN {head} "
+        f"WHEN {body} <> '' THEN 'EAR-' || {body} "
+        f"ELSE {s} END"
+    )
+
+
 def canonical_section_sql(raw_expr: str) -> str:
     s = f"regexp_replace({raw_expr}, '^\\s+|\\s+$', '', 'g')"
     return (

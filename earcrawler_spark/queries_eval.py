@@ -253,3 +253,179 @@ ORDER BY item_id, claim_idx
 
 EVAL_QUERIES["claims_extraction"] = q_claims_extraction
 EVAL_ORACLES["claims_extraction"] = _claims_sql()
+
+
+# --- evidence resolution ------------------------------------------------------
+
+def q_evidence_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resolve_item/resolve_dataset (eval/evidence_resolver.py:100-173):
+    each eval item's referenced sections normalize (full
+    normalize_section_id incl. the '§ ddd.d' canonicalization path) and
+    join against the corpus section index; sections without corpus
+    records report missing; doc spans whose normalized id is outside the
+    item's section set report as mismatches, and span ids absent from
+    the corpus as missing — the union feeds missing_spans exactly like
+    the reference. Scale shape: items explode to (item, section) rows,
+    ONE aggregation over the corpus index joins back per section."""
+    from earcrawler_spark.operators.citation import normalize_section_full
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def sec(x):
+        return F.concat(
+            F.lit("EAR-"), (x % 37 + 700).cast("string"),
+            F.lit("."), (x % 7 + 1).cast("string"),
+        )
+
+    corpus = docs.select(sec(d).alias("section_id")).groupBy("section_id").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+
+    items = docs.select(
+        d.alias("item_id"),
+        F.filter(
+            F.array(
+                sec(d),
+                F.when(d % 3 == 0, sec(d + 1)),
+                F.when(d % 5 == 0, F.lit("EAR-999.99")),
+                F.when(d % 7 == 0, F.lit("§ 701.1.")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("ear_sections_raw"),
+        F.filter(
+            F.array(
+                sec(d),
+                F.when(d % 4 == 0, sec(d + 2)),
+                F.when(d % 6 == 0, F.lit("EAR-888.88")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("doc_spans_raw"),
+    )
+    sec_rows = items.select(
+        "item_id", F.posexplode("ear_sections_raw").alias("pos", "raw_sec")
+    ).withColumn("norm_sec", normalize_section_full(F.col("raw_sec")))
+    sec_joined = sec_rows.join(
+        corpus.withColumnRenamed("section_id", "norm_sec"), "norm_sec", "left"
+    )
+    per_item_secs = sec_joined.groupBy("item_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "norm_sec"))),
+                lambda s: s["norm_sec"],
+            ),
+            "|",
+        ).alias("ear_sections"),
+        F.sum(F.coalesce("n_records", F.lit(0))).alias("n_resolved_records"),
+        F.array_join(
+            F.array_sort(
+                F.collect_set(F.when(F.col("n_records").isNull(), F.col("raw_sec")))
+            ),
+            "|",
+        ).alias("missing_sections"),
+        F.collect_set("norm_sec").alias("_norm_set"),
+    )
+    span_rows = items.select(
+        "item_id", F.explode("doc_spans_raw").alias("raw_span")
+    ).withColumn("norm_span", normalize_section_full(F.col("raw_span")))
+    span_joined = span_rows.join(
+        corpus.select(F.col("section_id").alias("norm_span")).withColumn(
+            "_in_corpus", F.lit(True)
+        ),
+        "norm_span",
+        "left",
+    )
+    per_item_spans = span_joined.groupBy("item_id").agg(
+        F.collect_set(
+            F.when(F.col("_in_corpus").isNull(), F.col("norm_span"))
+        ).alias("_missing_spans"),
+        F.collect_set("norm_span").alias("_span_set"),
+    )
+    out = per_item_secs.join(per_item_spans, "item_id", "left")
+    mism = F.filter(
+        F.coalesce(F.col("_span_set"), F.array().cast("array<string>")),
+        lambda s: ~F.array_contains(F.col("_norm_set"), s),
+    )
+    missing_spans = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.coalesce(F.col("_missing_spans"), F.array().cast("array<string>")),
+                mism,
+            )
+        )
+    )
+    return out.select(
+        "item_id",
+        "ear_sections",
+        "n_resolved_records",
+        "missing_sections",
+        F.array_join(missing_spans, "|").alias("missing_spans"),
+    ).orderBy("item_id")
+
+
+def _evidence_sql() -> str:
+    from earcrawler_spark.operators.citation import normalize_section_full_sql
+
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    norm_raw = normalize_section_full_sql("raw_sec")
+    norm_span = normalize_section_full_sql("raw_span")
+    return f"""
+WITH corpus AS (
+  SELECT {sec.format(x='doc_id')} AS section_id, count(*) AS n_records
+  FROM documents GROUP BY 1
+), items AS (
+  SELECT doc_id AS item_id,
+         list_filter([
+           {sec.format(x='doc_id')},
+           CASE WHEN doc_id % 3 = 0 THEN {sec.format(x='doc_id + 1')} END,
+           CASE WHEN doc_id % 5 = 0 THEN 'EAR-999.99' END,
+           CASE WHEN doc_id % 7 = 0 THEN '§ 701.1.' END
+         ], x -> x IS NOT NULL) AS ear_sections_raw,
+         list_filter([
+           {sec.format(x='doc_id')},
+           CASE WHEN doc_id % 4 = 0 THEN {sec.format(x='doc_id + 2')} END,
+           CASE WHEN doc_id % 6 = 0 THEN 'EAR-888.88' END
+         ], x -> x IS NOT NULL) AS doc_spans_raw
+  FROM documents
+), sec_rows AS (
+  SELECT item_id, pos, raw_sec, {norm_raw} AS norm_sec
+  FROM (SELECT item_id, generate_subscripts(ear_sections_raw, 1) AS pos,
+               unnest(ear_sections_raw) AS raw_sec FROM items)
+), sec_joined AS (
+  SELECT s.*, c.n_records FROM sec_rows s
+  LEFT JOIN corpus c ON s.norm_sec = c.section_id
+), per_secs AS (
+  SELECT item_id,
+         array_to_string(list(norm_sec ORDER BY pos), '|') AS ear_sections,
+         sum(coalesce(n_records, 0)) AS n_resolved_records,
+         coalesce(array_to_string(list_sort(list(DISTINCT raw_sec)
+             FILTER (WHERE n_records IS NULL)), '|'), '') AS missing_sections,
+         list(DISTINCT norm_sec) AS norm_set
+  FROM sec_joined GROUP BY item_id
+), span_rows AS (
+  SELECT item_id, {norm_span} AS norm_span
+  FROM (SELECT item_id, unnest(doc_spans_raw) AS raw_span FROM items)
+), span_joined AS (
+  SELECT s.item_id, s.norm_span,
+         (c.section_id IS NOT NULL) AS in_corpus
+  FROM span_rows s LEFT JOIN corpus c ON s.norm_span = c.section_id
+), per_spans AS (
+  SELECT item_id,
+         list(DISTINCT norm_span) FILTER (WHERE NOT in_corpus) AS missing0,
+         list(DISTINCT norm_span) AS span_set
+  FROM span_joined GROUP BY item_id
+)
+SELECT s.item_id, s.ear_sections, s.n_resolved_records, s.missing_sections,
+       coalesce(array_to_string(list_sort(list_distinct(list_concat(
+         coalesce(p.missing0, []),
+         list_filter(coalesce(p.span_set, []),
+                     x -> NOT list_contains(s.norm_set, x))))), '|'), '')
+       AS missing_spans
+FROM per_secs s LEFT JOIN per_spans p ON s.item_id = p.item_id
+ORDER BY s.item_id
+"""
+
+
+EVAL_QUERIES["evidence_resolution"] = q_evidence_resolution
+EVAL_ORACLES["evidence_resolution"] = _evidence_sql()
