@@ -260,3 +260,51 @@ def test_fuzz_extract_targets(spark):
     }
     for i, p in enumerate(prompts):
         assert got[i] == model_targets(p), (p, got[i], model_targets(p))
+
+
+def test_fuzz_normalize_section_full(spark):
+    """300 random raw section values vs the reference normalize_section_id
+    model (retrieval_runtime.py:134-148)."""
+    import random
+    import re as _re
+
+    from earcrawler_spark.operators.citation import normalize_section_full
+
+    _SEC_RE = _re.compile(
+        r"^(?:15\s*CFR\s*)?(?:§+\s*)?(?P<section>\d{3}(?:\.\S+)?)$", _re.IGNORECASE
+    )
+
+    def model(value):
+        raw = str(value or "").strip()
+        if not raw:
+            return None
+        if raw.upper().startswith("EAR-"):
+            if "#" in raw:
+                raw = raw.split("#", 1)[0].strip()
+            return raw
+        cleaned = raw.strip().rstrip(".,;:")
+        cleaned = _re.sub(r"^§+\s*", "", cleaned).strip()
+        m = _SEC_RE.match(cleaned)
+        if m:
+            return f"EAR-{m.group('section')}"
+        return raw
+
+    rng = random.Random(555)
+    frags = [
+        "EAR-744.11", "ear-702.4(b)", "EAR-744.11#p0001", " EAR-1 # x ",
+        "§ 744.11", "§§744.11(b)", "15 CFR 744.11", "15CFR736.2", "736",
+        "736.2.", "736.2;,:", "part 744", "hello world", "", "   ",
+        "99.9", "9999.1", "§", "744.11 extra", "15 CFR", "EAR-",
+    ]
+    cases = [rng.choice(frags) for _ in range(280)] + frags
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, v string"
+    )
+    got = {
+        r["i"]: r["o"]
+        for r in df.select(
+            "i", normalize_section_full(F.col("v")).alias("o")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == model(c), (repr(c), got[i], model(c))

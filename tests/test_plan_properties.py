@@ -145,3 +145,11 @@ def test_rag_context_plan_shape(spark, sf_small):
     # the 1-row query-vector / stats sides broadcast
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p
+
+
+@pytest.mark.parametrize("name", ["claims_extraction", "evidence_resolution",
+                                  "temporal_requests", "label_inference"])
+def test_eval_queries_stay_jvm_side(spark, sf_small, name):
+    # the eval text ops are regex/array Column exprs — no Python eval
+    p = plan_of(spark, sf_small, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
