@@ -429,3 +429,306 @@ ORDER BY s.item_id
 
 EVAL_QUERIES["evidence_resolution"] = q_evidence_resolution
 EVAL_ORACLES["evidence_resolution"] = _evidence_sql()
+
+
+# --- FR coverage report -------------------------------------------------------
+
+COVERAGE_TOP_N = 5
+
+
+def q_fr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_fr_coverage_report's aggregation core
+    (eval/coverage_checks.py:276-505): per item, the sorted-distinct
+    expected section set (ear_sections ∪ evidence spans) checks against
+    the corpus index (missing_in_corpus) and against a pluggable
+    retrieval's ordered section list — first-occurrence ranks, with the
+    base-section fallback (a paren-free expected counts any retrieved
+    subsection's first rank; parenthesised expecteds never fall back).
+    Per dataset + ALL: item/expected/missing sums, missing-in-retrieval
+    rate, median hit rank, top missing sections by (-count, section),
+    worst dataset on the ALL row. The retrieval here is a deterministic
+    synthetic (the reference accepts any retrieve_context callable)."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def sec(x):
+        return F.concat(
+            F.lit("EAR-"), (x % 37 + 700).cast("string"),
+            F.lit("."), (x % 7 + 1).cast("string"),
+        )
+
+    corpus = docs.select(sec(d).alias("section_id")).distinct()
+
+    expected = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.array(
+                    sec(d),
+                    F.when(d % 3 == 0, sec(d + 1)),
+                    F.when(d % 9 == 0, F.lit("EAR-736.2(a)")),
+                    F.when(d % 5 == 0, F.lit("EAR-999.99")),
+                    F.when(d % 4 == 0, sec(d + 2)),  # evidence span
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+    )
+    retrieved = F.filter(
+        F.array(
+            F.when(d % 2 == 0, sec(d)),
+            F.when(d % 6 == 0, F.concat(sec(d + 1), F.lit("(b)"))),
+            F.when(d % 6 == 3, sec(d + 1)),
+            sec(d + 7),
+            F.when(d % 4 == 0, F.lit("EAR-736.2(a)(1)")),
+            F.when(d % 2 == 0, sec(d)),  # duplicate: first rank wins
+        ),
+        lambda x: x.isNotNull(),
+    )
+    items = docs.select(
+        d.alias("item_id"),
+        F.concat(F.lit("ds"), (d % 3).cast("string")).alias("dataset_id"),
+        expected.alias("expected"),
+        retrieved.alias("retrieved"),
+    )
+
+    exp_rows = items.select(
+        "item_id", "dataset_id", F.explode("expected").alias("esec")
+    )
+    ret_rows = items.select(
+        "item_id", F.posexplode("retrieved").alias("rank0", "rsec")
+    ).select(
+        "item_id",
+        (F.col("rank0") + 1).alias("rank"),
+        "rsec",
+        F.regexp_replace(
+            F.substring_index(F.col("rsec"), "(", 1), r"^\s+|\s+$", ""
+        ).alias("rbase"),
+    )
+    exact = ret_rows.groupBy("item_id", "rsec").agg(
+        F.min("rank").alias("exact_rank")
+    ).select(
+        F.col("item_id").alias("x_item"),
+        F.col("rsec").alias("x_sec"),
+        "exact_rank",
+    )
+    base = ret_rows.groupBy("item_id", "rbase").agg(
+        F.min("rank").alias("base_rank")
+    ).select(
+        F.col("item_id").alias("b_item"),
+        F.col("rbase").alias("b_sec"),
+        "base_rank",
+    )
+    ranked = (
+        exp_rows.join(
+            exact,
+            (F.col("item_id") == F.col("x_item")) & (F.col("esec") == F.col("x_sec")),
+            "left",
+        )
+        .drop("x_item", "x_sec")
+        .join(
+            base,
+            (F.col("item_id") == F.col("b_item")) & (F.col("esec") == F.col("b_sec")),
+            "left",
+        )
+        .drop("b_item", "b_sec")
+        .join(
+            corpus.withColumnRenamed("section_id", "esec").withColumn(
+                "_in_corpus", F.lit(True)
+            ),
+            "esec",
+            "left",
+        )
+        .select(
+            "item_id",
+            "dataset_id",
+            "esec",
+            F.coalesce(
+                F.col("exact_rank"),
+                F.when(~F.col("esec").contains("("), F.col("base_rank")),
+            ).alias("rank"),
+            F.col("_in_corpus").isNull().alias("missing_corpus"),
+        )
+    )
+    per_ds = ranked.groupBy("dataset_id").agg(
+        F.countDistinct("item_id").alias("num_items"),
+        F.count(F.lit(1)).alias("expected_sections"),
+        F.sum(F.col("missing_corpus").cast("long")).alias("missing_in_corpus"),
+        F.sum(F.col("rank").isNull().cast("long")).alias("missing_in_retrieval"),
+        F.round(
+            F.sum(F.col("rank").isNull().cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("missing_in_retrieval_rate"),
+        F.round(F.median("rank"), 6).alias("median_retrieval_rank"),
+    )
+    overall = ranked.agg(
+        F.lit("ALL").alias("dataset_id"),
+        F.countDistinct("item_id").alias("num_items"),
+        F.count(F.lit(1)).alias("expected_sections"),
+        F.sum(F.col("missing_corpus").cast("long")).alias("missing_in_corpus"),
+        F.sum(F.col("rank").isNull().cast("long")).alias("missing_in_retrieval"),
+        F.round(
+            F.sum(F.col("rank").isNull().cast("long")) / F.count(F.lit(1)), 6
+        ).alias("missing_in_retrieval_rate"),
+        F.round(F.median("rank"), 6).alias("median_retrieval_rank"),
+    )
+    missing = ranked.filter(F.col("rank").isNull())
+
+    def top_missing(grouped):
+        w = W.partitionBy("dataset_id").orderBy(
+            F.desc("cnt"), F.col("esec")
+        )
+        return (
+            grouped.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= COVERAGE_TOP_N)
+            .groupBy("dataset_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rn", "esec", "cnt"))
+                        ),
+                        lambda s: F.concat(
+                            s["esec"], F.lit(":"), s["cnt"].cast("string")
+                        ),
+                    ),
+                    "|",
+                ).alias("top_missing_sections")
+            )
+        )
+
+    tm_ds = top_missing(
+        missing.groupBy("dataset_id", "esec").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tm_all = top_missing(
+        missing.groupBy("esec")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("dataset_id", F.lit("ALL"))
+    )
+    worst = (
+        per_ds.orderBy(
+            F.desc("missing_in_retrieval_rate"), F.col("dataset_id")
+        )
+        .limit(1)
+        .select(
+            F.lit("ALL").alias("dataset_id"),
+            F.col("dataset_id").alias("worst_dataset_id"),
+        )
+    )
+    out = (
+        per_ds.unionByName(overall)
+        .join(tm_ds.unionByName(tm_all), "dataset_id", "left")
+        .join(F.broadcast(worst), "dataset_id", "left")
+    )
+    return out.select(
+        "dataset_id", "num_items", "expected_sections", "missing_in_corpus",
+        "missing_in_retrieval", "missing_in_retrieval_rate",
+        F.col("median_retrieval_rank").cast("double").alias("median_retrieval_rank"),
+        F.coalesce("top_missing_sections", F.lit("")).alias("top_missing_sections"),
+        "worst_dataset_id",
+    ).orderBy("dataset_id")
+
+
+def _fr_coverage_sql() -> str:
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    return f"""
+WITH corpus AS (
+  SELECT DISTINCT {sec.format(x='doc_id')} AS section_id FROM documents
+), items AS (
+  SELECT doc_id AS item_id,
+         'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset_id,
+         list_sort(list_distinct(list_filter([
+           {sec.format(x='doc_id')},
+           CASE WHEN doc_id % 3 = 0 THEN {sec.format(x='doc_id + 1')} END,
+           CASE WHEN doc_id % 9 = 0 THEN 'EAR-736.2(a)' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'EAR-999.99' END,
+           CASE WHEN doc_id % 4 = 0 THEN {sec.format(x='doc_id + 2')} END
+         ], x -> x IS NOT NULL))) AS expected,
+         list_filter([
+           CASE WHEN doc_id % 2 = 0 THEN {sec.format(x='doc_id')} END,
+           CASE WHEN doc_id % 6 = 0 THEN {sec.format(x='doc_id + 1')} || '(b)' END,
+           CASE WHEN doc_id % 6 = 3 THEN {sec.format(x='doc_id + 1')} END,
+           {sec.format(x='doc_id + 7')},
+           CASE WHEN doc_id % 4 = 0 THEN 'EAR-736.2(a)(1)' END,
+           CASE WHEN doc_id % 2 = 0 THEN {sec.format(x='doc_id')} END
+         ], x -> x IS NOT NULL) AS retrieved
+  FROM documents
+), exp_rows AS (
+  SELECT item_id, dataset_id, unnest(expected) AS esec FROM items
+), ret_rows AS (
+  SELECT item_id, pos AS rank, rsec,
+         trim(split_part(rsec, '(', 1)) AS rbase
+  FROM (SELECT item_id, generate_subscripts(retrieved, 1) AS pos,
+               unnest(retrieved) AS rsec FROM items)
+), exact AS (
+  SELECT item_id, rsec, min(rank) AS exact_rank FROM ret_rows
+  GROUP BY item_id, rsec
+), base AS (
+  SELECT item_id, rbase, min(rank) AS base_rank FROM ret_rows
+  GROUP BY item_id, rbase
+), ranked AS (
+  SELECT e.item_id, e.dataset_id, e.esec,
+         coalesce(x.exact_rank,
+                  CASE WHEN position('(' IN e.esec) = 0 THEN b.base_rank END)
+           AS rank,
+         (c.section_id IS NULL) AS missing_corpus
+  FROM exp_rows e
+  LEFT JOIN exact x ON e.item_id = x.item_id AND e.esec = x.rsec
+  LEFT JOIN base b ON e.item_id = b.item_id AND e.esec = b.rbase
+  LEFT JOIN corpus c ON e.esec = c.section_id
+), per_ds AS (
+  SELECT dataset_id,
+         count(DISTINCT item_id) AS num_items,
+         count(*) AS expected_sections,
+         sum(CASE WHEN missing_corpus THEN 1 ELSE 0 END) AS missing_in_corpus,
+         sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS missing_in_retrieval,
+         CAST(round(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE)
+           AS missing_in_retrieval_rate,
+         CAST(round(median(rank), 6) AS DOUBLE) AS median_retrieval_rank
+  FROM ranked GROUP BY dataset_id
+), overall AS (
+  SELECT 'ALL' AS dataset_id,
+         count(DISTINCT item_id), count(*),
+         sum(CASE WHEN missing_corpus THEN 1 ELSE 0 END),
+         sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END),
+         CAST(round(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE),
+         CAST(round(median(rank), 6) AS DOUBLE)
+  FROM ranked
+), both_ds AS (
+  SELECT * FROM per_ds UNION ALL SELECT * FROM overall
+), missing AS (
+  SELECT dataset_id, esec FROM ranked WHERE rank IS NULL
+  UNION ALL
+  SELECT 'ALL', esec FROM ranked WHERE rank IS NULL
+), tm AS (
+  SELECT dataset_id,
+         array_to_string(list(esec || ':' || CAST(cnt AS VARCHAR) ORDER BY rn), '|')
+           AS top_missing_sections
+  FROM (
+    SELECT dataset_id, esec, cnt,
+           row_number() OVER (PARTITION BY dataset_id
+                              ORDER BY cnt DESC, esec) AS rn
+    FROM (SELECT dataset_id, esec, count(*) AS cnt FROM missing
+          GROUP BY dataset_id, esec)
+  ) WHERE rn <= {COVERAGE_TOP_N}
+  GROUP BY dataset_id
+), worst AS (
+  SELECT dataset_id AS worst_dataset_id FROM per_ds
+  ORDER BY missing_in_retrieval_rate DESC, dataset_id LIMIT 1
+)
+SELECT b.dataset_id, b.num_items, b.expected_sections, b.missing_in_corpus,
+       b.missing_in_retrieval, b.missing_in_retrieval_rate,
+       b.median_retrieval_rank,
+       coalesce(t.top_missing_sections, '') AS top_missing_sections,
+       CASE WHEN b.dataset_id = 'ALL' THEN (SELECT worst_dataset_id FROM worst) END
+         AS worst_dataset_id
+FROM both_ds b LEFT JOIN tm t ON b.dataset_id = t.dataset_id
+ORDER BY b.dataset_id
+"""
+
+
+EVAL_QUERIES["fr_coverage"] = q_fr_coverage
+EVAL_ORACLES["fr_coverage"] = _fr_coverage_sql()
