@@ -1128,6 +1128,44 @@ def _late_oracles() -> None:
 
     QUERIES.update(EVAL_QUERIES)
     ORACLES.update(EVAL_ORACLES)
+    _reorder_for_gate()
+
+
+# Queries the driver's 50-entry correctness gate already certified in rounds
+# 1-3 (their green rows stand as evidence).  Everything NOT in this set —
+# the 33 round-2/3 queries that have only local-oracle verification, plus any
+# query added after round 3 — is floated to the FRONT of the registry so the
+# driver's first-50 window certifies it this round.
+_GATED_R1_R3: frozenset[str] = frozenset(
+    {
+        "pricing_summary", "top_revenue_nations", "order_priority",
+        "orders_without_lineitems", "latest_order_per_customer",
+        "segment_stats", "asof_latest_event", "hourly_event_rollup",
+        "monitor_delta", "version_assign", "record_merge", "dedup_exact",
+        "seen_anti_join", "top_terms", "token_stats", "doc_quality",
+        "pii_scrub", "lang_distribution", "term_cooccurrence",
+        "ngram_jaccard_pairs", "minhash_lsh_pairs", "bm25_topk",
+        "rrf_fusion", "knn_bruteforce", "reconcile_parts",
+        "connected_components", "sparql_construct", "events_json",
+        "simhash_buckets", "ann_lsh_buckets", "entity_classification",
+        "corpus_records", "corpus_digest", "chunking", "mention_scoring",
+        "truncation", "asof_status", "triples_bgp", "triples_integrity",
+        "sparql_ask", "budget_gate", "soundex_keys", "running_totals",
+        "sessionization", "sales_rollup", "event_pivot", "set_operations",
+        "kg_paths", "alias_resolution", "sliding_window",
+        # gated in r1/r2 before later registrations displaced them
+        "reconcile_jw", "seen_set_cardinality",
+    }
+)
+
+
+def _reorder_for_gate() -> None:
+    """Put never-driver-certified queries first in registry iteration order."""
+    order = [k for k in QUERIES if k not in _GATED_R1_R3]
+    order += [k for k in QUERIES if k in _GATED_R1_R3]
+    snap = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES.update({k: snap[k] for k in order})
 
 
 _late_oracles()
