@@ -551,66 +551,72 @@ def q_fr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_in_corpus").isNull().alias("missing_corpus"),
         )
     )
-    per_ds = ranked.groupBy("dataset_id").agg(
-        F.countDistinct("item_id").alias("num_items"),
-        F.count(F.lit(1)).alias("expected_sections"),
-        F.sum(F.col("missing_corpus").cast("long")).alias("missing_in_corpus"),
-        F.sum(F.col("rank").isNull().cast("long")).alias("missing_in_retrieval"),
-        F.round(
-            F.sum(F.col("rank").isNull().cast("long"))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("missing_in_retrieval_rate"),
-        F.round(F.median("rank"), 6).alias("median_retrieval_rank"),
-    )
-    overall = ranked.agg(
-        F.lit("ALL").alias("dataset_id"),
-        F.countDistinct("item_id").alias("num_items"),
-        F.count(F.lit(1)).alias("expected_sections"),
-        F.sum(F.col("missing_corpus").cast("long")).alias("missing_in_corpus"),
-        F.sum(F.col("rank").isNull().cast("long")).alias("missing_in_retrieval"),
-        F.round(
-            F.sum(F.col("rank").isNull().cast("long")) / F.count(F.lit(1)), 6
-        ).alias("missing_in_retrieval_rate"),
-        F.round(F.median("rank"), 6).alias("median_retrieval_rank"),
-    )
-    missing = ranked.filter(F.col("rank").isNull())
-
-    def top_missing(grouped):
-        w = W.partitionBy("dataset_id").orderBy(
-            F.desc("cnt"), F.col("esec")
+    # Per-dataset stats and the ALL row come out of ONE rollup over
+    # `ranked` (the total row's null key becomes "ALL"), and the top-missing
+    # window runs over a union whose dataset_id is a real column on every
+    # row — never a foldable literal, so WindowExec stays partitioned.
+    # `ranked` (O(items × expected)) is scanned exactly twice — once per
+    # aggregation; only the aggregate outputs (O(datasets × sections),
+    # metadata-scale) are cached for their multiple consumers.
+    stats = (
+        ranked.rollup("dataset_id")
+        .agg(
+            F.countDistinct("item_id").alias("num_items"),
+            F.count(F.lit(1)).alias("expected_sections"),
+            F.sum(F.col("missing_corpus").cast("long")).alias(
+                "missing_in_corpus"
+            ),
+            F.sum(F.col("rank").isNull().cast("long")).alias(
+                "missing_in_retrieval"
+            ),
+            F.round(
+                F.sum(F.col("rank").isNull().cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("missing_in_retrieval_rate"),
+            F.round(F.median("rank"), 6).alias("median_retrieval_rank"),
         )
-        return (
-            grouped.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= COVERAGE_TOP_N)
-            .groupBy("dataset_id")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("rn", "esec", "cnt"))
-                        ),
-                        lambda s: F.concat(
-                            s["esec"], F.lit(":"), s["cnt"].cast("string")
-                        ),
-                    ),
-                    "|",
-                ).alias("top_missing_sections")
-            )
+        .select(
+            F.coalesce("dataset_id", F.lit("ALL")).alias("dataset_id"),
+            "num_items", "expected_sections", "missing_in_corpus",
+            "missing_in_retrieval", "missing_in_retrieval_rate",
+            "median_retrieval_rank",
         )
-
-    tm_ds = top_missing(
-        missing.groupBy("dataset_id", "esec").agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
     )
-    tm_all = top_missing(
-        missing.groupBy("esec")
+    msc = (
+        ranked.filter(F.col("rank").isNull())
+        .groupBy("dataset_id", "esec")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("dataset_id", F.lit("ALL"))
+        .cache()
+    )
+    m_union = msc.unionByName(
+        msc.groupBy("esec")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("dataset_id"), "esec", "cnt")
+    )
+    w = W.partitionBy("dataset_id").orderBy(F.desc("cnt"), F.col("esec"))
+    tm = (
+        m_union.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= COVERAGE_TOP_N)
+        .groupBy("dataset_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "esec", "cnt"))
+                    ),
+                    lambda s: F.concat(
+                        s["esec"], F.lit(":"), s["cnt"].cast("string")
+                    ),
+                ),
+                "|",
+            ).alias("top_missing_sections")
+        )
     )
     worst = (
-        per_ds.orderBy(
-            F.desc("missing_in_retrieval_rate"), F.col("dataset_id")
-        )
+        stats.filter(F.col("dataset_id") != "ALL")
+        .orderBy(F.desc("missing_in_retrieval_rate"), F.col("dataset_id"))
         .limit(1)
         .select(
             F.lit("ALL").alias("dataset_id"),
@@ -618,8 +624,7 @@ def q_fr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = (
-        per_ds.unionByName(overall)
-        .join(tm_ds.unionByName(tm_all), "dataset_id", "left")
+        stats.join(tm, "dataset_id", "left")
         .join(F.broadcast(worst), "dataset_id", "left")
     )
     return out.select(
