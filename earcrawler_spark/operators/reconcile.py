@@ -281,7 +281,13 @@ def score_pairs_v2(pairs_with_attrs: DataFrame) -> DataFrame:
     # the Python workers — a cheap shuffle here bought 2.4x end-to-end.
     parallelism = pairs_with_attrs.sparkSession.sparkContext.defaultParallelism
     d = pairs_with_attrs.repartition(parallelism, "id_a")
-    na, nb = normalize_name_v2(F.col("name_a")), normalize_name_v2(F.col("name_b"))
+    # reference normalize() coerces None to '' (reconcile.py:66 `text or ""`);
+    # without the coalesce a null name on either side nulls the normalized
+    # join key and the inner join back silently drops the pair — reachable
+    # via the id-key blocks (duns/cage/fr_doc/url_host), which don't require
+    # a name.
+    na = normalize_name_v2(F.coalesce(F.col("name_a"), F.lit("")))
+    nb = normalize_name_v2(F.coalesce(F.col("name_b"), F.lit("")))
     d = d.withColumn("norm_a", na).withColumn("norm_b", nb)
     a, b = F.col("norm_a"), F.col("norm_b")
     # ALL name-derived features compute on the DISTINCT normalized name

@@ -103,6 +103,30 @@ def test_lexical_cap_drops_hot_bucket_but_id_keys_survive(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {("e000", "e001")}
 
 
+def test_null_name_pair_survives_scoring(spark):
+    """A duns-blocked pair with a null name on one side must still be
+    scored (reference normalize() coerces None to '', kg/reconcile.py:66);
+    the name-feature join-back must not silently drop it."""
+    rows = [
+        ("e1", None, "US", "other", "D42", None, None, None),
+        ("e2", "Acme Timber", "US", "other", "D42", None, None, None),
+    ]
+    scored = _pairs(spark, rows).collect()
+    assert len(scored) == 1
+    row = scored[0]
+    assert (row["id_a"], row["id_b"]) == ("e1", "e2")
+    assert row["name_exact"] == 0.0
+    assert row["id_equal"] == 1.0
+    # both names null: normalized keys are both '' -> exact-name match on
+    # empty strings, same as the reference's normalize('')==normalize('')
+    rows2 = [
+        ("e1", None, "US", "other", "D42", None, None, None),
+        ("e2", None, "US", "other", "D42", None, None, None),
+    ]
+    scored2 = _pairs(spark, rows2).collect()
+    assert len(scored2) == 1
+
+
 def test_load_rules_csv_and_yaml(spark, tmp_path):
     """load_rules parity (kg/reconcile.py:115-132): YAML config + CSV
     override lists; overrides flow into decide_pairs_v2."""
