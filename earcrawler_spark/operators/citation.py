@@ -203,8 +203,12 @@ def apply_citation_boost(
         .agg(F.min("srow").alias("b"))
     )
 
+    # reference floors the bump baseline at 0.0 (initial value with a
+    # strict >): all-negative result scores still bump from 0.0, not
+    # from the negative max.  greatest() skips the null of an empty
+    # results set.
     max_score = results.agg(
-        F.coalesce(F.max("score"), F.lit(0.0)).alias("mx")
+        F.greatest(F.max("score"), F.lit(0.0)).alias("mx")
     )
     # boost index = position among surviving targets in prompt order;
     # the window runs over <= #targets rows (see topk_ranked's note on
@@ -236,9 +240,18 @@ def apply_citation_boost(
         F.lit(None).cast("string").alias("boost_reason"),
         F.col("doc_id").cast("string").alias("ref_id"),
     )
-    out = boosted.unionByName(base).orderBy("_grp", "_ord").limit(max(1, k))
+    # reference passthrough: with no surviving boost rows the results
+    # come back UNTRUNCATED (`return results`, before the [:k] slice) —
+    # the k-cap applies only when a boost actually fired.  _nb is a
+    # 1-row aggregate over the ≤#targets best rows, broadcast.
+    # (Ranks are still re-derived here, so a non-contiguous input rank
+    # sequence would be re-numbered; callers feed contiguous top-k.)
+    nb = best.agg(F.count(F.lit(1)).alias("_nb"))
+    out = boosted.unionByName(base).crossJoin(F.broadcast(nb))
     pk2 = (F.crc32(F.col("doc_id")) * F.lit(0)).alias("_pk")
     w = W.partitionBy(pk2).orderBy("_grp", "_ord")
-    return out.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "section_id", "score", "boost_reason", "ref_id"
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("_nb") == 0) | (F.col("rank") <= max(1, k)))
+        .select("rank", "doc_id", "section_id", "score", "boost_reason", "ref_id")
     )

@@ -172,7 +172,7 @@ present AS (
                                  ORDER BY row_score DESC, row_id) AS rn
     FROM cand) WHERE rn = 1
 ), mx AS (
-  SELECT coalesce(max(score), 0.0) AS mx FROM results
+  SELECT greatest(coalesce(max(score), 0.0), 0.0) AS mx FROM results
 ), boosted AS (
   SELECT row_number() OVER (ORDER BY tpos) - 1 AS bidx, target, mdoc_id,
          section_id, row_id
@@ -188,10 +188,14 @@ present AS (
   SELECT 1, rank, CAST(doc_id AS VARCHAR), section_id, score,
          CAST(NULL AS VARCHAR), CAST(doc_id AS VARCHAR)
   FROM results
+), nb AS (
+  SELECT count(*) AS _nb FROM best
 ), boosted_out AS (
-  SELECT row_number() OVER (ORDER BY _grp, _ord) AS rank,
-         doc_id, section_id, score, boost_reason, ref_id
-  FROM (SELECT * FROM unioned ORDER BY _grp, _ord LIMIT {max(1, k)})
+  SELECT rank, doc_id, section_id, score, boost_reason, ref_id FROM (
+    SELECT row_number() OVER (ORDER BY _grp, _ord) AS rank,
+           u.*, nb._nb
+    FROM unioned u, nb
+  ) WHERE _nb = 0 OR rank <= {max(1, k)}
 )"""
 
 

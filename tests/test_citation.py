@@ -56,7 +56,8 @@ def model_boost(prompt, results, metadata, k):
         sec = model_canonical(row) or model_canonical({"doc_id": row.get("doc_id")})
         if sec:
             present.add(sec)
-    mx = max((float(r.get("score") or 0.0) for r in results), default=0.0)
+    # reference floors the baseline at 0.0 (initial value + strict >)
+    mx = max([0.0] + [float(r.get("score") or 0.0) for r in results])
     out = []
     idx = 0
     for target in targets:
@@ -92,6 +93,9 @@ def model_boost(prompt, results, metadata, k):
         )
         present.add(target)
         idx += 1
+    if not out:
+        # reference: `if not boosted: return results` — untruncated
+        return list(results)
     merged = out + [
         {
             "doc_id": str(r["doc_id"]),
@@ -189,6 +193,44 @@ def test_boost_truncates_to_k(spark):
     assert len(got) == 3
     # boosted rows displaced the tail of the original results
     assert got[0]["boost_reason"] == "explicit_citation"
+
+
+def test_boost_baseline_floors_at_zero(spark):
+    """All-negative result scores: the bump baseline is 0.0, not the
+    negative max (reference starts max_score at 0.0 with a strict >)."""
+    meta = spark.createDataFrame(
+        [tuple(m.values()) for m in METADATA],
+        "row_id long, mdoc_id string, section_id string, chunk_kind string, ordinal int",
+    )
+    neg = [
+        {"rank": 1, "doc_id": "10", "section_id": "EAR-700.1", "score": -0.5},
+        {"rank": 2, "doc_id": "11", "section_id": "", "score": -2.5},
+    ]
+    res = spark.createDataFrame(
+        [tuple(r.values()) for r in neg],
+        "rank int, doc_id string, section_id string, score double",
+    )
+    out = apply_citation_boost(
+        res, meta, extract_targets(spark, "cite § 744.11"), k=5
+    )
+    got = [r.asDict() for r in out.orderBy("rank").collect()]
+    want = model_boost("cite § 744.11", neg, METADATA, k=5)
+    assert got[0]["boost_reason"] == "explicit_citation"
+    assert abs(got[0]["score"] - 1.0) < 1e-9  # 0.0 + 1.0, not -0.5 + 1.0
+    assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want]
+
+
+def test_no_boost_passthrough_untruncated(spark):
+    """When every target misses the metadata (no boost rows), the
+    reference returns results UNTRUNCATED — k does not apply."""
+    got = run_boost(spark, "cite § 999.99", k=2)  # target has no metadata
+    want = model_boost("cite § 999.99", RESULTS, METADATA, k=2)
+    assert len(want) == 3  # model passthrough keeps all 3 despite k=2
+    assert len(got) == 3
+    assert all(g["boost_reason"] is None for g in got)
+    # ...but a firing boost still truncates to k
+    got2 = run_boost(spark, "§ 744.11 and 746.3", k=3)
+    assert len(got2) == 3
 
 
 def test_tie_breaks_to_earliest_metadata_row(spark):
