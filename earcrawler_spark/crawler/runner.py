@@ -539,8 +539,15 @@ class Crawler:
                 return pd.Series(res, index=hashes.index)
 
             candidates = candidates.withColumn("_maybe", maybe_seen("url_hash")).cache()
-        n_cand = candidates.count()
-        _mark(f"probe_cache(n={n_cand})")
+        # materialize the cached probe frame once for its two consumers;
+        # the stage key stays constant so manifest stage_secs keys are
+        # stable across waves — the (data-dependent) candidate count is
+        # only computed and reported when timing is on.
+        if _timing:
+            print(f"[wave {it}] probe n_cand={candidates.count()}", flush=True)
+        else:
+            candidates.count()
+        _mark("probe_cache")
         definitely_new = candidates.filter(~F.col("_maybe")).drop("_maybe")
         seen = self.state.read_all("seen", it - 1)
         checked_new = (

@@ -113,14 +113,16 @@ RECONCILE_SOURCE_BONUS = {"tradegov": 0.5, "federalregister": 0.5}
 MAX_LEXICAL_BLOCK = 64
 
 
-def load_rules(spark, rules_path: str) -> dict:
+def load_rules(spark, rules_path: str, collect_lists: bool = True) -> dict:
     """Reference load_rules (kg/reconcile.py:115-132): rules.yml plus
     sibling whitelist.csv / blacklist.csv. The YAML config (thresholds /
     weights / source bonuses / blocking params) is driver-side — it is
     plan CONFIGURATION, exactly like the reference; the CSV override
     lists load through spark.read.csv with an explicit schema (headered
-    left_id,right_id,reason) so at scale a million-row override table
-    never touches the driver."""
+    left_id,right_id,reason) so a large override table can stay
+    distributed: pass ``collect_lists=False`` and join the ``*_df``
+    frames directly — the driver-side tuple form (for
+    decide_pairs_v2's broadcast path) is only materialized on demand."""
     import os
 
     import yaml
@@ -135,12 +137,11 @@ def load_rules(spark, rules_path: str) -> dict:
             if os.path.exists(p)
             else spark.createDataFrame([], schema)
         )
-        # driver-side tuple form for decide_pairs_v2's broadcast path
-        # (bounded lists in this engine's synthetic domain)
-        data[key] = [
-            (r["left_id"], r["right_id"], r["reason"])
-            for r in data[key + "_df"].collect()
-        ]
+        if collect_lists:
+            data[key] = [
+                (r["left_id"], r["right_id"], r["reason"])
+                for r in data[key + "_df"].collect()
+            ]
     return data
 
 

@@ -111,7 +111,7 @@ WITH tk AS (
 ), blocked0 AS (
   SELECT *, count(letter) OVER (PARTITION BY sec ORDER BY pos) AS blk FROM flagged
 ), blocked0b AS (
-  SELECT *, max(CASE WHEN regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''
+  SELECT *, max(CASE WHEN regexp_replace(line, '^\\s+|\\s+$', '', 'g') <> ''
                      THEN pos END) OVER (PARTITION BY sec, blk) AS last_content_pos
   FROM blocked0
 ), blocked AS (
@@ -119,7 +119,7 @@ WITH tk AS (
   -- last content line they only count when non-ws follows the ')'
   SELECT sec, pos, line, letter,
          CASE WHEN pos < last_content_pos THEN digit
-              WHEN regexp_matches(line, '^\s*\(\s*[0-9]+\s*\)\s*\S') THEN digit
+              WHEN regexp_matches(line, '^\\s*\\(\\s*[0-9]+\\s*\\)\\s*\\S') THEN digit
          END AS digit,
          blk
   FROM blocked0b
@@ -137,11 +137,11 @@ WITH tk AS (
 ), base AS (
   SELECT sec AS chunk_id, sec AS section_id, CAST(NULL AS VARCHAR) AS parent_id,
          'section' AS chunk_kind, CAST(0 AS BIGINT) AS ordinal,
-         regexp_replace(raw, '^\s+|\s+$', '', 'g') AS chunk_text, CAST(0 AS BIGINT) AS emit_order
+         regexp_replace(raw, '^\\s+|\\s+$', '', 'g') AS chunk_text, CAST(0 AS BIGINT) AS emit_order
   FROM secs
 ), lblocks AS (
   SELECT b.sec, b.blk, max(b.letter) AS letter,
-         regexp_replace(string_agg(b.line, chr(10) ORDER BY b.pos), '^\s+|\s+$', '', 'g') AS block_text,
+         regexp_replace(string_agg(b.line, chr(10) ORDER BY b.pos), '^\\s+|\\s+$', '', 'g') AS block_text,
          max(CASE WHEN b.digit IS NOT NULL THEN 1 ELSE 0 END) AS has_digits
   FROM blocked2 b JOIN lguard g USING (sec)
   WHERE b.blk > 0 AND g.letters_ok
@@ -157,7 +157,7 @@ WITH tk AS (
   FROM lblocks2 WHERE NOT split_digits
 ), dgroups AS (
   SELECT b.sec, b.blk, l.letter_id, b.dblk, max(b.digit) AS digit,
-         regexp_replace(string_agg(b.line, chr(10) ORDER BY b.pos), '^\s+|\s+$', '', 'g') AS block_text
+         regexp_replace(string_agg(b.line, chr(10) ORDER BY b.pos), '^\\s+|\\s+$', '', 'g') AS block_text
   FROM blocked2 b JOIN lblocks2 l ON b.sec = l.sec AND b.blk = l.blk AND l.split_digits
   GROUP BY b.sec, b.blk, l.letter_id, b.dblk
 ), lead AS (
@@ -310,6 +310,9 @@ def build_decided_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decided_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DECIDED_CACHE:
+        from earcrawler_spark.session import bound_materialization_cache
+
+        bound_materialization_cache(_DECIDED_CACHE, key)
         # cache + eager count, NOT localCheckpoint: checkpointing 416k
         # wide rows re-executes the plan as a raw RDD job (~3x the cost
         # of the pipeline itself); a storage-level cache materializes at

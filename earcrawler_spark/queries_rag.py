@@ -495,6 +495,9 @@ _CTX_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _rag_context_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CTX_CACHE:
+        from earcrawler_spark.session import bound_materialization_cache
+
+        bound_materialization_cache(_CTX_CACHE, key)
         _CTX_CACHE[key] = build_rag_context(spark, sf_dir).localCheckpoint()
     return _CTX_CACHE[key]
 

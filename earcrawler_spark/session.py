@@ -54,3 +54,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def bound_materialization_cache(cache: dict, key: tuple[str, str]) -> None:
+    """Bound a per-(applicationId, sf_dir) materialization dict to the most
+    recent sf_dir per session: evict (and best-effort unpersist) every
+    other entry of the same session, and every entry of a dead session.
+    Keeps a long-lived session that touches many sf dirs from pinning
+    executor storage forever."""
+    app_id, _ = key
+    for k in [k for k in cache if k != key and k[0] == app_id]:
+        df = cache.pop(k)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # localCheckpoint blocks are freed with the RDD's GC
+    # entries from other (ended) applications hold dead JVM handles
+    for k in [k for k in cache if k[0] != app_id]:
+        cache.pop(k, None)
