@@ -737,3 +737,343 @@ ORDER BY b.dataset_id
 
 EVAL_QUERIES["fr_coverage"] = q_fr_coverage
 EVAL_ORACLES["fr_coverage"] = _fr_coverage_sql()
+
+
+# --- groundedness support gate ------------------------------------------------
+
+def q_groundedness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phase-2 groundedness gate verdict
+    (eval/groundedness_gates.py:106-470 +
+    tests/golden/test_phase2_golden_gate.py:496-560) over a deterministic
+    answer/citation/context fixture that fires every branch: supported by
+    explicit section reference, supported by quote-token overlap,
+    overclaim via insufficient overlap, via an invalid or
+    out-of-context linked citation, and via no linked citation at all;
+    citation validity covers invalid_section_id ('§ '-prefixed raw),
+    quote_missing, quote_not_in_section_context, and
+    section_context_missing; unanswerable accuracy comes from seeded
+    predicted labels. Output: per-dataset + ALL gate rows with the
+    finalize_groundedness_metrics rates and threshold verdicts."""
+    from earcrawler_spark.operators.groundedness import groundedness_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def sec(x):
+        return F.concat(
+            F.lit("EAR-"), (x % 37 + 700).cast("string"),
+            F.lit("."), (x % 7 + 1).cast("string"),
+        )
+
+    body = F.concat(
+        (d % 37 + 700).cast("string"), F.lit("."), (d % 7 + 1).cast("string")
+    )
+    items = docs.select(
+        d.alias("item_id"),
+        F.concat(F.lit("ds"), (d % 3).cast("string")).alias("dataset_id"),
+        F.when(d % 7 == 0, F.lit("unanswerable"))
+        .otherwise(F.lit("answerable"))
+        .alias("label"),
+        F.when(
+            ((d % 7 == 0) & (d % 3 != 1)) | ((d % 11 == 5) & (d % 7 != 0)),
+            F.lit("unanswerable"),
+        )
+        .otherwise(F.lit("answerable"))
+        .alias("predicted_label"),
+    )
+    context = docs.select(sec(d).alias("section_id")).distinct().select(
+        "section_id",
+        F.concat(
+            F.lit("Exports of encryption software require licensing review "
+                  "and compliance checks under "),
+            F.col("section_id"),
+            F.lit(" with annual audits"),
+        ).alias("ctx_text"),
+    )
+
+    def cit(flt, idx, raw, quote):
+        return docs.filter(flt).select(
+            d.alias("item_id"),
+            F.lit(idx).alias("cit_idx"),
+            raw.alias("raw_section_id"),
+            quote.alias("quote"),
+        )
+
+    citations = (
+        cit(d % 13 != 0, 0, sec(d),
+            F.lit("licensing review and compliance checks"))
+        .unionByName(cit((d % 13 != 0) & (d % 4 == 0), 1,
+                         F.concat(F.lit("§ "), body),
+                         F.lit("compliance checks")))
+        .unionByName(cit(d % 5 == 0, 2, sec(d + 13),
+                         F.lit("quantum tunneling manifold")))
+        .unionByName(cit(d % 6 == 0, 3, F.lit("EAR-999.99"),
+                         F.lit("licensing review")))
+        .unionByName(cit(d % 9 == 0, 4, sec(d), F.lit("")))
+    )
+    answer = F.when(
+        d % 7 == 0, F.lit("Cannot determine from the provided information.")
+    ).otherwise(
+        F.concat(
+            F.lit("Exports need licensing review and compliance checks"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(". Shipments are prohibited under "), sec(d)),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.lit(". Encryption export rules involve compliance "
+                      "obligations everywhere. Quantum tunneling manifold "
+                      "applies"),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.lit(". Paperwork wizardry dominates galactic trade"),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 2 == 0,
+                F.lit(". The outcome may depend on surrounding circumstances"),
+            ).otherwise(F.lit("")),
+            F.lit("."),
+        )
+    )
+    answers = docs.select(d.alias("item_id"), answer.alias("answer"))
+    claims = extract_claims(answers)
+    decisive = claims.filter(F.col("decisive")).join(
+        items.filter(F.col("label") != "unanswerable").select("item_id"),
+        "item_id",
+        "left_semi",
+    ).select("item_id", "claim_idx", "tokens", "sections")
+    return groundedness_gate(items, citations, context, decisive).orderBy(
+        "dataset_id"
+    )
+
+
+def _groundedness_sql() -> str:
+    from earcrawler_spark.operators.citation import normalize_section_full_sql
+    from earcrawler_spark.operators.groundedness import (
+        load_phase2_gate_thresholds,
+    )
+
+    th = load_phase2_gate_thresholds()
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stem = (
+        "CASE WHEN len(x) > 5 AND x LIKE '%ing' THEN substr(x, 1, len(x)-3) "
+        "WHEN len(x) > 4 AND x LIKE '%ies' THEN substr(x, 1, len(x)-3) || 'y' "
+        "WHEN len(x) > 4 AND x LIKE '%ed' THEN substr(x, 1, len(x)-2) "
+        "WHEN len(x) > 4 AND x LIKE '%es' THEN substr(x, 1, len(x)-2) "
+        "WHEN len(x) > 4 AND x LIKE '%s' AND x NOT LIKE '%ss' THEN substr(x, 1, len(x)-1) "
+        "ELSE x END"
+    )
+
+    def tok(expr: str) -> str:
+        return (
+            "list_sort(list_distinct(list_filter(list_transform("
+            "list_filter(regexp_extract_all("
+            f"regexp_replace(lower({expr}), "
+            "'(?i)\\bEAR-\\d[\\w().-]*|\\b\\d{3}\\.\\d+(?:\\([^)]+\\))*', ' ', 'g'), "
+            "'[a-z0-9]+'), "
+            f"w -> len(w) > 1 AND w NOT IN ({stop_list})), "
+            f"x -> {stem}), tk -> tk <> '')))"
+        )
+
+    sec_norm = (
+        "CASE WHEN upper(m) LIKE 'EAR-%' THEN split_part(m, '#', 1) "
+        "ELSE 'EAR-' || split_part(m, '#', 1) END"
+    )
+    norm_full = normalize_section_full_sql("raw")
+    sec_d = sec.format(x="doc_id")
+    sec_d13 = sec.format(x="doc_id + 13")
+    body = ("CAST(doc_id % 37 + 700 AS VARCHAR) || '.' "
+            "|| CAST(doc_id % 7 + 1 AS VARCHAR)")
+    return f"""
+WITH items AS (
+  SELECT doc_id AS item_id,
+         'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'unanswerable' ELSE 'answerable' END AS label,
+         CASE WHEN (doc_id % 7 = 0 AND doc_id % 3 <> 1)
+                OR (doc_id % 11 = 5 AND doc_id % 7 <> 0)
+              THEN 'unanswerable' ELSE 'answerable' END AS predicted_label
+  FROM documents
+), context AS (
+  SELECT section_id,
+         'Exports of encryption software require licensing review and compliance checks under '
+           || section_id || ' with annual audits' AS ctx_text
+  FROM (SELECT DISTINCT {sec_d} AS section_id FROM documents)
+), citations AS (
+  SELECT doc_id AS item_id, 0 AS cit_idx, {sec_d} AS raw_section_id,
+         'licensing review and compliance checks' AS quote
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id, 1, '§ ' || {body}, 'compliance checks'
+  FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 2, {sec_d13}, 'quantum tunneling manifold'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 3, 'EAR-999.99', 'licensing review'
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id, 4, {sec_d}, ''
+  FROM documents WHERE doc_id % 9 = 0
+), cit_norm AS (
+  SELECT item_id, cit_idx,
+         trim(coalesce(raw_section_id, '')) AS raw,
+         trim(coalesce(quote, '')) AS q,
+         trim(regexp_replace(coalesce(quote, ''), '\\s+', ' ', 'g')) AS qn
+  FROM citations
+), cit_v AS (
+  SELECT *, ({norm_full}) AS section_id,
+         (raw <> '' AND ({norm_full}) IS NOT NULL AND raw = ({norm_full})
+          AND q <> '') AS valid
+  FROM cit_norm
+), ctxn AS (
+  SELECT section_id AS csec,
+         trim(regexp_replace(ctx_text, '\\s+', ' ', 'g')) AS ctx
+  FROM context
+), scored0 AS (
+  SELECT c.item_id, c.cit_idx, any_value(c.section_id) AS section_id,
+         any_value(c.valid) AS valid, any_value(c.q) AS q,
+         max(CASE WHEN c.qn <> '' AND x.ctx IS NOT NULL
+                       AND position(c.qn IN x.ctx) > 0
+                  THEN 1 ELSE 0 END) AS _in
+  FROM cit_v c LEFT JOIN ctxn x ON c.section_id = x.csec
+  GROUP BY c.item_id, c.cit_idx
+), scored_cit AS (
+  SELECT item_id, cit_idx, section_id, valid,
+         (section_id IS NOT NULL AND _in = 1) AS qin,
+         {tok('q')} AS qtok
+  FROM scored0
+), answers AS (
+  SELECT doc_id AS item_id,
+    CASE WHEN doc_id % 7 = 0 THEN 'Cannot determine from the provided information.'
+    ELSE 'Exports need licensing review and compliance checks'
+      || CASE WHEN doc_id % 3 = 0 THEN '. Shipments are prohibited under ' || {sec_d} ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN '. Encryption export rules involve compliance obligations everywhere. Quantum tunneling manifold applies' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN '. Paperwork wizardry dominates galactic trade' ELSE '' END
+      || CASE WHEN doc_id % 2 = 0 THEN '. The outcome may depend on surrounding circumstances' ELSE '' END
+      || '.' END AS answer
+  FROM documents
+), norm AS (
+  SELECT item_id,
+         regexp_replace(trim(regexp_replace(answer, '\\s+', ' ', 'g')), 'U\\.S\\.?', 'US', 'g') AS t
+  FROM answers
+), split_parts AS (
+  SELECT item_id, pos, raw FROM (
+    SELECT item_id,
+           generate_subscripts(parts, 1) AS pos, unnest(parts) AS raw
+    FROM (SELECT item_id,
+                 regexp_split_to_array(t, '(?i)\\s*(?:[;!?]+|\\.\\s|\\.$|\\bbut\\b|\\bhowever\\b|\\byet\\b|,\\s*not\\b)\\s*') AS parts
+          FROM norm))
+), cleaned AS (
+  SELECT item_id, pos,
+         trim(regexp_replace(raw, '(?i)^(?:yes|no|true|false)\\b[:,]?\\s*', ''), ' ,:') AS claim
+  FROM split_parts
+), claims0 AS (
+  SELECT item_id, claim,
+         row_number() OVER (PARTITION BY item_id ORDER BY pos) - 1 AS claim_idx
+  FROM cleaned WHERE claim <> ''
+), decisive AS (
+  SELECT c.item_id, c.claim_idx,
+         {tok('c.claim')} AS tokens,
+         list_sort(list_distinct(list_transform(
+           regexp_extract_all(c.claim, '(?i)\\bEAR-\\d[\\w().-]*|\\b\\d{{3}}\\.\\d+(?:\\([^)]+\\))*'),
+           m -> {sec_norm}))) AS sections
+  FROM claims0 c JOIN items i ON c.item_id = i.item_id
+  WHERE NOT regexp_matches(c.claim, '(?i)\\b(may|might|could|can depend|depends|dependent|unclear|uncertain|insufficient (?:info|information|evidence)|not enough (?:info|information|evidence)|cannot determine|unable to determine|cannot answer|unanswerable|need more|need additional|if provided|if more information)\\b')
+    AND i.label <> 'unanswerable'
+), link AS (
+  SELECT c.item_id, c.claim_idx, c.tokens,
+         CASE WHEN s.section_id IS NULL THEN FALSE
+              ELSE list_contains(c.sections, s.section_id) END AS explicit,
+         CASE WHEN s.qtok IS NULL THEN 0
+              ELSE len(list_intersect(c.tokens, s.qtok)) END AS ov,
+         coalesce(s.valid, FALSE) AS valid, coalesce(s.qin, FALSE) AS qin,
+         s.qtok
+  FROM decisive c
+  LEFT JOIN (SELECT * FROM scored_cit WHERE section_id IS NOT NULL) s
+    ON c.item_id = s.item_id
+), clagg AS (
+  SELECT item_id, claim_idx, any_value(tokens) AS tokens,
+         max(CASE WHEN (explicit OR ov > 0) AND valid AND qin THEN 1 ELSE 0 END) AS any_sup,
+         max(CASE WHEN (explicit OR ov > 0) AND valid AND qin AND explicit THEN 1 ELSE 0 END) AS explicit_hit,
+         list_distinct(flatten(coalesce(
+           list(qtok) FILTER (WHERE (explicit OR ov > 0) AND valid AND qin),
+           []))) AS union_tok
+  FROM link GROUP BY item_id, claim_idx
+), claimv AS (
+  SELECT item_id, claim_idx,
+    (any_sup = 1 AND (explicit_hit = 1 OR (len(tokens) > 0 AND (
+      len(list_intersect(tokens, union_tok)) >=
+        CASE WHEN len(tokens) <= 2 THEN 1 ELSE 2 END
+      OR (CAST(len(list_intersect(tokens, union_tok)) AS DOUBLE)
+          / len(tokens)) >= 0.5)))) AS supported
+  FROM clagg
+), cit_item AS (
+  SELECT item_id, count(*) AS n_cit,
+         sum(CASE WHEN valid THEN 1 ELSE 0 END) AS n_valid
+  FROM scored_cit GROUP BY item_id
+), claim_item AS (
+  SELECT item_id, count(*) AS n_claims,
+         sum(CASE WHEN supported THEN 1 ELSE 0 END) AS n_supported
+  FROM claimv GROUP BY item_id
+), per_item AS (
+  SELECT i.item_id, i.dataset_id, i.label, i.predicted_label,
+         coalesce(c.n_cit, 0) AS n_cit, coalesce(c.n_valid, 0) AS n_valid,
+         coalesce(k.n_claims, 0) AS n_claims,
+         coalesce(k.n_supported, 0) AS n_supported
+  FROM items i
+  LEFT JOIN cit_item c ON i.item_id = c.item_id
+  LEFT JOIN claim_item k ON i.item_id = k.item_id
+), g AS (
+  SELECT coalesce(dataset_id, 'ALL') AS dataset_id,
+         count(*) AS num_items,
+         sum(CASE WHEN n_cit > 0 THEN 1 ELSE 0 END) AS items_with_citations,
+         sum(n_cit) AS total_citations,
+         sum(n_valid) AS valid_citations,
+         sum(CASE WHEN label = 'unanswerable' THEN 1 ELSE 0 END) AS unanswerable_total,
+         sum(CASE WHEN label = 'unanswerable' AND predicted_label = 'unanswerable' THEN 1 ELSE 0 END) AS unanswerable_correct,
+         sum(n_claims) AS total_claims,
+         sum(n_supported) AS supported_claims,
+         sum(n_claims - n_supported) AS overclaim_count,
+         sum(CASE WHEN n_claims - n_supported > 0 THEN 1 ELSE 0 END) AS items_overclaim
+  FROM per_item GROUP BY ROLLUP(dataset_id)
+), rates AS (
+  SELECT *,
+    CAST(round(items_with_citations * 1.0 / num_items, 6) AS DOUBLE) AS presence_rate,
+    CAST(round(CASE WHEN total_citations > 0
+                    THEN valid_citations * 1.0 / total_citations
+                    ELSE 1.0 END, 6) AS DOUBLE) AS valid_citation_rate,
+    CAST(round(CASE WHEN total_claims > 0
+                    THEN supported_claims * 1.0 / total_claims
+                    ELSE 1.0 END, 6) AS DOUBLE) AS supported_rate,
+    CAST(round(CASE WHEN total_claims > 0
+                    THEN overclaim_count * 1.0 / total_claims
+                    ELSE 0.0 END, 6) AS DOUBLE) AS overclaim_rate,
+    CAST(round(CASE WHEN unanswerable_total > 0
+                    THEN unanswerable_correct * 1.0 / unanswerable_total
+                    ELSE 1.0 END, 6) AS DOUBLE) AS unanswerable_accuracy
+  FROM g
+)
+SELECT dataset_id, num_items, items_with_citations, total_citations,
+       valid_citations, unanswerable_total, unanswerable_correct,
+       total_claims, supported_claims, overclaim_count, items_overclaim,
+       presence_rate, valid_citation_rate, supported_rate, overclaim_rate,
+       unanswerable_accuracy,
+       (unanswerable_accuracy >= {th["unanswerable_accuracy_min"]}) AS pass_unanswerable,
+       (valid_citation_rate = {th["valid_citation_rate_eq"]}) AS pass_valid_citations,
+       (supported_rate = {th["supported_rate_eq"]}) AS pass_supported,
+       (overclaim_rate = {th["overclaim_rate_eq"]}) AS pass_overclaim,
+       (unanswerable_accuracy >= {th["unanswerable_accuracy_min"]}
+        AND valid_citation_rate = {th["valid_citation_rate_eq"]}
+        AND supported_rate = {th["supported_rate_eq"]}
+        AND overclaim_rate = {th["overclaim_rate_eq"]}) AS gate_ok
+FROM rates
+ORDER BY dataset_id
+"""
+
+
+EVAL_QUERIES["groundedness_gate"] = q_groundedness_gate
+EVAL_ORACLES["groundedness_gate"] = _groundedness_sql()
