@@ -549,11 +549,16 @@ KG_MAX_HOPS = 2
 KG_MAX_PATHS = 4
 
 
-def _section_edges(docs: DataFrame) -> DataFrame:
-    """Deterministic section-graph edges over the EAR section universe:
-    each doc contributes a 'cites' or 'amends' edge from its section to
-    a neighbour section (offset derivation keeps the graph connected
-    across the modulo classes)."""
+def section_ref_groups(docs: DataFrame) -> DataFrame:
+    """The manifest reference-groups relation (parent, rel, child) —
+    the single source of truth for the section KG.  rag_context_kg's
+    BFS edge table and kg_expansion_index's related-sections derivation
+    (kg_expansion_builder.py:80-96) both project from it, so the
+    runtime expansion and the built snippet index agree by
+    construction.  Each doc contributes one group: its section is the
+    child, a neighbour section the parent, labeled 'cites'/'amends'
+    (offset derivation keeps the graph connected across the modulo
+    classes)."""
     d = F.col("doc_id")
 
     def sec(col):
@@ -565,10 +570,17 @@ def _section_edges(docs: DataFrame) -> DataFrame:
         )
 
     return docs.select(
-        sec(d).alias("src"),
+        sec(d + 17).alias("parent"),
         F.when(d % 2 == 0, F.lit("cites")).otherwise(F.lit("amends")).alias("rel"),
-        sec(d + 17).alias("dst"),
+        sec(d).alias("child"),
     ).distinct()
+
+
+def _section_edges(docs: DataFrame) -> DataFrame:
+    """BFS edge view of section_ref_groups: child --rel--> parent."""
+    return section_ref_groups(docs).select(
+        F.col("child").alias("src"), "rel", F.col("parent").alias("dst")
+    )
 
 
 _SQL_SECTION_EDGES = """
@@ -1185,3 +1197,149 @@ RAG_QUERIES["context_lines"] = q_context_lines
 RAG_ORACLES["context_lines"] = _context_lines_sql()
 RAG_QUERIES["rag_context_kg"] = q_rag_context_kg
 RAG_ORACLES["rag_context_kg"] = _rag_context_kg_sql()
+
+
+# --- kg_expansion_index: the file-backed expansion snippet builder -----------
+
+def q_kg_expansion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_expansion_mapping (rag/kg_expansion_builder.py:116-146)
+    over the engine's section KG: corpus records per section (sorted-
+    first record supplies the 320-char preview/source/title), reference
+    groups from section_ref_groups (the SAME relation rag_context_kg's
+    BFS edges project from), manifest-level kg hints, and eval dataset
+    items contributing extra targets (ear_sections + evidence span ids)
+    and per-section evidence hints.  Sections without a corpus record
+    ('EAR-999.99' seeded) or with empty text drop, like the reference."""
+    from earcrawler_spark.operators.kg_expansion import build_expansion_index
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def sec(x):
+        return F.concat(
+            F.lit("EAR-"), (x % 37 + 700).cast("string"),
+            F.lit("."), (x % 7 + 1).cast("string"),
+        )
+
+    corpus = docs.select(
+        sec(d).alias("section_raw"),
+        F.concat(F.lit("rec-"), F.lpad(d.cast("string"), 6, "0")).alias("rec_id"),
+        F.concat(F.lit("Part "), sec(d)).alias("title"),
+        F.col("text"),
+        F.concat(F.lit("https://ecfr.example/"), sec(d)).alias("source_url"),
+    )
+    ref_groups = section_ref_groups(docs).select("parent", "child").distinct()
+    manifest_hints = spark.createDataFrame(
+        [("Entity:BIS",), ("Path:cites>amends",)], "hint string"
+    )
+    items = docs.filter(d % 3 == 0).select(
+        d.alias("item_id"),
+        F.filter(
+            F.array(sec(d), F.when(d % 5 == 0, F.lit("EAR-999.99"))),
+            lambda x: x.isNotNull(),
+        ).alias("ear_sections"),
+        F.array(F.concat(F.lit("node-"), (d % 5).cast("string"))).alias("kg_nodes"),
+        F.filter(
+            F.array(
+                F.when(d % 2 == 0, F.concat(F.lit("path-"), (d % 3).cast("string")))
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("kg_paths"),
+        F.filter(
+            F.array(F.when(d % 4 == 0, F.concat(sec(d + 3), F.lit("#p0001")))),
+            lambda x: x.isNotNull(),
+        ).alias("span_ids"),
+    )
+    return build_expansion_index(corpus, ref_groups, manifest_hints, items)
+
+
+def _kg_expansion_sql() -> str:
+    from earcrawler_spark.operators.citation import normalize_section_full_sql
+
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    sec_d = sec.format(x="doc_id")
+    sec_d17 = sec.format(x="doc_id + 17")
+    sec_d3 = sec.format(x="doc_id + 3")
+    norm_raw = normalize_section_full_sql("section_raw")
+    norm_s = normalize_section_full_sql("s")
+    return f"""
+WITH corpus AS (
+  SELECT {sec_d} AS section_raw,
+         'rec-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS rec_id,
+         'Part ' || {sec_d} AS title,
+         text,
+         'https://ecfr.example/' || {sec_d} AS source_url
+  FROM documents
+), recs AS (
+  SELECT section_id,
+         trim(arg_min(text, k)) AS text,
+         arg_min(source_url, k) AS source,
+         arg_min(title, k) AS title
+  FROM (SELECT ({norm_raw}) AS section_id, text, source_url, title,
+               coalesce(nullif(rec_id, ''), nullif(title, ''), section_raw, '') AS k
+        FROM corpus)
+  WHERE section_id IS NOT NULL GROUP BY section_id
+), groups AS (
+  SELECT DISTINCT {sec_d17} AS parent, {sec_d} AS child FROM documents
+), related AS (
+  SELECT section_id,
+         list_sort(list_distinct(list(rel_sec))) AS related_sections
+  FROM (
+    SELECT a.child AS section_id, b.child AS rel_sec
+    FROM groups a JOIN groups b ON a.parent = b.parent
+    UNION ALL
+    SELECT child, parent FROM groups
+  ) WHERE rel_sec <> section_id GROUP BY section_id
+), mh AS (
+  SELECT unnest(['Entity:BIS', 'Path:cites>amends']) AS hint
+), ref_hints AS (
+  SELECT DISTINCT child AS section_id, hint FROM groups, mh
+), items AS (
+  SELECT doc_id AS item_id,
+         list_filter([{sec_d},
+                      CASE WHEN doc_id % 5 = 0 THEN 'EAR-999.99' END],
+                     x -> x IS NOT NULL) AS ear_sections,
+         ['node-' || CAST(doc_id % 5 AS VARCHAR)] AS kg_nodes,
+         list_filter([CASE WHEN doc_id % 2 = 0
+                           THEN 'path-' || CAST(doc_id % 3 AS VARCHAR) END],
+                     x -> x IS NOT NULL) AS kg_paths,
+         list_filter([CASE WHEN doc_id % 4 = 0
+                           THEN {sec_d3} || '#p0001' END],
+                     x -> x IS NOT NULL) AS span_ids
+  FROM documents WHERE doc_id % 3 = 0
+), item_hint_rows AS (
+  SELECT section_id, hint FROM (
+    SELECT ({norm_s}) AS section_id, unnest(hints) AS hint FROM (
+      SELECT unnest(ear_sections) AS s,
+             list_distinct(list_concat(kg_nodes, kg_paths)) AS hints
+      FROM items))
+  WHERE section_id IS NOT NULL
+), hints AS (
+  SELECT section_id, list_sort(list_distinct(list(hint))) AS label_hints
+  FROM (SELECT * FROM ref_hints UNION ALL SELECT * FROM item_hint_rows)
+  GROUP BY section_id
+), targets AS (
+  SELECT DISTINCT section_id FROM (
+    SELECT child AS section_id FROM groups
+    UNION ALL SELECT parent FROM groups
+    UNION ALL SELECT ({norm_s}) FROM (SELECT unnest(ear_sections) AS s FROM items)
+    UNION ALL SELECT ({norm_s}) FROM (SELECT unnest(span_ids) AS s FROM items)
+  ) WHERE section_id IS NOT NULL
+)
+SELECT t.section_id,
+       substr(r.text, 1, 320) AS text,
+       r.source, r.title,
+       coalesce(array_to_string(rel.related_sections, '|'), '') AS related_sections,
+       coalesce(array_to_string(h.label_hints, '|'), '') AS label_hints
+FROM targets t
+JOIN recs r USING (section_id)
+LEFT JOIN related rel USING (section_id)
+LEFT JOIN hints h USING (section_id)
+WHERE r.text <> ''
+ORDER BY section_id
+"""
+
+
+RAG_QUERIES["kg_expansion_index"] = q_kg_expansion_index
+RAG_ORACLES["kg_expansion_index"] = _kg_expansion_sql()
