@@ -1128,6 +1128,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(EVAL_QUERIES)
     ORACLES.update(EVAL_ORACLES)
+    from earcrawler_spark.queries_schema import SCHEMA_ORACLES, SCHEMA_QUERIES
+
+    QUERIES.update(SCHEMA_QUERIES)
+    ORACLES.update(SCHEMA_ORACLES)
     _reorder_for_gate()
 
 

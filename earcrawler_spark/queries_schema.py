@@ -1,0 +1,440 @@
+"""Eval dataset schema validation — violation rows, shape_violations-style.
+
+Reference: eval/schema.json (draft-07) + eval/validate_datasets.py:
+- ID-type regexes: earSectionId (`EAR-ddd.d+...(x)*`), earDocId
+  (part-only allowed, optional `#suffix`), earSpanId (optional `EAR-`
+  prefix), temporal.effective_date (`YYYY-MM-DD`), regression
+  expected_outcome enum {pass, fail} (schema.json:4-22,150-170).
+- Required / minLength fields: id, question, ground_truth.answer_text
+  (schema.json:96-116,176-186).
+- Registration checks (validate_datasets.py:100-181): doc_span doc_id
+  must be a manifest references.sections key and span_id in its span
+  set; kg_nodes/kg_paths must be registered (when the manifest registers
+  any); http(s) kg_node IRIs must not use a legacy namespace and must
+  live under RESOURCE_NS.
+- Item-level kg_entities (validate_datasets.py:236-262): http(s) IRIs
+  must not be legacy and must live under ENTITY_NS (no registration
+  check).
+
+One violation row per (item line, rule, value) — the reference's
+ValidationIssue stream as a DataFrame.  Scale shape: items explode once
+per list field; every registration check is a broadcast (anti-)join
+against the dimension-sized manifest; one union, no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from earcrawler_spark.functions.iri import ENTITY_NS, RESOURCE_NS
+
+SCHEMA_QUERIES: dict = {}
+SCHEMA_ORACLES: dict = {}
+
+# eval/schema.json definitions (anchored, RE2/Java-compatible)
+SECTION_ID_PATTERN = r"^EAR-\d{3}(?:\.\d+[a-z0-9]*)+(?:\([a-z0-9]+\))*$"
+DOC_ID_PATTERN = (
+    r"^EAR-\d{3}(?:\.\d+[a-z0-9]*)*(?:\([a-z0-9]+\))*"
+    r"(?:#[a-z0-9][a-z0-9:._-]{0,200})?$"
+)
+SPAN_ID_PATTERN = r"^(?:EAR-)?\d{3}(?:\.\d+[a-z0-9]*)+(?:\([a-z0-9]+\))*$"
+DATE_PATTERN = r"^\d{4}-\d{2}-\d{2}$"
+
+# kg/namespaces.py LEGACY_NS_LIST
+LEGACY_NS_LIST = [
+    "https://example.org/ear#",
+    "https://example.org/entity#",
+    "http://example.org/ear/",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sec(x):
+    return F.concat(
+        F.lit("EAR-"), (x % 37 + 700).cast("string"),
+        F.lit("."), (x % 7 + 1).cast("string"),
+    )
+
+
+def _body(x):
+    return F.concat(
+        (x % 37 + 700).cast("string"), F.lit("."), (x % 7 + 1).cast("string")
+    )
+
+
+def validate_items(
+    items: DataFrame,
+    manifest_spans: DataFrame,
+    manifest_nodes: DataFrame,
+    manifest_paths: DataFrame,
+) -> DataFrame:
+    """items -> violation rows (dataset_id, line, rule, value,
+    instance_path), ordered.
+
+    items columns: dataset_id, line, id, question, answer_text,
+    ear_sections array, doc_spans array<struct<doc_id,span_id>>,
+    kg_nodes array, kg_paths array, effective_date, expected_outcome.
+    manifest_spans: (mdoc_id, mspan_id); manifest_nodes/paths: (v).
+    """
+    def viol(df, rule, value, path):
+        return df.select(
+            "dataset_id",
+            "line",
+            F.lit(rule).alias("rule"),
+            value.cast("string").alias("value"),
+            F.lit(path).alias("instance_path"),
+        )
+
+    out = []
+    # required / minLength
+    out.append(viol(items.filter(F.coalesce(F.col("id"), F.lit("")) == ""),
+                    "id_required", F.coalesce("id", F.lit("")), "id"))
+    out.append(viol(items.filter(F.coalesce(F.col("question"), F.lit("")) == ""),
+                    "question_required", F.coalesce("question", F.lit("")),
+                    "question"))
+    out.append(viol(items.filter(F.col("answer_text").isNull()),
+                    "ground_truth_answer_required", F.lit(""),
+                    "ground_truth/answer_text"))
+
+    # earSectionId pattern over ear_sections
+    secs = items.select(
+        "dataset_id", "line", F.explode("ear_sections").alias("s")
+    )
+    out.append(viol(secs.filter(~F.col("s").rlike(SECTION_ID_PATTERN)),
+                    "ear_section_pattern", F.col("s"), "ear_sections"))
+
+    # doc_spans: patterns + manifest registration
+    spans = items.select(
+        "dataset_id", "line", F.explode("doc_spans").alias("sp")
+    ).select(
+        "dataset_id", "line",
+        F.col("sp.doc_id").alias("doc_id"),
+        F.col("sp.span_id").alias("span_id"),
+    )
+    out.append(viol(spans.filter(~F.col("doc_id").rlike(DOC_ID_PATTERN)),
+                    "doc_id_pattern", F.col("doc_id"), "evidence/doc_spans"))
+    out.append(viol(spans.filter(~F.col("span_id").rlike(SPAN_ID_PATTERN)),
+                    "span_id_pattern", F.col("span_id"), "evidence/doc_spans"))
+    # reference skips registration checks when either id is empty
+    nz = spans.filter((F.col("doc_id") != "") & (F.col("span_id") != ""))
+    reg_docs = manifest_spans.select(F.col("mdoc_id")).distinct()
+    unreg_doc = nz.join(
+        F.broadcast(reg_docs), nz["doc_id"] == reg_docs["mdoc_id"], "left_anti"
+    )
+    out.append(viol(unreg_doc, "doc_id_unregistered", F.col("doc_id"),
+                    "evidence/doc_spans"))
+    known_doc = nz.join(
+        F.broadcast(reg_docs), nz["doc_id"] == reg_docs["mdoc_id"], "left_semi"
+    )
+    unreg_span = known_doc.join(
+        F.broadcast(manifest_spans),
+        (known_doc["doc_id"] == manifest_spans["mdoc_id"])
+        & (known_doc["span_id"] == manifest_spans["mspan_id"]),
+        "left_anti",
+    )
+    out.append(viol(unreg_span, "span_id_unregistered", F.col("span_id"),
+                    "evidence/doc_spans"))
+
+    # kg_nodes: legacy / namespace / registration (checks active because
+    # the manifest registers nodes — validate_datasets.py:142 guard)
+    nodes = items.select(
+        "dataset_id", "line", F.explode("kg_nodes").alias("n")
+    ).filter(F.col("n") != "")
+    is_http = F.col("n").startswith("http://") | F.col("n").startswith("https://")
+    is_legacy = F.lit(False)
+    for ns in LEGACY_NS_LIST:
+        is_legacy = is_legacy | F.col("n").startswith(ns)
+    out.append(viol(nodes.filter(is_http & is_legacy),
+                    "kg_node_legacy", F.col("n"), "evidence/kg_nodes"))
+    out.append(viol(
+        nodes.filter(is_http & ~is_legacy & ~F.col("n").startswith(RESOURCE_NS)),
+        "kg_node_namespace", F.col("n"), "evidence/kg_nodes"))
+    out.append(viol(
+        nodes.join(F.broadcast(manifest_nodes),
+                   nodes["n"] == manifest_nodes["v"], "left_anti"),
+        "kg_node_unregistered", F.col("n"), "evidence/kg_nodes"))
+
+    # item-level kg_entities: ENTITY_NS namespace policy, no registration
+    ents = items.select(
+        "dataset_id", "line", F.explode("kg_entities").alias("e")
+    ).filter(F.col("e") != "")
+    e_http = F.col("e").startswith("http://") | F.col("e").startswith("https://")
+    e_legacy = F.lit(False)
+    for ns in LEGACY_NS_LIST:
+        e_legacy = e_legacy | F.col("e").startswith(ns)
+    out.append(viol(ents.filter(e_http & e_legacy),
+                    "kg_entity_legacy", F.col("e"), "kg_entities"))
+    out.append(viol(
+        ents.filter(e_http & ~e_legacy & ~F.col("e").startswith(ENTITY_NS)),
+        "kg_entity_namespace", F.col("e"), "kg_entities"))
+
+    # kg_paths registration
+    paths = items.select(
+        "dataset_id", "line", F.explode("kg_paths").alias("p")
+    ).filter(F.col("p") != "")
+    out.append(viol(
+        paths.join(F.broadcast(manifest_paths),
+                   paths["p"] == manifest_paths["v"], "left_anti"),
+        "kg_path_unregistered", F.col("p"), "evidence/kg_paths"))
+
+    # temporal + regression
+    out.append(viol(
+        items.filter(
+            F.col("effective_date").isNotNull()
+            & ~F.col("effective_date").rlike(DATE_PATTERN)
+        ),
+        "effective_date_pattern", F.col("effective_date"),
+        "temporal/effective_date"))
+    out.append(viol(
+        items.filter(
+            F.col("expected_outcome").isNotNull()
+            & ~F.col("expected_outcome").isin("pass", "fail")
+        ),
+        "regression_outcome_enum", F.col("expected_outcome"), "regression"))
+
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("dataset_id", "line", "rule", "value")
+
+
+def _fixture_items(docs: DataFrame) -> DataFrame:
+    """Deterministic eval items with seeded violations of every rule."""
+    d = F.col("doc_id")
+    return docs.select(
+        F.concat(F.lit("ds"), (d % 3).cast("string")).alias("dataset_id"),
+        d.alias("line"),
+        F.when(d % 23 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("item-"), d.cast("string"))
+        ).alias("id"),
+        F.when(d % 29 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("Does "), _sec(d), F.lit(" apply?"))
+        ).alias("question"),
+        F.when(d % 31 == 0, F.lit(None).cast("string")).otherwise(
+            F.lit("It applies.")
+        ).alias("answer_text"),
+        F.filter(
+            F.array(
+                _sec(d),
+                F.when(d % 8 == 0, F.lit("EAR-9999.1")),
+                F.when(d % 10 == 0, F.lit("EAR-736")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("ear_sections"),
+        F.filter(
+            F.array(
+                F.struct(_sec(d).alias("doc_id"), _body(d).alias("span_id")),
+                F.when(
+                    d % 6 == 0,
+                    F.struct(
+                        F.lit("EAR-736#p0001").alias("doc_id"),
+                        F.lit("736.2(b)").alias("span_id"),
+                    ),
+                ),
+                F.when(
+                    d % 12 == 0,
+                    F.struct(
+                        F.concat(F.lit("D"), d.cast("string")).alias("doc_id"),
+                        _body(d).alias("span_id"),
+                    ),
+                ),
+                F.when(
+                    d % 15 == 0,
+                    F.struct(_sec(d).alias("doc_id"),
+                             F.lit("weird span").alias("span_id")),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("doc_spans"),
+        F.filter(
+            F.array(
+                F.concat(F.lit(RESOURCE_NS + "ear/entity/e"),
+                         (d % 7).cast("string")),
+                F.when(d % 9 == 0, F.lit("https://example.org/ear#legacy")),
+                F.when(d % 14 == 0, F.lit("https://other.example/x")),
+                F.when(d % 16 == 0,
+                       F.lit(RESOURCE_NS + "ear/entity/unknown")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("kg_nodes"),
+        F.filter(
+            F.array(
+                F.concat(F.lit(ENTITY_NS + "ent"), (d % 5).cast("string")),
+                F.when(d % 18 == 0, F.lit("https://example.org/entity#old")),
+                F.when(d % 22 == 0, F.lit("https://other.example/y")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("kg_entities"),
+        F.array(F.concat(F.lit("path-"), (d % 4).cast("string"))).alias(
+            "kg_paths"
+        ),
+        F.when(d % 19 == 0, F.lit("Feb 2020"))
+        .when(d % 2 == 0, F.lit("2020-06-15"))
+        .alias("effective_date"),
+        F.when(d % 21 == 0, F.lit("maybe"))
+        .when(d % 3 == 0, F.lit("pass"))
+        .alias("expected_outcome"),
+    )
+
+
+def q_eval_schema_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate_datasets over seeded items: clean items produce no rows;
+    every seeded defect (pattern, required, enum, registration,
+    namespace) yields exactly its ValidationIssue rows."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    items = _fixture_items(docs)
+    # manifest references: every section registers its own span body and
+    # the next one; entity nodes e0..e6; paths path-0..2 (path-3 is the
+    # seeded unregistered value)
+    manifest_spans = (
+        docs.select(_sec(d).alias("mdoc_id"), _body(d).alias("mspan_id"))
+        .unionByName(
+            docs.select(_sec(d).alias("mdoc_id"), _body(d + 1).alias("mspan_id"))
+        )
+        .distinct()
+    )
+    node_ns = RESOURCE_NS + "ear/entity/"
+    manifest_nodes = spark.createDataFrame(
+        [(f"{node_ns}e{i}",) for i in range(7)], "v string"
+    )
+    manifest_paths = spark.createDataFrame(
+        [(f"path-{i}",) for i in range(3)], "v string"
+    )
+    return validate_items(items, manifest_spans, manifest_nodes, manifest_paths)
+
+
+def _schema_sql() -> str:
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    body = ("CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+            "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    sec_d, body_d = sec.format(x="doc_id"), body.format(x="doc_id")
+    body_d1 = body.format(x="doc_id + 1")
+    node_ns = RESOURCE_NS + "ear/entity/"
+    legacy = " OR ".join(f"n LIKE '{ns}%'" for ns in LEGACY_NS_LIST)
+    e_legacy = " OR ".join(f"e LIKE '{ns}%'" for ns in LEGACY_NS_LIST)
+    return f"""
+WITH items AS (
+  SELECT 'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset_id,
+         doc_id AS line,
+         CASE WHEN doc_id % 23 = 0 THEN '' ELSE 'item-' || CAST(doc_id AS VARCHAR) END AS id,
+         CASE WHEN doc_id % 29 = 0 THEN '' ELSE 'Does ' || {sec_d} || ' apply?' END AS question,
+         CASE WHEN doc_id % 31 = 0 THEN NULL ELSE 'It applies.' END AS answer_text,
+         list_filter([{sec_d},
+                      CASE WHEN doc_id % 8 = 0 THEN 'EAR-9999.1' END,
+                      CASE WHEN doc_id % 10 = 0 THEN 'EAR-736' END],
+                     x -> x IS NOT NULL) AS ear_sections,
+         list_filter([{{'doc_id': {sec_d}, 'span_id': {body_d}}},
+                      CASE WHEN doc_id % 6 = 0 THEN {{'doc_id': 'EAR-736#p0001', 'span_id': '736.2(b)'}} END,
+                      CASE WHEN doc_id % 12 = 0 THEN {{'doc_id': 'D' || CAST(doc_id AS VARCHAR), 'span_id': {body_d}}} END,
+                      CASE WHEN doc_id % 15 = 0 THEN {{'doc_id': {sec_d}, 'span_id': 'weird span'}} END],
+                     x -> x IS NOT NULL) AS doc_spans,
+         list_filter(['{node_ns}e' || CAST(doc_id % 7 AS VARCHAR),
+                      CASE WHEN doc_id % 9 = 0 THEN 'https://example.org/ear#legacy' END,
+                      CASE WHEN doc_id % 14 = 0 THEN 'https://other.example/x' END,
+                      CASE WHEN doc_id % 16 = 0 THEN '{node_ns}unknown' END],
+                     x -> x IS NOT NULL) AS kg_nodes,
+         list_filter(['{ENTITY_NS}ent' || CAST(doc_id % 5 AS VARCHAR),
+                      CASE WHEN doc_id % 18 = 0 THEN 'https://example.org/entity#old' END,
+                      CASE WHEN doc_id % 22 = 0 THEN 'https://other.example/y' END],
+                     x -> x IS NOT NULL) AS kg_entities,
+         ['path-' || CAST(doc_id % 4 AS VARCHAR)] AS kg_paths,
+         CASE WHEN doc_id % 19 = 0 THEN 'Feb 2020'
+              WHEN doc_id % 2 = 0 THEN '2020-06-15' END AS effective_date,
+         CASE WHEN doc_id % 21 = 0 THEN 'maybe'
+              WHEN doc_id % 3 = 0 THEN 'pass' END AS expected_outcome
+  FROM documents
+), manifest_spans AS (
+  SELECT DISTINCT mdoc_id, mspan_id FROM (
+    SELECT {sec_d} AS mdoc_id, {body_d} AS mspan_id FROM documents
+    UNION ALL
+    SELECT {sec_d}, {body_d1} FROM documents)
+), manifest_nodes AS (
+  SELECT '{node_ns}e' || CAST(i AS VARCHAR) AS v FROM unnest(range(0, 7)) t(i)
+), manifest_paths AS (
+  SELECT 'path-' || CAST(i AS VARCHAR) AS v FROM unnest(range(0, 3)) t(i)
+), secs AS (
+  SELECT dataset_id, line, unnest(ear_sections) AS s FROM items
+), spans AS (
+  SELECT dataset_id, line, sp.doc_id AS doc_id, sp.span_id AS span_id
+  FROM (SELECT dataset_id, line, unnest(doc_spans) AS sp FROM items)
+), nz AS (
+  SELECT * FROM spans WHERE doc_id <> '' AND span_id <> ''
+), nodes AS (
+  SELECT dataset_id, line, unnest(kg_nodes) AS n FROM items
+), ents AS (
+  SELECT dataset_id, line, unnest(kg_entities) AS e FROM items
+), paths AS (
+  SELECT dataset_id, line, unnest(kg_paths) AS p FROM items
+), viols AS (
+  SELECT dataset_id, line, 'id_required' AS rule,
+         coalesce(id, '') AS value, 'id' AS instance_path
+  FROM items WHERE coalesce(id, '') = ''
+  UNION ALL
+  SELECT dataset_id, line, 'question_required', coalesce(question, ''), 'question'
+  FROM items WHERE coalesce(question, '') = ''
+  UNION ALL
+  SELECT dataset_id, line, 'ground_truth_answer_required', '', 'ground_truth/answer_text'
+  FROM items WHERE answer_text IS NULL
+  UNION ALL
+  SELECT dataset_id, line, 'ear_section_pattern', s, 'ear_sections'
+  FROM secs WHERE NOT regexp_matches(s, '{SECTION_ID_PATTERN}')
+  UNION ALL
+  SELECT dataset_id, line, 'doc_id_pattern', doc_id, 'evidence/doc_spans'
+  FROM spans WHERE NOT regexp_matches(doc_id, '{DOC_ID_PATTERN}')
+  UNION ALL
+  SELECT dataset_id, line, 'span_id_pattern', span_id, 'evidence/doc_spans'
+  FROM spans WHERE NOT regexp_matches(span_id, '{SPAN_ID_PATTERN}')
+  UNION ALL
+  SELECT z.dataset_id, z.line, 'doc_id_unregistered', z.doc_id, 'evidence/doc_spans'
+  FROM nz z WHERE NOT EXISTS (
+    SELECT 1 FROM manifest_spans m WHERE m.mdoc_id = z.doc_id)
+  UNION ALL
+  SELECT z.dataset_id, z.line, 'span_id_unregistered', z.span_id, 'evidence/doc_spans'
+  FROM nz z WHERE EXISTS (
+    SELECT 1 FROM manifest_spans m WHERE m.mdoc_id = z.doc_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM manifest_spans m
+      WHERE m.mdoc_id = z.doc_id AND m.mspan_id = z.span_id)
+  UNION ALL
+  SELECT dataset_id, line, 'kg_node_legacy', n, 'evidence/kg_nodes'
+  FROM nodes WHERE (n LIKE 'http://%' OR n LIKE 'https://%') AND ({legacy})
+  UNION ALL
+  SELECT dataset_id, line, 'kg_node_namespace', n, 'evidence/kg_nodes'
+  FROM nodes WHERE (n LIKE 'http://%' OR n LIKE 'https://%')
+    AND NOT ({legacy}) AND n NOT LIKE '{RESOURCE_NS}%'
+  UNION ALL
+  SELECT o.dataset_id, o.line, 'kg_node_unregistered', o.n, 'evidence/kg_nodes'
+  FROM nodes o WHERE o.n <> '' AND NOT EXISTS (
+    SELECT 1 FROM manifest_nodes m WHERE m.v = o.n)
+  UNION ALL
+  SELECT dataset_id, line, 'kg_entity_legacy', e, 'kg_entities'
+  FROM ents WHERE (e LIKE 'http://%' OR e LIKE 'https://%') AND ({e_legacy})
+  UNION ALL
+  SELECT dataset_id, line, 'kg_entity_namespace', e, 'kg_entities'
+  FROM ents WHERE (e LIKE 'http://%' OR e LIKE 'https://%')
+    AND NOT ({e_legacy}) AND e NOT LIKE '{ENTITY_NS}%'
+  UNION ALL
+  SELECT q.dataset_id, q.line, 'kg_path_unregistered', q.p, 'evidence/kg_paths'
+  FROM paths q WHERE q.p <> '' AND NOT EXISTS (
+    SELECT 1 FROM manifest_paths m WHERE m.v = q.p)
+  UNION ALL
+  SELECT dataset_id, line, 'effective_date_pattern', effective_date, 'temporal/effective_date'
+  FROM items WHERE effective_date IS NOT NULL
+    AND NOT regexp_matches(effective_date, '{DATE_PATTERN}')
+  UNION ALL
+  SELECT dataset_id, line, 'regression_outcome_enum', expected_outcome, 'regression'
+  FROM items WHERE expected_outcome IS NOT NULL
+    AND expected_outcome NOT IN ('pass', 'fail')
+)
+SELECT * FROM viols ORDER BY dataset_id, line, rule, value
+"""
+
+
+SCHEMA_QUERIES["eval_schema_violations"] = q_eval_schema_violations
+SCHEMA_ORACLES["eval_schema_violations"] = _schema_sql()
