@@ -438,3 +438,89 @@ SELECT * FROM viols ORDER BY dataset_id, line, rule, value
 
 SCHEMA_QUERIES["eval_schema_violations"] = q_eval_schema_violations
 SCHEMA_ORACLES["eval_schema_violations"] = _schema_sql()
+
+
+# --- index ↔ corpus binding ---------------------------------------------------
+
+INDEX_EMBED_MODEL = "all-MiniLM-L6-v2"
+
+
+def q_index_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index↔corpus binding verdicts (rag/index_builder.py:42,87 +
+    rag/snapshot_index.py:77-120): the live corpus digest (reference's
+    exact sequential sha256 over doc_id\\n text\\n in str-id order)
+    checks four seeded index manifests — bound, wrong-model, stale
+    digest, and doc-count drift — producing the reference's refusal
+    reasons in its model → digest → count check order."""
+    from earcrawler_spark.operators.index_binding import (
+        exact_corpus_digest,
+        verify_index_binding,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    digest = exact_corpus_digest(docs)
+    truth = digest.select("digest", "doc_count")
+    manifests = (
+        spark.createDataFrame(
+            [
+                ("idx-good", INDEX_EMBED_MODEL, "corpus", 0),
+                ("idx-wrong-model", "bert-base", "corpus", 0),
+                ("idx-stale", INDEX_EMBED_MODEL, "stale", 0),
+                ("idx-partial", INDEX_EMBED_MODEL, "corpus", -1),
+            ],
+            "index_id string, embedding_model string, digest_src string, count_delta int",
+        )
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "index_id",
+            "embedding_model",
+            F.when(F.col("digest_src") == "corpus", F.col("digest"))
+            .otherwise(F.sha2(F.lit("stale"), 256))
+            .alias("corpus_digest"),
+            (F.col("doc_count") + F.col("count_delta")).alias("doc_count"),
+        )
+    )
+    return verify_index_binding(digest, manifests, INDEX_EMBED_MODEL)
+
+
+def _index_binding_sql() -> str:
+    return f"""
+WITH truth AS (
+  SELECT sha256(string_agg(CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10),
+                           '' ORDER BY CAST(doc_id AS VARCHAR))) AS digest,
+         count(*) AS doc_count
+  FROM documents
+), manifests AS (
+  SELECT m.index_id, m.embedding_model,
+         CASE WHEN m.digest_src = 'corpus' THEN t.digest
+              ELSE sha256('stale') END AS corpus_digest,
+         t.doc_count + m.count_delta AS mcount
+  FROM (VALUES
+    ('idx-good', '{INDEX_EMBED_MODEL}', 'corpus', 0),
+    ('idx-wrong-model', 'bert-base', 'corpus', 0),
+    ('idx-stale', '{INDEX_EMBED_MODEL}', 'stale', 0),
+    ('idx-partial', '{INDEX_EMBED_MODEL}', 'corpus', -1)
+  ) AS m(index_id, embedding_model, digest_src, count_delta), truth t
+)
+SELECT m.index_id,
+       t.digest AS expected_digest,
+       m.corpus_digest AS meta_digest,
+       t.doc_count AS expected_doc_count,
+       m.mcount AS meta_doc_count,
+       (coalesce(m.embedding_model, '') = '{INDEX_EMBED_MODEL}') AS model_match,
+       (m.corpus_digest = t.digest) AS digest_match,
+       (m.mcount = t.doc_count) AS count_match,
+       (coalesce(m.embedding_model, '') = '{INDEX_EMBED_MODEL}'
+        AND m.corpus_digest = t.digest
+        AND m.mcount = t.doc_count) AS binding_ok,
+       CASE WHEN coalesce(m.embedding_model, '') <> '{INDEX_EMBED_MODEL}'
+              THEN 'embedding_model mismatch'
+            WHEN m.corpus_digest <> t.digest THEN 'corpus_digest mismatch'
+            WHEN m.mcount <> t.doc_count THEN 'doc_count mismatch' END AS refusal
+FROM manifests m, truth t
+ORDER BY m.index_id
+"""
+
+
+SCHEMA_QUERIES["index_binding"] = q_index_binding
+SCHEMA_ORACLES["index_binding"] = _index_binding_sql()

@@ -43,3 +43,16 @@ def test_every_rule_fires_and_clean_items_are_clean(spark):
     assert (19, "effective_date_pattern") in by_line
     assert (21, "regression_outcome_enum") in by_line
     out.unpersist()
+
+
+def test_index_binding_verdicts(spark):
+    from earcrawler_spark.queries_schema import q_index_binding
+
+    rows = {r["index_id"]: r for r in q_index_binding(spark, SF).collect()}
+    assert rows["idx-good"]["binding_ok"] and rows["idx-good"]["refusal"] is None
+    assert rows["idx-wrong-model"]["refusal"] == "embedding_model mismatch"
+    assert rows["idx-stale"]["refusal"] == "corpus_digest mismatch"
+    assert rows["idx-partial"]["refusal"] == "doc_count mismatch"
+    # model mismatch wins over any later check, mirroring the reference's
+    # check order
+    assert not rows["idx-wrong-model"]["binding_ok"]
