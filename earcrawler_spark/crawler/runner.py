@@ -106,8 +106,26 @@ class CrawlConfig:
     # seen-filter probe path: 'broadcast' ships all shards to every
     # executor (fastest while the filter is MBs); 'join' cogroups
     # candidates with their shard's bits — shard-local, no whole-filter
-    # broadcast, the 10^10-URL scale path. Outputs are identical.
-    probe_mode: str = "broadcast"
+    # broadcast, the 10^10-URL scale path. Outputs are identical
+    # (chain-hash-asserted). 'auto' (default) picks 'join' as soon as
+    # the estimated filter size passes probe_broadcast_max_bytes, so
+    # the 10^10 design point never depends on a hand-set flag.
+    probe_mode: str = "auto"
+    probe_broadcast_max_bytes: int = 64 * 1024 * 1024
+
+    def estimated_filter_bytes(self) -> int:
+        if self.seen_filter == "cuckoo":
+            # n_buckets ~= cap/(4*0.8), 4 uint16 slots per bucket
+            per_shard = int(self.cuckoo_capacity_per_shard * 2 / 0.8)
+        else:
+            per_shard = self.bloom_bits_per_shard // 8
+        return self.n_shards * per_shard
+
+    def resolved_probe_mode(self) -> str:
+        if self.probe_mode != "auto":
+            return self.probe_mode
+        big = self.estimated_filter_bytes() > self.probe_broadcast_max_bytes
+        return "join" if big else "broadcast"
 
 
 class Crawler:
@@ -168,7 +186,21 @@ class Crawler:
         self.state.write(
             "seen", 0, frontier.select("url_hash", "url", F.lit(0).alias("iter"))
         )
-        self._write_bloom(0, frontier.select("url_hash"), previous=None)
+        if self.cfg.resolved_probe_mode() == "join":
+            # shard-local init write: past the broadcast threshold even
+            # the seed filter (n_shards x dense shard bytes) must not
+            # round-trip the driver
+            empty = self.spark.createDataFrame([], "shard int, bits binary")
+            self.state.write(
+                "bloom", 0,
+                extend_filter_join(
+                    frontier.select("url_hash"), empty, self.cfg.n_shards,
+                    self.cfg.seen_filter, self.cfg.bloom_bits_per_shard,
+                    self.cfg.cuckoo_capacity_per_shard,
+                ),
+            )
+        else:
+            self._write_bloom(0, frontier.select("url_hash"), previous=None)
         robots = fetch_robots(
             self.spark, [r[2] for r in rows], self.robots_fetcher
         )
@@ -520,7 +552,8 @@ class Crawler:
         # shard-local via a cogroup — the 10^10-URL path where the filter
         # is far past broadcast range (bloom.py:12-15 sharding design).
         blooms = None
-        if cfg.probe_mode == "join":
+        probe_mode = cfg.resolved_probe_mode()
+        if probe_mode == "join":
             bloom_df = self.state.read_latest("bloom", it - 1)
             if bloom_df is None:
                 bloom_df = spark.createDataFrame([], "shard int, bits binary")
@@ -578,7 +611,7 @@ class Crawler:
             n_files=cfg.write_partitions,
         )
         _mark("seen_write")
-        if cfg.probe_mode == "join":
+        if probe_mode == "join":
             self.state.write(
                 "bloom", it,
                 extend_filter_join(

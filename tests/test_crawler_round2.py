@@ -339,3 +339,34 @@ def test_fuzz_robots_grouping(spark):
             got = parse_robots_txt(txt, default_delay=1.0, user_agent=ua)
             want = model(txt, ua=ua, default_delay=1.0)
             assert got == (want[0], want[1]), (trial, ua, txt, got, want)
+
+
+def test_probe_mode_auto_resolution_and_no_driver_collect(spark, tmp_path, monkeypatch):
+    """'auto' resolves by estimated filter size; past the broadcast
+    threshold the crawl must run the shard-local join path and never
+    collect filter bytes to the driver (_load_bloom unused)."""
+    small = CrawlConfig()  # 16 shards x 1Mib bloom = 2 MB -> broadcast
+    assert small.resolved_probe_mode() == "broadcast"
+    big = CrawlConfig(n_shards=4096, bloom_bits_per_shard=1 << 20)  # 512 MB
+    assert big.resolved_probe_mode() == "join"
+    assert CrawlConfig(probe_mode="broadcast", n_shards=4096).resolved_probe_mode() == "broadcast"
+
+    c = Crawler(
+        spark, str(tmp_path / "auto-join"),
+        CrawlConfig(max_iters=2, n_partitions=4,
+                    probe_broadcast_max_bytes=1024),  # force 'join'
+    )
+    assert c.cfg.resolved_probe_mode() == "join"
+
+    def _boom(upto_iter):
+        raise AssertionError("_load_bloom collected filter bytes to the driver")
+
+    monkeypatch.setattr(c, "_load_bloom", _boom)
+    monkeypatch.setattr(
+        c, "_build_filter_shards",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver-side shard build used in join mode")),
+    )
+    c.init_seeds(synth.seed_list())
+    c.run()
+    assert c.state.manifest()["completed_iter"] >= 1
