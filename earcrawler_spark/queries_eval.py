@@ -1077,3 +1077,324 @@ ORDER BY dataset_id
 
 EVAL_QUERIES["groundedness_gate"] = q_groundedness_gate
 EVAL_ORACLES["groundedness_gate"] = _groundedness_sql()
+
+
+# --- phase-2 grounding contract gate -----------------------------------------
+
+RESERVED_OR_INVALID_SECTION_IDS = ["EAR-740.9(a)(2)"]
+
+
+def q_phase2_contract_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The golden gate's remaining verdict metrics
+    (tests/golden/test_phase2_golden_gate.py:34-35,405-560): per item,
+    quote conditions (invalid cited section / missing quote / quote not a
+    substring of that section's retrieval-fixture text — RAW substring,
+    unlike the ws-normalized groundedness check), the grounding-contract
+    condition list (schema validity, answerable-without-citations,
+    citations outside the retrieval set, quote conditions, and the
+    multi-citation contract for flagged items), micro citation precision
+    (sum tp / sum predicted), and known-bad citations (reserved ids or
+    ids outside expected).  Dataset + ALL rollup with pass verdicts vs
+    the phase-2 thresholds — together with `groundedness_gate` this
+    covers all seven gate thresholds."""
+    from earcrawler_spark.operators.citation import normalize_section_full
+    from earcrawler_spark.operators.groundedness import (
+        load_phase2_gate_thresholds,
+    )
+
+    th = load_phase2_gate_thresholds()
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def sec(x):
+        return F.concat(
+            F.lit("EAR-"), (x % 37 + 700).cast("string"),
+            F.lit("."), (x % 7 + 1).cast("string"),
+        )
+
+    items = docs.select(
+        d.alias("item_id"),
+        F.concat(F.lit("ds"), (d % 3).cast("string")).alias("dataset_id"),
+        F.when(d % 7 == 0, F.lit("unanswerable"))
+        .otherwise(F.lit("answerable")).alias("expected_label"),
+        F.when(
+            ((d % 7 == 0) & (d % 3 != 1)) | ((d % 11 == 5) & (d % 7 != 0)),
+            F.lit("unanswerable"),
+        ).otherwise(F.lit("answerable")).alias("predicted_label"),
+        (d % 23 != 0).alias("schema_valid"),
+        (d % 10 == 0).alias("multi_required"),
+        F.filter(
+            F.array(sec(d), F.when(d % 4 == 0, sec(d + 1))),
+            lambda x: x.isNotNull(),
+        ).alias("expected_citations"),
+        F.array(sec(d), sec(d + 1), sec(d + 7)).alias("retrieved_sections"),
+    )
+    def cit(flt, raw, quote):
+        return docs.filter(flt).select(
+            d.alias("item_id"), raw.alias("raw_sec"), quote.alias("quote")
+        )
+    citations = (
+        cit(d % 13 != 0, sec(d), F.concat(F.lit("quote-"), sec(d)))
+        .unionByName(cit(d % 5 == 0, sec(d + 2), F.lit("bad quote")))
+        .unionByName(cit(d % 9 == 0, F.lit(""), F.lit("orphan quote")))
+        .unionByName(cit(d % 11 == 0, sec(d), F.lit("")))
+        .unionByName(cit(d % 17 == 0, F.lit("EAR-740.9(a)(2)"),
+                         F.lit("reserved quote")))
+    )
+    rdocs = None
+    for k in (0, 1, 7):
+        part = docs.select(
+            d.alias("item_id"), sec(d + k).alias("dsec"),
+            F.concat(F.lit("Reference text quote-"), sec(d + k),
+                     F.lit(" end")).alias("dtext"),
+        )
+        rdocs = part if rdocs is None else rdocs.unionByName(part)
+
+    c = citations.withColumn("csec", normalize_section_full(F.col("raw_sec")))
+    # quote substring check against the item's retrieval docs for the
+    # cited section (RAW `quote in text`, golden gate :99-111)
+    cj = c.join(
+        rdocs,
+        (c["item_id"] == rdocs["item_id"]) & (c["csec"] == rdocs["dsec"]),
+        "left",
+    ).drop(rdocs["item_id"])
+    per_cit = cj.groupBy("item_id", "raw_sec", "csec", "quote").agg(
+        F.max(
+            (F.col("dtext").isNotNull()
+             & (F.instr(F.col("dtext"), F.col("quote")) > 0)).cast("int")
+        ).alias("_sub")
+    ).select(
+        "item_id", "csec",
+        F.when(F.col("csec").isNull(), F.lit(1)).otherwise(0).alias("q_invalid"),
+        F.when(
+            F.col("csec").isNotNull() & (F.trim("quote") == ""), F.lit(1)
+        ).otherwise(0).alias("q_missing"),
+        F.when(
+            F.col("csec").isNotNull() & (F.trim("quote") != "")
+            & (F.coalesce("_sub", F.lit(0)) == 0),
+            F.lit(1),
+        ).otherwise(0).alias("q_notsub"),
+    )
+    cit_item = per_cit.groupBy("item_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.collect_list("csec"), lambda x: x.isNotNull())
+            )
+        ).alias("pred"),
+        F.sum(F.col("q_invalid") + F.col("q_missing") + F.col("q_notsub"))
+        .alias("n_qcond"),
+    )
+    per_item = items.join(cit_item, "item_id", "left").select(
+        "*",
+        F.coalesce("pred", F.array().cast("array<string>")).alias("_pred"),
+        F.coalesce("n_qcond", F.lit(0)).alias("_nq"),
+    )
+    empty_pred = F.size("_pred") == 0
+    cond_schema = ~F.col("schema_valid")
+    cond_nocit = (F.col("expected_label") != "unanswerable") & empty_pred
+    cond_retr = F.size(F.array_except("_pred", "retrieved_sections")) > 0
+    cond_multi_lt2 = F.col("multi_required") & (
+        F.size("expected_citations") < 2
+    )
+    cond_multi_neq = F.col("multi_required") & (
+        F.array_sort(F.array_distinct("expected_citations")) != F.col("_pred")
+    )
+    item_pass = ~(
+        cond_schema | cond_nocit | cond_retr | (F.col("_nq") > 0)
+        | cond_multi_lt2 | cond_multi_neq
+    )
+    reserved = F.array(*[F.lit(s) for s in RESERVED_OR_INVALID_SECTION_IDS])
+    known_bad = F.size(
+        F.filter(
+            F.col("_pred"),
+            lambda x: F.array_contains(reserved, x)
+            | ~F.array_contains(F.col("expected_citations"), x),
+        )
+    )
+    scored = per_item.select(
+        "dataset_id",
+        (F.col("expected_label") == "unanswerable").cast("long").alias("u_tot"),
+        ((F.col("expected_label") == "unanswerable")
+         & (F.col("predicted_label") == "unanswerable")).cast("long").alias("u_ok"),
+        item_pass.cast("long").alias("g_pass"),
+        F.size(F.array_intersect("_pred", "expected_citations")).cast("long")
+        .alias("tp"),
+        F.size("_pred").cast("long").alias("np"),
+        known_bad.cast("long").alias("kb"),
+    )
+    g = scored.rollup("dataset_id").agg(
+        F.count(F.lit(1)).alias("num_items"),
+        F.sum("u_tot").alias("unanswerable_total"),
+        F.sum("u_ok").alias("unanswerable_correct"),
+        F.sum("g_pass").alias("grounding_pass"),
+        F.sum("tp").alias("citation_tp"),
+        F.sum("np").alias("citation_pred"),
+        F.sum("kb").alias("known_bad_citations_count"),
+    )
+    uacc = F.round(
+        F.when(F.col("unanswerable_total") > 0,
+               F.col("unanswerable_correct") / F.col("unanswerable_total"))
+        .otherwise(F.lit(1.0)), 6)
+    grate = F.round(
+        F.when(F.col("num_items") > 0,
+               F.col("grounding_pass") / F.col("num_items"))
+        .otherwise(F.lit(0.0)), 6)
+    prec = F.round(
+        F.when(F.col("citation_pred") > 0,
+               F.col("citation_tp") / F.col("citation_pred"))
+        .otherwise(F.lit(1.0)), 6)
+    out = g.select(
+        F.coalesce("dataset_id", F.lit("ALL")).alias("dataset_id"),
+        "num_items", "unanswerable_total", "unanswerable_correct",
+        "grounding_pass", "citation_tp", "citation_pred",
+        "known_bad_citations_count",
+        uacc.alias("unanswerable_accuracy"),
+        grate.alias("grounding_contract_pass_rate"),
+        prec.alias("citation_precision"),
+    )
+    pass_u = F.col("unanswerable_accuracy") >= th["unanswerable_accuracy_min"]
+    pass_g = (F.col("grounding_contract_pass_rate")
+              >= th["grounding_contract_pass_rate_min"])
+    pass_p = F.col("citation_precision") == th["citation_precision_eq"]
+    pass_k = (F.col("known_bad_citations_count")
+              == th["known_bad_citations_count_eq"])
+    return out.select(
+        "*",
+        pass_u.alias("pass_unanswerable"),
+        pass_g.alias("pass_grounding_contract"),
+        pass_p.alias("pass_citation_precision"),
+        pass_k.alias("pass_known_bad"),
+        (pass_u & pass_g & pass_p & pass_k).alias("gate_ok"),
+    ).orderBy("dataset_id")
+
+
+def _phase2_contract_sql() -> str:
+    from earcrawler_spark.operators.citation import normalize_section_full_sql
+    from earcrawler_spark.operators.groundedness import (
+        load_phase2_gate_thresholds,
+    )
+
+    th = load_phase2_gate_thresholds()
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    s0, s1, s2, s7 = (sec.format(x=f"doc_id + {k}") for k in (0, 1, 2, 7))
+    norm = normalize_section_full_sql("raw_sec")
+    reserved = ", ".join(f"'{s}'" for s in RESERVED_OR_INVALID_SECTION_IDS)
+    return f"""
+WITH items AS (
+  SELECT doc_id AS item_id,
+         'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'unanswerable' ELSE 'answerable' END AS expected_label,
+         CASE WHEN (doc_id % 7 = 0 AND doc_id % 3 <> 1)
+                OR (doc_id % 11 = 5 AND doc_id % 7 <> 0)
+              THEN 'unanswerable' ELSE 'answerable' END AS predicted_label,
+         (doc_id % 23 <> 0) AS schema_valid,
+         (doc_id % 10 = 0) AS multi_required,
+         list_filter([{s0}, CASE WHEN doc_id % 4 = 0 THEN {s1} END],
+                     x -> x IS NOT NULL) AS expected_citations,
+         [{s0}, {s1}, {s7}] AS retrieved_sections
+  FROM documents
+), citations AS (
+  SELECT doc_id AS item_id, {s0} AS raw_sec, 'quote-' || {s0} AS quote
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id, {s2}, 'bad quote' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, '', 'orphan quote' FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, {s0}, '' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, 'EAR-740.9(a)(2)', 'reserved quote'
+  FROM documents WHERE doc_id % 17 = 0
+), rdocs AS (
+  SELECT doc_id AS item_id, {s0} AS dsec,
+         'Reference text quote-' || {s0} || ' end' AS dtext FROM documents
+  UNION ALL
+  SELECT doc_id, {s1}, 'Reference text quote-' || {s1} || ' end' FROM documents
+  UNION ALL
+  SELECT doc_id, {s7}, 'Reference text quote-' || {s7} || ' end' FROM documents
+), c AS (
+  SELECT item_id, raw_sec, quote, ({norm}) AS csec FROM citations
+), per_cit AS (
+  SELECT c.item_id, c.raw_sec, c.csec, c.quote,
+         max(CASE WHEN r.dtext IS NOT NULL
+                       AND position(c.quote IN r.dtext) > 0
+                  THEN 1 ELSE 0 END) AS _sub
+  FROM c LEFT JOIN rdocs r
+    ON c.item_id = r.item_id AND c.csec = r.dsec
+  GROUP BY c.item_id, c.raw_sec, c.csec, c.quote
+), qc AS (
+  SELECT item_id, csec,
+         CASE WHEN csec IS NULL THEN 1 ELSE 0 END AS q_invalid,
+         CASE WHEN csec IS NOT NULL AND trim(quote) = '' THEN 1 ELSE 0 END AS q_missing,
+         CASE WHEN csec IS NOT NULL AND trim(quote) <> ''
+                   AND coalesce(_sub, 0) = 0 THEN 1 ELSE 0 END AS q_notsub
+  FROM per_cit
+), cit_item AS (
+  SELECT item_id,
+         list_sort(list_distinct(list(csec) FILTER (WHERE csec IS NOT NULL))) AS pred,
+         sum(q_invalid + q_missing + q_notsub) AS n_qcond
+  FROM qc GROUP BY item_id
+), per_item AS (
+  SELECT i.*, coalesce(ci.pred, []) AS pred,
+         coalesce(ci.n_qcond, 0) AS nq
+  FROM items i LEFT JOIN cit_item ci ON i.item_id = ci.item_id
+), flags AS (
+  SELECT dataset_id,
+    CASE WHEN expected_label = 'unanswerable' THEN 1 ELSE 0 END AS u_tot,
+    CASE WHEN expected_label = 'unanswerable'
+              AND predicted_label = 'unanswerable' THEN 1 ELSE 0 END AS u_ok,
+    CASE WHEN NOT (
+      (NOT schema_valid)
+      OR (expected_label <> 'unanswerable' AND len(pred) = 0)
+      OR (len(list_filter(pred, x -> NOT list_contains(retrieved_sections, x))) > 0)
+      OR (nq > 0)
+      OR (multi_required AND len(expected_citations) < 2)
+      OR (multi_required AND list_sort(list_distinct(expected_citations)) <> pred)
+    ) THEN 1 ELSE 0 END AS g_pass,
+    len(list_filter(pred, x -> list_contains(expected_citations, x))) AS tp,
+    len(pred) AS np,
+    len(list_filter(pred, x -> x IN ({reserved})
+                    OR NOT list_contains(expected_citations, x))) AS kb
+  FROM per_item
+), g AS (
+  SELECT coalesce(dataset_id, 'ALL') AS dataset_id,
+         count(*) AS num_items,
+         sum(u_tot) AS unanswerable_total,
+         sum(u_ok) AS unanswerable_correct,
+         sum(g_pass) AS grounding_pass,
+         sum(tp) AS citation_tp,
+         sum(np) AS citation_pred,
+         sum(kb) AS known_bad_citations_count
+  FROM flags GROUP BY ROLLUP(dataset_id)
+), rates AS (
+  SELECT *,
+    CAST(round(CASE WHEN unanswerable_total > 0
+                    THEN unanswerable_correct * 1.0 / unanswerable_total
+                    ELSE 1.0 END, 6) AS DOUBLE) AS unanswerable_accuracy,
+    CAST(round(CASE WHEN num_items > 0
+                    THEN grounding_pass * 1.0 / num_items
+                    ELSE 0.0 END, 6) AS DOUBLE) AS grounding_contract_pass_rate,
+    CAST(round(CASE WHEN citation_pred > 0
+                    THEN citation_tp * 1.0 / citation_pred
+                    ELSE 1.0 END, 6) AS DOUBLE) AS citation_precision
+  FROM g
+)
+SELECT dataset_id, num_items, unanswerable_total, unanswerable_correct,
+       grounding_pass, citation_tp, citation_pred, known_bad_citations_count,
+       unanswerable_accuracy, grounding_contract_pass_rate, citation_precision,
+       (unanswerable_accuracy >= {th["unanswerable_accuracy_min"]}) AS pass_unanswerable,
+       (grounding_contract_pass_rate >= {th["grounding_contract_pass_rate_min"]}) AS pass_grounding_contract,
+       (citation_precision = {th["citation_precision_eq"]}) AS pass_citation_precision,
+       (known_bad_citations_count = {th["known_bad_citations_count_eq"]}) AS pass_known_bad,
+       (unanswerable_accuracy >= {th["unanswerable_accuracy_min"]}
+        AND grounding_contract_pass_rate >= {th["grounding_contract_pass_rate_min"]}
+        AND citation_precision = {th["citation_precision_eq"]}
+        AND known_bad_citations_count = {th["known_bad_citations_count_eq"]}) AS gate_ok
+FROM rates
+ORDER BY dataset_id
+"""
+
+
+EVAL_QUERIES["phase2_contract_gate"] = q_phase2_contract_gate
+EVAL_ORACLES["phase2_contract_gate"] = _phase2_contract_sql()
