@@ -435,3 +435,117 @@ def hyperplane_lsh_buckets(
     return embeddings.select(
         "vec_id", F.concat(*bits).alias("bucket"), "embedding"
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end fuzzy-dedup pipeline: LSH candidates → exact-Jaccard
+    verification on candidates only → connected components → canonical
+    representative per cluster.
+
+    The 100 TB shape: the quadratic verify runs ONLY on LSH candidate
+    pairs (near-dups by construction), components come from min-label
+    propagation (O(diameter) key shuffles), and the representative is a
+    struct-min argmax (longest text, tie → smallest doc_id) — the keep
+    policy large dedup pipelines use.  Output: one row per clustered doc
+    (doc_id, component, is_rep, cluster_size).
+    """
+    from earcrawler_spark.operators.reconcile import connected_components
+
+    cands = lsh_candidate_pairs(docs, n=n, bands=bands, rows=rows)
+    sh = shingle_docs(docs, n)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    verified = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter((union > 0) & (inter / union >= threshold))
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(verified, src="doc_a", dst="doc_b")
+    stats = docs.select(F.col("doc_id").alias("id"), "n_chars")
+    labeled = cc.join(stats, "id")
+    rep = (
+        labeled.select(
+            "component",
+            F.struct(
+                (-F.col("n_chars")).alias("neg"), F.col("id").alias("rep_id")
+            ).alias("r"),
+        )
+        .groupBy("component")
+        .agg(F.min("r").alias("r"), F.count(F.lit(1)).alias("cluster_size"))
+        .select("component", F.col("r.rep_id").alias("rep_id"), "cluster_size")
+    )
+    return (
+        labeled.join(rep, "component")
+        .select(
+            "component",
+            F.col("id").alias("doc_id"),
+            (F.col("id") == F.col("rep_id")).alias("is_rep"),
+            "cluster_size",
+        )
+        .orderBy("component", "doc_id")
+    )
+
+
+def dedup_clusters_sql(
+    n: int = 3, bands: int = 8, rows: int = 2, threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """The identical pipeline as DuckDB SQL (LSH → verify → recursive-CTE
+    components → rep)."""
+    lsh = minhash_sql(n=n, bands=bands, rows=rows, table=table).replace(
+        "ORDER BY doc_a, doc_b", ""
+    )
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+WITH cands AS ({lsh}),
+toks2 AS (
+  SELECT doc_id, {toks} AS tk FROM {table}
+), shset AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tk)-{n - 1}, 0)+1),
+             i -> array_to_string(list_slice(tk, i, i+{n - 1}), ' '))) AS s
+  FROM toks2 WHERE len(tk) >= {n}
+), verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c JOIN shset a ON c.doc_a = a.doc_id
+               JOIN shset b ON c.doc_b = b.doc_id
+  WHERE (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
+    AND len(list_intersect(a.s, b.s)) * 1.0
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+), cc AS (
+  SELECT id, least(id, min(b)) AS component
+  FROM (SELECT a AS id, b FROM reach) GROUP BY id
+), labeled AS (
+  SELECT cc.component, cc.id, d.n_chars
+  FROM cc JOIN {table} d ON cc.id = d.doc_id
+), rep AS (
+  SELECT component, rep_id, cluster_size FROM (
+    SELECT component, id AS rep_id,
+           count(*) OVER (PARTITION BY component) AS cluster_size,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, id) AS rn
+    FROM labeled) WHERE rn = 1
+)
+SELECT l.component, l.id AS doc_id, (l.id = r.rep_id) AS is_rep,
+       r.cluster_size
+FROM labeled l JOIN rep r ON l.component = r.component
+ORDER BY l.component, doc_id
+"""

@@ -708,6 +708,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), n=3, bands=8, rows=2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: LSH candidates → exact-Jaccard verify on
+    candidates only → connected components → longest-doc representative
+    (the keep policy of large training-data dedup pipelines)."""
+    from earcrawler_spark.operators.similarity import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6 BM25 top-20 for a fixed query (k1=1.5, b=0.75) with the
     reference's deterministic bucket+tie-break ranking."""
@@ -1092,6 +1101,10 @@ def _late_oracles() -> None:
     ORACLES["bm25_topk"] = bm25_sql(BM25_QUERY, k=20)
     ORACLES["rrf_fusion"] = _SQL_RRF.format(bm25=bm25_sql(BM25_QUERY, k=50))
     ORACLES["minhash_lsh_pairs"] = minhash_sql(n=3, bands=8, rows=2)
+    from earcrawler_spark.operators.similarity import dedup_clusters_sql
+
+    QUERIES["dedup_clusters"] = q_dedup_clusters
+    ORACLES["dedup_clusters"] = dedup_clusters_sql()
     QUERIES.update(CORPUS_QUERIES)
     ORACLES.update(CORPUS_ORACLES)
     QUERIES.update(WINDOW_QUERIES)
