@@ -457,8 +457,17 @@ def dedup_clusters(
     """
     from earcrawler_spark.operators.reconcile import connected_components
 
-    cands = lsh_candidate_pairs(docs, n=n, bands=bands, rows=rows)
-    sh = shingle_docs(docs, n)
+    # The candidate set is near-dup-bounded (tiny relative to the corpus)
+    # and feeds three consumers — materialize it once so the LSH pipeline
+    # runs once, and shingle ONLY candidate docs for the verify (the
+    # whole-corpus shingling already happened inside the LSH hash pass;
+    # re-running it corpus-wide for the verify doubled the query cost).
+    cands = lsh_candidate_pairs(docs, n=n, bands=bands, rows=rows).cache()
+    cands.count()
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh = shingle_docs(docs.join(cand_ids, "doc_id", "left_semi"), n)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
