@@ -44,6 +44,31 @@ def shingle_docs(docs: DataFrame, n: int = 3) -> DataFrame:
     ).filter(F.size("shingles") > 0)
 
 
+def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, s) rows of distinct n-gram shingles — the LSH-path form.
+
+    posexplode tokens + window lead + concat stays fully JVM-native;
+    the array-building word_shingles HOF evaluates INTERPRETED per doc
+    and measured ~2x slower at sf0.1 before even paying the explode the
+    LSH needs anyway.  The per-doc window is key-partitioned (no global
+    sort)."""
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t", k).over(w) for k in range(1, n)]
+    return (
+        tk.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .dropDuplicates(["doc_id", "s"])
+        .select("doc_id", "s")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold.
 
@@ -70,8 +95,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
 def minhash_signature(shingles: Column, n_hashes: int) -> Column:
     """array<string> of n_hashes minhash values.
 
-    h_i(doc) = min over shingles s of sha256(i ‖ '|' ‖ s); the min is
-    lexicographic over hex strings — identical in any engine with sha256.
+    Four independent 64-bit lanes come out of each sha256: h_i(doc) =
+    min over shingles s of hex-chars [16*(i%4), 16*(i%4)+16) of
+    sha256((i//4) ‖ '|' ‖ s) — 4× less hashing than one digest per
+    permutation, still engine-independent (lexicographic min over hex).
     Pure Column expressions → codegen'd, no UDF.
     """
     return F.transform(
@@ -79,7 +106,15 @@ def minhash_signature(shingles: Column, n_hashes: int) -> Column:
         lambda i: F.array_min(
             F.transform(
                 shingles,
-                lambda s: F.sha2(F.concat(i.cast("string"), F.lit("|"), s), 256),
+                lambda s: F.substring(
+                    F.sha2(
+                        F.concat((i / 4).cast("int").cast("string"),
+                                 F.lit("|"), s),
+                        256,
+                    ),
+                    (i % 4).cast("int") * 16 + 1,
+                    16,
+                ),
             )
         ),
     )
@@ -106,13 +141,23 @@ def lsh_candidate_pairs(
     # (bands*rows sha256 per row); a small parquet source arrives as ONE
     # input split, which would serialize it — spread docs first.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    exploded = shingle_docs(docs.repartition(par, "doc_id"), n).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
-    hashed = exploded.select(
+    exploded = shingle_rows(docs.repartition(par, "doc_id"), n)
+    # 4 minhash lanes per digest: h_{4g+j} = hex[16j:16j+16) of
+    # sha256(g|s).  Lanes of one SHA are independent uniform functions,
+    # so LSH quality is unchanged while the dominant hashing cost drops
+    # 4x (16 permutations -> 4 digests per (doc, shingle) row).
+    groups = (nh + 3) // 4
+    digests = exploded.select(
         "doc_id",
         *[
-            F.sha2(F.concat(F.lit(f"{i}|"), F.col("s")), 256).alias(f"h{i}")
+            F.sha2(F.concat(F.lit(f"{g}|"), F.col("s")), 256).alias(f"g{g}")
+            for g in range(groups)
+        ],
+    )
+    hashed = digests.select(
+        "doc_id",
+        *[
+            F.substring(F.col(f"g{i // 4}"), (i % 4) * 16 + 1, 16).alias(f"h{i}")
             for i in range(nh)
         ],
     )
@@ -169,7 +214,8 @@ WITH toks AS (
   SELECT doc_id,
          list_transform(range(0, {bands * rows}),
              i -> list_aggregate(list_transform(shingles,
-                      s -> sha256(i::VARCHAR || '|' || s)), 'min')) AS sig
+                      s -> substr(sha256((i // 4)::VARCHAR || '|' || s),
+                                  CAST((i % 4) * 16 + 1 AS INT), 16)), 'min')) AS sig
   FROM sh WHERE len(shingles) > 0
 ), banded AS (
   SELECT doc_id, b AS band_idx,
