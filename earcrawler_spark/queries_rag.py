@@ -1343,3 +1343,107 @@ ORDER BY section_id
 
 RAG_QUERIES["kg_expansion_index"] = q_kg_expansion_index
 RAG_ORACLES["kg_expansion_index"] = _kg_expansion_sql()
+
+
+# --- citation score aggregation ----------------------------------------------
+
+def q_citation_scores_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_citation_scores (scripts/eval/eval_rag_metrics.py:26-87)
+    over the citation_metrics per-item scores, per dataset + ALL: micro
+    precision/recall/F1 from summed tp/fp/fn (tp+fp=0 → precision 1.0
+    iff no ground truth; gt=0 → recall 1.0; F1 falls back to 1.0 only
+    when all three totals are zero) and macro = mean of per-item scores
+    with the all-items-empty F1 fallback."""
+    per = q_citation_metrics(spark, sf_dir).select(
+        "item_id", "tp", "fp", "fn"
+    )
+    tp_i, fp_i, fn_i = F.col("tp"), F.col("fp"), F.col("fn")
+    gt_i = tp_i + fn_i
+    p_i = F.when(
+        tp_i + fp_i == 0, F.when(gt_i == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    ).otherwise(tp_i / (tp_i + fp_i))
+    r_i = F.when(gt_i == 0, F.lit(1.0)).otherwise(tp_i / gt_i)
+    d = per.select(
+        F.concat(F.lit("ds"), (F.col("item_id") % 3).cast("string")).alias(
+            "dataset_id"
+        ),
+        "tp", "fp", "fn",
+        p_i.alias("_p"), r_i.alias("_r"),
+        ((tp_i + fp_i + fn_i) > 0).cast("int").alias("_nz"),
+    )
+    g = d.rollup("dataset_id").agg(
+        F.count(F.lit(1)).alias("items_scored"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.avg("_p").alias("_mp"),
+        F.avg("_r").alias("_mr"),
+        F.max("_nz").alias("_any_nz"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    total_gt = tp + fn
+    mip = F.when(
+        tp + fp == 0, F.when(total_gt == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    ).otherwise(tp / (tp + fp))
+    mir = F.when(total_gt == 0, F.lit(1.0)).otherwise(tp / total_gt)
+    mif1 = F.when(mip + mir > 0, 2 * mip * mir / (mip + mir)).otherwise(
+        F.when((tp == 0) & (fp == 0) & (fn == 0), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    map_, mar = F.col("_mp"), F.col("_mr")
+    maf1 = F.when(map_ + mar > 0, 2 * map_ * mar / (map_ + mar)).otherwise(
+        F.when(F.col("_any_nz") == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return g.select(
+        F.coalesce("dataset_id", F.lit("ALL")).alias("dataset_id"),
+        "items_scored", "tp", "fp", "fn",
+        F.round(mip, 6).alias("micro_precision"),
+        F.round(mir, 6).alias("micro_recall"),
+        F.round(mif1, 6).alias("micro_f1"),
+        F.round(map_, 6).alias("macro_precision"),
+        F.round(mar, 6).alias("macro_recall"),
+        F.round(maf1, 6).alias("macro_f1"),
+    ).orderBy("dataset_id")
+
+
+_SQL_CITATION_AGG = f"""
+WITH base AS ({_SQL_CITATION_METRICS.replace("ORDER BY item_id", "")}),
+d AS (
+  SELECT 'ds' || CAST(item_id % 3 AS VARCHAR) AS dataset_id, tp, fp, fn,
+         CASE WHEN tp + fp = 0
+              THEN CASE WHEN tp + fn = 0 THEN 1.0 ELSE 0.0 END
+              ELSE tp * 1.0 / (tp + fp) END AS p,
+         CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp * 1.0 / (tp + fn) END AS r,
+         CASE WHEN tp + fp + fn > 0 THEN 1 ELSE 0 END AS nz
+  FROM base
+), g AS (
+  SELECT coalesce(dataset_id, 'ALL') AS dataset_id,
+         count(*) AS items_scored,
+         sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
+         avg(p) AS mp, avg(r) AS mr, max(nz) AS any_nz
+  FROM d GROUP BY ROLLUP(dataset_id)
+), m AS (
+  SELECT *,
+    CASE WHEN tp + fp = 0
+         THEN CASE WHEN tp + fn = 0 THEN 1.0 ELSE 0.0 END
+         ELSE tp * 1.0 / (tp + fp) END AS mip,
+    CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp * 1.0 / (tp + fn) END AS mir
+  FROM g
+)
+SELECT dataset_id, items_scored, tp, fp, fn,
+       CAST(round(mip, 6) AS DOUBLE) AS micro_precision,
+       CAST(round(mir, 6) AS DOUBLE) AS micro_recall,
+       CAST(round(CASE WHEN mip + mir > 0 THEN 2 * mip * mir / (mip + mir)
+                       WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+                       ELSE 0.0 END, 6) AS DOUBLE) AS micro_f1,
+       CAST(round(mp, 6) AS DOUBLE) AS macro_precision,
+       CAST(round(mr, 6) AS DOUBLE) AS macro_recall,
+       CAST(round(CASE WHEN mp + mr > 0 THEN 2 * mp * mr / (mp + mr)
+                       WHEN any_nz = 0 THEN 1.0 ELSE 0.0 END, 6) AS DOUBLE) AS macro_f1
+FROM m
+ORDER BY dataset_id
+"""
+
+RAG_QUERIES["citation_scores_agg"] = q_citation_scores_agg
+RAG_ORACLES["citation_scores_agg"] = _SQL_CITATION_AGG
