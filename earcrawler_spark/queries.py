@@ -1105,6 +1105,8 @@ def _late_oracles() -> None:
 
     QUERIES["dedup_clusters"] = q_dedup_clusters
     ORACLES["dedup_clusters"] = dedup_clusters_sql()
+    QUERIES["retrieval_compare"] = q_retrieval_compare
+    ORACLES["retrieval_compare"] = _retrieval_compare_sql()
     QUERIES.update(CORPUS_QUERIES)
     ORACLES.update(CORPUS_ORACLES)
     QUERIES.update(WINDOW_QUERIES)
@@ -1183,6 +1185,153 @@ def _reorder_for_gate() -> None:
     snap = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({k: snap[k] for k in order})
+
+
+# --- retrieval mode comparison (dense vs hybrid) -----------------------------
+
+def q_retrieval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_retrieval_compare_summary's data core
+    (scripts/eval/eval_rag_metrics.py:176-252): the same retrieval task
+    run under two conditions — dense (cosine top-20 for query vector 0)
+    vs hybrid (RRF of BM25 + dense top-50s, fused top-20) — scored
+    against a deterministic relevance set (documents containing every
+    BM25 query term), emitted as the reference's per-metric comparison
+    table (metric, dense, hybrid, delta).  Metrics: recall@20,
+    precision@20, MRR (first relevant hit; 0 when none)."""
+    from earcrawler_spark.operators.ranking import bm25_scores, rrf_fuse
+    from earcrawler_spark.operators.similarity import cosine_topk
+
+    K = 20
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    )
+    gt_cond = None
+    for t in BM25_QUERY:
+        c = F.array_contains(toks, t)
+        gt_cond = c if gt_cond is None else (gt_cond & c)
+    gt = docs.select("doc_id", toks.alias("tk")).filter(gt_cond).select("doc_id")
+
+    dense50 = cosine_topk(emb, [0], k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    bm50 = bm25_scores(docs, BM25_QUERY, k=50).select("doc_id", "rank")
+    dense20 = dense50.filter(F.col("rank") <= K)
+    hybrid20 = rrf_fuse(bm50, dense50, k=K).select(
+        "doc_id", F.col("fused_rank").alias("rank")
+    )
+
+    n_gt = gt.agg(F.count(F.lit(1)).alias("n_gt"))
+
+    def metrics(ranked, prefix):
+        hits = ranked.join(gt, "doc_id", "left_semi")
+        return hits.agg(
+            F.count(F.lit(1)).alias(f"{prefix}_hits"),
+            F.min("rank").alias(f"{prefix}_first"),
+        )
+
+    combined = (
+        metrics(dense20, "d")
+        .crossJoin(metrics(hybrid20, "h"))
+        .crossJoin(F.broadcast(n_gt))
+    )
+
+    def row(name, d_expr, h_expr):
+        return combined.select(
+            F.lit(name).alias("metric"),
+            F.round(d_expr, 6).alias("dense"),
+            F.round(h_expr, 6).alias("hybrid"),
+            F.round(h_expr - d_expr, 6).alias("delta"),
+        )
+
+    def recall(p):
+        return F.when(
+            F.col("n_gt") > 0, F.col(f"{p}_hits") / F.col("n_gt")
+        ).otherwise(F.lit(0.0))
+
+    def precision(p):
+        return F.col(f"{p}_hits") / F.lit(K)
+
+    def mrr(p):
+        return F.coalesce(1.0 / F.col(f"{p}_first"), F.lit(0.0))
+
+    return (
+        row("mrr", mrr("d"), mrr("h"))
+        .unionByName(row("precision_at_20", precision("d"), precision("h")))
+        .unionByName(row("recall_at_20", recall("d"), recall("h")))
+        .orderBy("metric")
+    )
+
+
+def _retrieval_compare_sql() -> str:
+    from earcrawler_spark.operators.ranking import bm25_sql
+
+    terms_all = " AND ".join(
+        f"list_contains(tk, '{t}')" for t in BM25_QUERY
+    )
+    return f"""
+WITH gt AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tk FROM documents
+  ) WHERE {terms_all}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), dense50 AS (
+  SELECT neighbor_id AS doc_id, rank FROM (
+    SELECT e.vec_id AS neighbor_id,
+           row_number() OVER (ORDER BY
+             round(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), 'sum')
+                   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+                    * sqrt(list_aggregate(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), 'sum'))), 6) DESC,
+             e.vec_id) AS rank
+    FROM e, q WHERE e.vec_id <> 0
+  ) WHERE rank <= 50
+), bm50 AS (
+  SELECT doc_id, rank FROM ({bm25_sql(BM25_QUERY, k=50)}) x
+), hybrid20 AS (
+  SELECT doc_id, fused_rank AS rank FROM (
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           row_number() OVER (ORDER BY
+             round(coalesce(1.0/(60 + a.rank), 0) + coalesce(1.0/(60 + b.rank), 0), 6) DESC,
+             coalesce(a.doc_id, b.doc_id)) AS fused_rank
+    FROM bm50 a FULL OUTER JOIN dense50 b ON a.doc_id = b.doc_id
+  ) WHERE fused_rank <= 20
+), dense20 AS (
+  SELECT doc_id, rank FROM dense50 WHERE rank <= 20
+), dm AS (
+  SELECT count(*) AS d_hits, min(rank) AS d_first
+  FROM dense20 WHERE doc_id IN (SELECT doc_id FROM gt)
+), hm AS (
+  SELECT count(*) AS h_hits, min(rank) AS h_first
+  FROM hybrid20 WHERE doc_id IN (SELECT doc_id FROM gt)
+), n AS (
+  SELECT count(*) AS n_gt FROM gt
+), c AS (
+  SELECT * FROM dm, hm, n
+), rows_out AS (
+  SELECT 'mrr' AS metric,
+         CAST(round(coalesce(1.0/d_first, 0.0), 6) AS DOUBLE) AS dense,
+         CAST(round(coalesce(1.0/h_first, 0.0), 6) AS DOUBLE) AS hybrid,
+         CAST(round(coalesce(1.0/h_first, 0.0) - coalesce(1.0/d_first, 0.0), 6) AS DOUBLE) AS delta
+  FROM c
+  UNION ALL
+  SELECT 'precision_at_20',
+         CAST(round(d_hits / 20.0, 6) AS DOUBLE),
+         CAST(round(h_hits / 20.0, 6) AS DOUBLE),
+         CAST(round(h_hits / 20.0 - d_hits / 20.0, 6) AS DOUBLE)
+  FROM c
+  UNION ALL
+  SELECT 'recall_at_20',
+         CAST(round(CASE WHEN n_gt > 0 THEN d_hits * 1.0 / n_gt ELSE 0.0 END, 6) AS DOUBLE),
+         CAST(round(CASE WHEN n_gt > 0 THEN h_hits * 1.0 / n_gt ELSE 0.0 END, 6) AS DOUBLE),
+         CAST(round(CASE WHEN n_gt > 0 THEN (h_hits - d_hits) * 1.0 / n_gt ELSE 0.0 END, 6) AS DOUBLE)
+  FROM c
+)
+SELECT * FROM rows_out ORDER BY metric
+"""
 
 
 _late_oracles()
