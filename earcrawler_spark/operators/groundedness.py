@@ -115,12 +115,16 @@ def score_citations(citations: DataFrame, context: DataFrame) -> DataFrame:
         F.col("section_id").alias("_csec"), _normws(F.col("ctx_text")).alias("_ctx")
     )
     joined = c.join(ctx, c["section_id"] == ctx["_csec"], "left")
+    has_q = F.col("_q") != ""
+    has_sec = F.col("section_id").isNotNull()
     return (
         joined.groupBy("item_id", "cit_idx")
         .agg(
+            F.first("_raw").alias("_raw"),
             F.first("section_id").alias("section_id"),
             F.first("valid").alias("valid"),
             F.first("_q").alias("_q"),
+            F.max(F.col("_ctx").isNotNull().cast("int")).alias("_has_ctx"),
             F.max(
                 (
                     (F.col("_qn") != "")
@@ -134,10 +138,24 @@ def score_citations(citations: DataFrame, context: DataFrame) -> DataFrame:
             "cit_idx",
             "section_id",
             "valid",
-            (F.col("section_id").isNotNull() & (F.coalesce("_in", F.lit(0)) == 1)).alias(
+            (has_sec & (F.coalesce("_in", F.lit(0)) == 1)).alias(
                 "quote_in_section"
             ),
             content_tokens(F.col("_q")).alias("quote_tokens"),
+            # per-citation reason flags (groundedness_gates.py:260-283)
+            (
+                (F.col("_raw") == "")
+                | ~has_sec
+                | (F.col("_raw") != F.col("section_id"))
+            ).alias("r_invalid_section_id"),
+            (~has_q).alias("r_quote_missing"),
+            (
+                has_sec & has_q & (F.col("_has_ctx") == 1)
+                & (F.coalesce("_in", F.lit(0)) == 0)
+            ).alias("r_quote_not_in_section_context"),
+            (has_sec & has_q & (F.col("_has_ctx") == 0)).alias(
+                "r_section_context_missing"
+            ),
         )
     )
 
@@ -175,10 +193,12 @@ def score_claims(decisive_claims: DataFrame, scored_citations: DataFrame) -> Dat
     overlap_n = F.size(F.array_intersect(F.col("_ctok"), F.col("_qtok")))
     linked = F.coalesce(explicit | (overlap_n > 0), F.lit(False))
     sup_cit = linked & F.coalesce(F.col("_v") & F.col("_qin"), F.lit(False))
+    linked_unsup = linked & ~F.coalesce(F.col("_v") & F.col("_qin"), F.lit(False))
     agg = link.groupBy("item_id", "claim_idx").agg(
         F.first("_ctok").alias("_ctok"),
         F.max(sup_cit.cast("int")).alias("_any_sup"),
         F.max((sup_cit & explicit).cast("int")).alias("_explicit_hit"),
+        F.max(linked_unsup.cast("int")).alias("_any_unsup"),
         F.array_distinct(
             F.flatten(
                 F.collect_list(F.when(sup_cit, F.col("_qtok")))
@@ -193,7 +213,28 @@ def score_claims(decisive_claims: DataFrame, scored_citations: DataFrame) -> Dat
         (F.coalesce("_explicit_hit", F.lit(0)) == 1)
         | ((n_tok > 0) & ((ov >= min_overlap) | (coverage >= 0.5)))
     )
-    return agg.select("item_id", "claim_idx", supported.alias("supported"))
+    # the reference's per-claim reason (groundedness_gates.py:328-356):
+    # first applicable of the explicit/quote/unsupported/no-link ladder
+    reason = (
+        F.when(
+            F.coalesce("_any_sup", F.lit(0)) == 1,
+            F.when(
+                F.coalesce("_explicit_hit", F.lit(0)) == 1,
+                F.lit("supported_by_explicit_section_reference"),
+            )
+            .when(supported, F.lit("supported_by_section_quote"))
+            .otherwise(F.lit("claim_not_supported_by_quote")),
+        )
+        .when(
+            F.coalesce("_any_unsup", F.lit(0)) == 1,
+            F.lit("claim_linked_citation_not_supported"),
+        )
+        .otherwise(F.lit("claim_without_linked_citation"))
+    )
+    return agg.select(
+        "item_id", "claim_idx", supported.alias("supported"),
+        reason.alias("reason"),
+    )
 
 
 def groundedness_gate(

@@ -741,6 +741,12 @@ EVAL_ORACLES["fr_coverage"] = _fr_coverage_sql()
 
 # --- groundedness support gate ------------------------------------------------
 
+def _groundedness_fixture(spark: SparkSession, sf_dir: str):
+    """The shared groundedness fixture: (items, citations, context,
+    decisive_claims) — see q_groundedness_gate for branch coverage."""
+    return _groundedness_fixture_impl(spark, sf_dir)
+
+
 def q_groundedness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The phase-2 groundedness gate verdict
     (eval/groundedness_gates.py:106-470 +
@@ -756,6 +762,13 @@ def q_groundedness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalize_groundedness_metrics rates and threshold verdicts."""
     from earcrawler_spark.operators.groundedness import groundedness_gate
 
+    items, citations, context, decisive = _groundedness_fixture(spark, sf_dir)
+    return groundedness_gate(items, citations, context, decisive).orderBy(
+        "dataset_id"
+    )
+
+
+def _groundedness_fixture_impl(spark: SparkSession, sf_dir: str):
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
 
@@ -844,9 +857,7 @@ def q_groundedness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id",
         "left_semi",
     ).select("item_id", "claim_idx", "tokens", "sections")
-    return groundedness_gate(items, citations, context, decisive).orderBy(
-        "dataset_id"
-    )
+    return items, citations, context, decisive
 
 
 def _groundedness_sql() -> str:
@@ -1398,3 +1409,267 @@ ORDER BY dataset_id
 
 EVAL_QUERIES["phase2_contract_gate"] = q_phase2_contract_gate
 EVAL_ORACLES["phase2_contract_gate"] = _phase2_contract_sql()
+
+
+# --- groundedness reason diagnostics -----------------------------------------
+
+def q_groundedness_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's reason/error streams as a per-dataset histogram
+    (groundedness_gates.py:260-283 citation validity reasons, :328-356
+    claim-support reason ladder, :415 overclaim_present).  One row per
+    (dataset_id, reason) with occurrence counts — citation reasons count
+    per citation, claim reasons per claim, overclaim_present per item —
+    plus the ALL rollup."""
+    from earcrawler_spark.operators.groundedness import (
+        score_citations,
+        score_claims,
+    )
+
+    items, citations, context, decisive = _groundedness_fixture(spark, sf_dir)
+    ds = items.select("item_id", "dataset_id")
+    sc = score_citations(citations, context)
+
+    def cit_rows(flag, name):
+        return (
+            sc.filter(F.col(flag))
+            .join(F.broadcast(ds), "item_id")
+            .select("dataset_id", F.lit(name).alias("reason"))
+        )
+
+    claims = score_claims(decisive, sc).join(F.broadcast(ds), "item_id")
+    claim_rows = claims.select("dataset_id", F.col("reason"))
+    overclaim_rows = (
+        claims.filter(~F.col("supported"))
+        .select("item_id", "dataset_id")
+        .distinct()
+        .select("dataset_id", F.lit("overclaim_present").alias("reason"))
+    )
+    rows = (
+        cit_rows("r_invalid_section_id", "invalid_section_id")
+        .unionByName(cit_rows("r_quote_missing", "quote_missing"))
+        .unionByName(
+            cit_rows("r_quote_not_in_section_context",
+                     "quote_not_in_section_context")
+        )
+        .unionByName(
+            cit_rows("r_section_context_missing", "section_context_missing")
+        )
+        .unionByName(claim_rows)
+        .unionByName(overclaim_rows)
+    )
+    base = rows.groupBy("dataset_id", "reason").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    allr = base.groupBy("reason").agg(F.sum("n").alias("n")).select(
+        F.lit("ALL").alias("dataset_id"), "reason", "n"
+    )
+    return base.unionByName(allr).orderBy("dataset_id", "reason")
+
+
+def _groundedness_reasons_sql() -> str:
+    from earcrawler_spark.operators.citation import normalize_section_full_sql
+
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stem = (
+        "CASE WHEN len(x) > 5 AND x LIKE '%ing' THEN substr(x, 1, len(x)-3) "
+        "WHEN len(x) > 4 AND x LIKE '%ies' THEN substr(x, 1, len(x)-3) || 'y' "
+        "WHEN len(x) > 4 AND x LIKE '%ed' THEN substr(x, 1, len(x)-2) "
+        "WHEN len(x) > 4 AND x LIKE '%es' THEN substr(x, 1, len(x)-2) "
+        "WHEN len(x) > 4 AND x LIKE '%s' AND x NOT LIKE '%ss' THEN substr(x, 1, len(x)-1) "
+        "ELSE x END"
+    )
+
+    def tok(expr: str) -> str:
+        return (
+            "list_sort(list_distinct(list_filter(list_transform("
+            "list_filter(regexp_extract_all("
+            f"regexp_replace(lower({expr}), "
+            "'(?i)\\bEAR-\\d[\\w().-]*|\\b\\d{3}\\.\\d+(?:\\([^)]+\\))*', ' ', 'g'), "
+            "'[a-z0-9]+'), "
+            f"w -> len(w) > 1 AND w NOT IN ({stop_list})), "
+            f"x -> {stem}), tk -> tk <> '')))"
+        )
+
+    sec_norm = (
+        "CASE WHEN upper(m) LIKE 'EAR-%' THEN split_part(m, '#', 1) "
+        "ELSE 'EAR-' || split_part(m, '#', 1) END"
+    )
+    norm_full = normalize_section_full_sql("raw")
+    sec_d = sec.format(x="doc_id")
+    sec_d13 = sec.format(x="doc_id + 13")
+    body = ("CAST(doc_id % 37 + 700 AS VARCHAR) || '.' "
+            "|| CAST(doc_id % 7 + 1 AS VARCHAR)")
+    return f"""
+WITH items AS (
+  SELECT doc_id AS item_id,
+         'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'unanswerable' ELSE 'answerable' END AS label
+  FROM documents
+), context AS (
+  SELECT section_id,
+         'Exports of encryption software require licensing review and compliance checks under '
+           || section_id || ' with annual audits' AS ctx_text
+  FROM (SELECT DISTINCT {sec_d} AS section_id FROM documents)
+), citations AS (
+  SELECT doc_id AS item_id, 0 AS cit_idx, {sec_d} AS raw_section_id,
+         'licensing review and compliance checks' AS quote
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id, 1, '§ ' || {body}, 'compliance checks'
+  FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 2, {sec_d13}, 'quantum tunneling manifold'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 3, 'EAR-999.99', 'licensing review'
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id, 4, {sec_d}, ''
+  FROM documents WHERE doc_id % 9 = 0
+), cit_norm AS (
+  SELECT item_id, cit_idx,
+         trim(coalesce(raw_section_id, '')) AS raw,
+         trim(coalesce(quote, '')) AS q,
+         trim(regexp_replace(coalesce(quote, ''), '\\s+', ' ', 'g')) AS qn
+  FROM citations
+), cit_v AS (
+  SELECT *, ({norm_full}) AS section_id,
+         (raw <> '' AND ({norm_full}) IS NOT NULL AND raw = ({norm_full})
+          AND q <> '') AS valid
+  FROM cit_norm
+), ctxn AS (
+  SELECT section_id AS csec,
+         trim(regexp_replace(ctx_text, '\\s+', ' ', 'g')) AS ctx
+  FROM context
+), scored0 AS (
+  SELECT c.item_id, c.cit_idx, any_value(c.raw) AS raw,
+         any_value(c.section_id) AS section_id,
+         any_value(c.valid) AS valid, any_value(c.q) AS q,
+         max(CASE WHEN x.ctx IS NOT NULL THEN 1 ELSE 0 END) AS has_ctx,
+         max(CASE WHEN c.qn <> '' AND x.ctx IS NOT NULL
+                       AND position(c.qn IN x.ctx) > 0
+                  THEN 1 ELSE 0 END) AS _in
+  FROM cit_v c LEFT JOIN ctxn x ON c.section_id = x.csec
+  GROUP BY c.item_id, c.cit_idx
+), scored_cit AS (
+  SELECT item_id, cit_idx, section_id, valid,
+         (section_id IS NOT NULL AND _in = 1) AS qin,
+         {tok('q')} AS qtok,
+         (raw = '' OR section_id IS NULL OR raw <> section_id) AS r_invalid,
+         (q = '') AS r_qmissing,
+         (section_id IS NOT NULL AND q <> '' AND has_ctx = 1 AND _in = 0) AS r_notin,
+         (section_id IS NOT NULL AND q <> '' AND has_ctx = 0) AS r_ctxmiss
+  FROM scored0
+), answers AS (
+  SELECT doc_id AS item_id,
+    CASE WHEN doc_id % 7 = 0 THEN 'Cannot determine from the provided information.'
+    ELSE 'Exports need licensing review and compliance checks'
+      || CASE WHEN doc_id % 3 = 0 THEN '. Shipments are prohibited under ' || {sec_d} ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN '. Encryption export rules involve compliance obligations everywhere. Quantum tunneling manifold applies' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN '. Paperwork wizardry dominates galactic trade' ELSE '' END
+      || CASE WHEN doc_id % 2 = 0 THEN '. The outcome may depend on surrounding circumstances' ELSE '' END
+      || '.' END AS answer
+  FROM documents
+), norm AS (
+  SELECT item_id,
+         regexp_replace(trim(regexp_replace(answer, '\\s+', ' ', 'g')), 'U\\.S\\.?', 'US', 'g') AS t
+  FROM answers
+), split_parts AS (
+  SELECT item_id, pos, raw FROM (
+    SELECT item_id,
+           generate_subscripts(parts, 1) AS pos, unnest(parts) AS raw
+    FROM (SELECT item_id,
+                 regexp_split_to_array(t, '(?i)\\s*(?:[;!?]+|\\.\\s|\\.$|\\bbut\\b|\\bhowever\\b|\\byet\\b|,\\s*not\\b)\\s*') AS parts
+          FROM norm))
+), cleaned AS (
+  SELECT item_id, pos,
+         trim(regexp_replace(raw, '(?i)^(?:yes|no|true|false)\\b[:,]?\\s*', ''), ' ,:') AS claim
+  FROM split_parts
+), claims0 AS (
+  SELECT item_id, claim,
+         row_number() OVER (PARTITION BY item_id ORDER BY pos) - 1 AS claim_idx
+  FROM cleaned WHERE claim <> ''
+), decisive AS (
+  SELECT c.item_id, c.claim_idx,
+         {tok('c.claim')} AS tokens,
+         list_sort(list_distinct(list_transform(
+           regexp_extract_all(c.claim, '(?i)\\bEAR-\\d[\\w().-]*|\\b\\d{{3}}\\.\\d+(?:\\([^)]+\\))*'),
+           m -> {sec_norm}))) AS sections
+  FROM claims0 c JOIN items i ON c.item_id = i.item_id
+  WHERE NOT regexp_matches(c.claim, '(?i)\\b(may|might|could|can depend|depends|dependent|unclear|uncertain|insufficient (?:info|information|evidence)|not enough (?:info|information|evidence)|cannot determine|unable to determine|cannot answer|unanswerable|need more|need additional|if provided|if more information)\\b')
+    AND i.label <> 'unanswerable'
+), link AS (
+  SELECT c.item_id, c.claim_idx, c.tokens,
+         CASE WHEN s.section_id IS NULL THEN FALSE
+              ELSE list_contains(c.sections, s.section_id) END AS explicit,
+         CASE WHEN s.qtok IS NULL THEN 0
+              ELSE len(list_intersect(c.tokens, s.qtok)) END AS ov,
+         coalesce(s.valid, FALSE) AS valid, coalesce(s.qin, FALSE) AS qin,
+         s.qtok
+  FROM decisive c
+  LEFT JOIN (SELECT * FROM scored_cit WHERE section_id IS NOT NULL) s
+    ON c.item_id = s.item_id
+), clagg AS (
+  SELECT item_id, claim_idx, any_value(tokens) AS tokens,
+         max(CASE WHEN (explicit OR ov > 0) AND valid AND qin THEN 1 ELSE 0 END) AS any_sup,
+         max(CASE WHEN (explicit OR ov > 0) AND valid AND qin AND explicit THEN 1 ELSE 0 END) AS explicit_hit,
+         max(CASE WHEN (explicit OR ov > 0) AND NOT (valid AND qin) THEN 1 ELSE 0 END) AS any_unsup,
+         list_distinct(flatten(coalesce(
+           list(qtok) FILTER (WHERE (explicit OR ov > 0) AND valid AND qin),
+           []))) AS union_tok
+  FROM link GROUP BY item_id, claim_idx
+), claimv AS (
+  SELECT item_id, claim_idx,
+    (any_sup = 1 AND (explicit_hit = 1 OR (len(tokens) > 0 AND (
+      len(list_intersect(tokens, union_tok)) >=
+        CASE WHEN len(tokens) <= 2 THEN 1 ELSE 2 END
+      OR (CAST(len(list_intersect(tokens, union_tok)) AS DOUBLE)
+          / len(tokens)) >= 0.5)))) AS supported,
+    CASE WHEN any_sup = 1 THEN
+           CASE WHEN explicit_hit = 1 THEN 'supported_by_explicit_section_reference'
+                WHEN (len(tokens) > 0 AND (
+                       len(list_intersect(tokens, union_tok)) >=
+                         CASE WHEN len(tokens) <= 2 THEN 1 ELSE 2 END
+                       OR (CAST(len(list_intersect(tokens, union_tok)) AS DOUBLE)
+                           / len(tokens)) >= 0.5))
+                THEN 'supported_by_section_quote'
+                ELSE 'claim_not_supported_by_quote' END
+         WHEN any_unsup = 1 THEN 'claim_linked_citation_not_supported'
+         ELSE 'claim_without_linked_citation' END AS reason
+  FROM clagg
+), rows_all AS (
+  SELECT i.dataset_id, 'invalid_section_id' AS reason
+  FROM scored_cit s JOIN items i ON s.item_id = i.item_id WHERE s.r_invalid
+  UNION ALL
+  SELECT i.dataset_id, 'quote_missing'
+  FROM scored_cit s JOIN items i ON s.item_id = i.item_id WHERE s.r_qmissing
+  UNION ALL
+  SELECT i.dataset_id, 'quote_not_in_section_context'
+  FROM scored_cit s JOIN items i ON s.item_id = i.item_id WHERE s.r_notin
+  UNION ALL
+  SELECT i.dataset_id, 'section_context_missing'
+  FROM scored_cit s JOIN items i ON s.item_id = i.item_id WHERE s.r_ctxmiss
+  UNION ALL
+  SELECT i.dataset_id, c.reason
+  FROM claimv c JOIN items i ON c.item_id = i.item_id
+  UNION ALL
+  SELECT dataset_id, 'overclaim_present' FROM (
+    SELECT DISTINCT c.item_id, i.dataset_id
+    FROM claimv c JOIN items i ON c.item_id = i.item_id
+    WHERE NOT c.supported)
+), base AS (
+  SELECT dataset_id, reason, count(*) AS n
+  FROM rows_all GROUP BY dataset_id, reason
+)
+SELECT * FROM (
+  SELECT dataset_id, reason, n FROM base
+  UNION ALL
+  SELECT 'ALL', reason, sum(n) FROM base GROUP BY reason
+) ORDER BY dataset_id, reason
+"""
+
+
+EVAL_QUERIES["groundedness_reasons"] = q_groundedness_reasons
+EVAL_ORACLES["groundedness_reasons"] = _groundedness_reasons_sql()

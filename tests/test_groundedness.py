@@ -85,24 +85,36 @@ def model_signals(citations, context_index, claims):
         section_id = _normalize_section_id(raw)
         valid = bool(raw and section_id and raw == section_id and q)
         quote_in = False
+        reasons = set()
+        if not raw or not section_id or raw != section_id:
+            reasons.add("invalid_section_id")
+        if not q:
+            reasons.add("quote_missing")
         if section_id and q:
             ctxs = context_index.get(section_id, [])
-            quote_in = any(
-                _normws(q) and _normws(c) and _normws(q) in _normws(c)
-                for c in ctxs
-            )
+            if ctxs:
+                quote_in = any(
+                    _normws(q) and _normws(c) and _normws(q) in _normws(c)
+                    for c in ctxs
+                )
+                if not quote_in:
+                    reasons.add("quote_not_in_section_context")
+            else:
+                reasons.add("section_context_missing")
         details.append(
             {
                 "section_id": section_id,
                 "quote_tokens": _content_tokens(q),
                 "valid": valid,
                 "quote_in": quote_in,
+                "reasons": reasons,
             }
         )
 
     verdicts = []
     for tokens, mentions in claims:
         linked_supported = []
+        linked_unsupported = False
         for c in details:
             if not c["section_id"]:
                 continue
@@ -111,10 +123,13 @@ def model_signals(citations, context_index, claims):
             if explicit or overlap:
                 if c["valid"] and c["quote_in"]:
                     linked_supported.append(c)
+                else:
+                    linked_unsupported = True
         supported = False
         if linked_supported:
             if mentions & {c["section_id"] for c in linked_supported}:
                 supported = True
+                reason = "supported_by_explicit_section_reference"
             else:
                 union = set()
                 for c in linked_supported:
@@ -125,7 +140,16 @@ def model_signals(citations, context_index, claims):
                 supported = bool(tokens) and (
                     len(overlap) >= min_overlap or coverage >= 0.5
                 )
-        verdicts.append(supported)
+                reason = (
+                    "supported_by_section_quote"
+                    if supported
+                    else "claim_not_supported_by_quote"
+                )
+        elif linked_unsupported:
+            reason = "claim_linked_citation_not_supported"
+        else:
+            reason = "claim_without_linked_citation"
+        verdicts.append((supported, reason))
     return details, verdicts
 
 
@@ -201,19 +225,30 @@ def test_gate_matches_reference_model_fuzz(spark):
         "item_id long, claim_idx int, tokens array<string>, sections array<string>",
     )
     sc = score_citations(cit_df, ctx_df)
+    _R = {
+        "r_invalid_section_id": "invalid_section_id",
+        "r_quote_missing": "quote_missing",
+        "r_quote_not_in_section_context": "quote_not_in_section_context",
+        "r_section_context_missing": "section_context_missing",
+    }
     got_cit = {
-        (r["item_id"], r["cit_idx"]): (r["valid"], r["quote_in_section"])
+        (r["item_id"], r["cit_idx"]): (
+            r["valid"],
+            r["quote_in_section"],
+            {name for flag, name in _R.items() if r[flag]},
+        )
         for r in sc.collect()
     }
     got_claims = {
-        (r["item_id"], r["claim_idx"]): r["supported"]
+        (r["item_id"], r["claim_idx"]): (r["supported"], r["reason"])
         for r in score_claims(claims_df, sc).collect()
     }
     for i, (cits, claims) in model_in.items():
         details, verdicts = model_signals(cits, context_index, claims)
         for j, d in enumerate(details):
-            assert got_cit[(i, j)] == (d["valid"], d["quote_in"]), (
-                i, j, cits[j], got_cit[(i, j)], d)
+            assert got_cit[(i, j)] == (
+                d["valid"], d["quote_in"], d["reasons"]
+            ), (i, j, cits[j], got_cit[(i, j)], d)
         for k, want in enumerate(verdicts):
             assert got_claims[(i, k)] == want, (i, k, claims[k], want)
 
