@@ -56,3 +56,141 @@ def test_index_binding_verdicts(spark):
     # model mismatch wins over any later check, mirroring the reference's
     # check order
     assert not rows["idx-wrong-model"]["binding_ok"]
+
+
+def test_exact_corpus_digest_matches_hashlib_model(spark):
+    """exact_corpus_digest vs the reference compute_corpus_digest
+    transcription (sha256 over doc_id\\n text\\n in str(doc_id) order)."""
+    import hashlib
+
+    from earcrawler_spark.operators.index_binding import exact_corpus_digest
+
+    rows = [
+        (7, "alpha text"), (101, "beta"), (2, ""), (33, "gamma  spaced"),
+        (110, "delta\nnewline"), (0, "zero"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = exact_corpus_digest(df).collect()[0]
+
+    h = hashlib.sha256()
+    for did, text in sorted(rows, key=lambda r: str(r[0])):
+        h.update(str(did).encode()); h.update(b"\n")
+        h.update(text.encode()); h.update(b"\n")
+    assert got["digest"] == h.hexdigest()
+    assert got["doc_count"] == len(rows)
+
+
+def test_validate_items_fuzz_vs_model(spark):
+    """validate_items vs a direct transcription of the schema regexes +
+    registration/namespace rules over randomized items."""
+    import random
+    import re
+
+    from earcrawler_spark.functions.iri import ENTITY_NS, RESOURCE_NS
+    from earcrawler_spark.queries_schema import (
+        DATE_PATTERN,
+        DOC_ID_PATTERN,
+        LEGACY_NS_LIST,
+        SECTION_ID_PATTERN,
+        SPAN_ID_PATTERN,
+        validate_items,
+    )
+
+    rng = random.Random(777)
+    sec_pool = ["EAR-736.2", "EAR-744.11(b)", "EAR-9999.1", "EAR-736",
+                "736.2", "part x", ""]
+    doc_pool = ["EAR-736", "EAR-736.2#p0001", "D42", "EAR-744.11(b)", ""]
+    span_pool = ["736.2", "EAR-736.2(b)", "weird span", "736", ""]
+    node_pool = [RESOURCE_NS + "ear/entity/e1", "https://example.org/ear#x",
+                 "https://other.example/x", "plain-node", ""]
+    ent_pool = [ENTITY_NS + "ent1", "https://example.org/entity#old",
+                "https://other.example/y", "plain-ent"]
+    path_pool = ["path-0", "path-9", ""]
+    dates = ["2020-06-15", "Feb 2020", None]
+    outcomes = ["pass", "fail", "maybe", None]
+
+    reg_spans = {("EAR-736", "736.2"), ("EAR-736.2#p0001", "736.2"),
+                 ("EAR-744.11(b)", "736")}
+    reg_docs = {d for d, _ in reg_spans}
+    reg_nodes = {RESOURCE_NS + "ear/entity/e1"}
+    reg_paths = {"path-0"}
+
+    items = []
+    for i in range(120):
+        items.append((
+            f"ds{i % 2}", i,
+            rng.choice(["", f"item-{i}"]),
+            rng.choice(["", "a question?"]),
+            rng.choice([None, "answer"]),
+            rng.sample(sec_pool, rng.randint(0, 3)),
+            [{"doc_id": rng.choice(doc_pool), "span_id": rng.choice(span_pool)}
+             for _ in range(rng.randint(0, 2))],
+            rng.sample(node_pool, rng.randint(0, 2)),
+            rng.sample(path_pool, rng.randint(0, 2)),
+            rng.sample(ent_pool, rng.randint(0, 2)),
+            rng.choice(dates),
+            rng.choice(outcomes),
+        ))
+    schema = ("dataset_id string, line long, id string, question string, "
+              "answer_text string, ear_sections array<string>, "
+              "doc_spans array<struct<doc_id:string,span_id:string>>, "
+              "kg_nodes array<string>, kg_paths array<string>, "
+              "kg_entities array<string>, effective_date string, "
+              "expected_outcome string")
+    items_df = spark.createDataFrame(items, schema)
+    ms = spark.createDataFrame(sorted(reg_spans), "mdoc_id string, mspan_id string")
+    mn = spark.createDataFrame([(v,) for v in sorted(reg_nodes)], "v string")
+    mp = spark.createDataFrame([(v,) for v in sorted(reg_paths)], "v string")
+    got = sorted(
+        (r["line"], r["rule"], r["value"])
+        for r in validate_items(items_df, ms, mn, mp).collect()
+    )
+
+    def m(pat, v):
+        return re.search(pat, v) is not None
+
+    want = []
+    for (ds, line, iid, q, ans, secs, spans, nodes, paths, ents, dt, oc) in items:
+        if not iid: want.append((line, "id_required", iid or ""))
+        if not q: want.append((line, "question_required", q or ""))
+        if ans is None: want.append((line, "ground_truth_answer_required", ""))
+        for sv in secs:
+            if not m(SECTION_ID_PATTERN, sv):
+                want.append((line, "ear_section_pattern", sv))
+        for sp in spans:
+            d, s2 = sp["doc_id"], sp["span_id"]
+            if not m(DOC_ID_PATTERN, d):
+                want.append((line, "doc_id_pattern", d))
+            if not m(SPAN_ID_PATTERN, s2):
+                want.append((line, "span_id_pattern", s2))
+            if d and s2:
+                if d not in reg_docs:
+                    want.append((line, "doc_id_unregistered", d))
+                elif (d, s2) not in reg_spans:
+                    want.append((line, "span_id_unregistered", s2))
+        for nd in nodes:
+            if not nd: continue
+            http = nd.startswith(("http://", "https://"))
+            legacy = any(nd.startswith(ns) for ns in LEGACY_NS_LIST)
+            if http and legacy:
+                want.append((line, "kg_node_legacy", nd))
+            if http and not legacy and not nd.startswith(RESOURCE_NS):
+                want.append((line, "kg_node_namespace", nd))
+            if nd not in reg_nodes:
+                want.append((line, "kg_node_unregistered", nd))
+        for e in ents:
+            if not e: continue
+            http = e.startswith(("http://", "https://"))
+            legacy = any(e.startswith(ns) for ns in LEGACY_NS_LIST)
+            if http and legacy:
+                want.append((line, "kg_entity_legacy", e))
+            if http and not legacy and not e.startswith(ENTITY_NS):
+                want.append((line, "kg_entity_namespace", e))
+        for pth in paths:
+            if pth and pth not in reg_paths:
+                want.append((line, "kg_path_unregistered", pth))
+        if dt is not None and not m(DATE_PATTERN, dt):
+            want.append((line, "effective_date_pattern", dt))
+        if oc is not None and oc not in ("pass", "fail"):
+            want.append((line, "regression_outcome_enum", oc))
+    assert got == sorted(want)
