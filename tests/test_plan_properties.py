@@ -153,3 +153,54 @@ def test_eval_queries_stay_jvm_side(spark, sf_small, name):
     # the eval text ops are regex/array Column exprs — no Python eval
     p = plan_of(spark, sf_small, name)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+ROUND4_QUERIES = [
+    "groundedness_gate", "groundedness_reasons", "phase2_contract_gate",
+    "eval_schema_violations", "index_binding", "kg_expansion_index",
+    "citation_scores_agg", "retrieval_compare",
+]
+
+
+@pytest.mark.parametrize("name", ROUND4_QUERIES)
+def test_round4_queries_stay_jvm_side(spark, sf_small, name):
+    """Every round-4 query is pure Column expressions + joins — no
+    Python eval nodes in the plan."""
+    p = plan_of(spark, sf_small, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Window operators with no partition spec: their formatted-plan
+    Arguments line has two bracket groups ([funcs], [order]) instead of
+    three ([funcs], [partition], [order])."""
+    lines = plan.splitlines()
+    bad = []
+    for i, l in enumerate(lines):
+        if l.strip().endswith("Window") and l.strip().startswith("("):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if lines[j].startswith("Arguments:"):
+                    if lines[j].count("], [") < 2:
+                        bad.append(lines[j][:160])
+                    break
+    return bad
+
+
+@pytest.mark.parametrize("name", ROUND4_QUERIES + ["fr_coverage"])
+def test_no_unpartitioned_windows(spark, sf_small, name):
+    """No Window operator may run with an empty partition spec (the
+    round-3 fr_coverage defect class)."""
+    p = plan_of(spark, sf_small, name)
+    assert _global_windows(p) == [], (name, _global_windows(p))
+
+
+def test_global_window_detector_actually_detects(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    import contextlib, io
+
+    d = spark.range(10).withColumn("rn", F.row_number().over(W.orderBy("id")))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        d.explain("formatted")
+    assert len(_global_windows(buf.getvalue())) == 1
