@@ -524,3 +524,352 @@ ORDER BY m.index_id
 
 SCHEMA_QUERIES["index_binding"] = q_index_binding
 SCHEMA_ORACLES["index_binding"] = _index_binding_sql()
+
+
+# --- strict LLM-output validation --------------------------------------------
+
+def q_llm_output_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_strict_answer_json (rag/output_schema.py:197-455) over
+    seeded answer payloads: every error code fires on its seeded defect
+    (invalid_json, top-level wrong_type, extra/missing key, empty
+    answer_text, label enum, citations wrong_type, citation missing
+    key / non-canonical section / ungrounded quote, evidence_not_ok,
+    assumption_unsupported, answerable-without-grounded-citations, and
+    the unanswerable answer-quality rule); clean payloads and compliant
+    unanswerable refusals verdict 'ok'."""
+    from earcrawler_spark.operators.output_schema import validate_llm_outputs
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    sec_d, sec_d1 = _sec(d), _sec(d + 1)
+    body_d = _body(d)
+
+    entries = docs.select(
+        d.alias("item_id"),
+        F.concat(F.lit("["), sec_d,
+                 F.lit("] Exports of encryption software require licensing "
+                       "review under "), sec_d).alias("entry"),
+    ).unionByName(
+        docs.select(
+            d.alias("item_id"),
+            F.concat(F.lit("["), sec_d1,
+                     F.lit("] Additional provisions apply to re-exports")
+                     ).alias("entry"),
+        )
+    )
+
+    def ok_payload(label=None, answer=None, citations=None, evidence=None,
+                   assumptions=None, extra=""):
+        label = label if label is not None else F.lit("permitted")
+        answer = answer if answer is not None else F.lit(
+            "Export is permitted per the cited provision.")
+        citations = citations if citations is not None else F.concat(
+            F.lit('[{"section_id": "'), sec_d,
+            F.lit('", "quote": "require licensing review under '), sec_d,
+            F.lit('"}]'),
+        )
+        evidence = evidence if evidence is not None else F.lit(
+            '{"ok": true, "reasons": ["grounded"]}')
+        assumptions = assumptions if assumptions is not None else F.lit("[]")
+        return F.concat(
+            F.lit('{"label": "'), label, F.lit('", "answer_text": "'), answer,
+            F.lit('", "citations": '), citations,
+            F.lit(', "evidence_okay": '), evidence,
+            F.lit(', "assumptions": '), assumptions, F.lit(extra), F.lit("}"),
+        )
+
+    raw = (
+        F.when(d % 23 == 0, F.lit('{"label": "permitted"'))
+        .when(d % 19 == 0, F.lit('["not an object"]'))
+        .when(d % 17 == 0, ok_payload(extra=', "bogus": "1"'))
+        .when(
+            d % 13 == 0,
+            F.concat(
+                F.lit('{"label": "permitted", "answer_text": "x", '
+                      '"citations": [], "evidence_okay": '
+                      '{"ok": true, "reasons": []}}'),
+            ),
+        )
+        .when(d % 29 == 0, ok_payload(answer=F.lit("")))
+        .when(d % 11 == 0, ok_payload(label=F.lit("maybe")))
+        .when(d % 31 == 0, ok_payload(citations=F.lit('"none"')))
+        .when(
+            d % 37 == 0,
+            ok_payload(citations=F.concat(
+                F.lit('[{"section_id": "'), sec_d, F.lit('"}]'))),
+        )
+        .when(
+            d % 5 == 0,
+            ok_payload(citations=F.concat(
+                F.lit('[{"section_id": "§ '), body_d,
+                F.lit('", "quote": "require licensing review"}]'))),
+        )
+        .when(
+            d % 41 == 0,
+            ok_payload(evidence=F.lit('{"ok": false, "reasons": ["weak"]}')),
+        )
+        .when(
+            d % 43 == 0,
+            ok_payload(assumptions=F.lit('["galactic wizardry assumption"]')),
+        )
+        .when(
+            d % 47 == 0,
+            ok_payload(citations=F.lit("[]")),
+        )
+        .when(
+            d % 7 == 0,
+            F.when(
+                d % 2 == 0,
+                ok_payload(
+                    label=F.lit("unanswerable"),
+                    answer=F.lit("Cannot determine from the provided "
+                                 "context; need more information."),
+                    citations=F.lit("[]"),
+                ),
+            ).otherwise(
+                ok_payload(
+                    label=F.lit("unanswerable"),
+                    answer=F.lit("Determination is final here."),
+                    citations=F.lit("[]"),
+                )
+            ),
+        )
+        .when(
+            d % 3 == 0,
+            ok_payload(citations=F.concat(
+                F.lit('[{"section_id": "'), sec_d,
+                F.lit('", "quote": "quantum tunneling manifold"}]'))),
+        )
+        .otherwise(ok_payload())
+    )
+    payloads = docs.select(d.alias("item_id"), raw.alias("raw"))
+    return validate_llm_outputs(payloads, entries)
+
+
+def normalize_ear_section_sql(expr: str) -> str:
+    """corpus_contract.normalize_ear_section_id as a DuckDB expression."""
+    v1 = f"trim(replace({expr}, chr(160), ' '))"
+    v2 = f"trim(regexp_replace({v1}, '^§+', ''))"
+    v3 = f"trim(regexp_replace({v2}, '(?i)^15\\s*cfr\\s*', ''))"
+    b0 = (f"CASE WHEN upper({v3}) LIKE 'EAR-%' THEN substr({v3}, 5) "
+          f"WHEN upper({v3}) LIKE 'EAR %' THEN trim(substr({v3}, 5)) "
+          f"ELSE {v3} END")
+    b1 = (f"lower(regexp_replace(replace(trim(regexp_replace({b0}, '^§+', '')),"
+          f" ' ', ''), '\\.+$', ''))")
+    return (f"CASE WHEN ({b1}) <> '' AND regexp_matches({b1}, "
+            f"'^(\\d{{3}}(?:\\.\\d+[a-z0-9]*)*)((?:\\([a-z0-9]+\\))*)$') "
+            f"THEN 'EAR-' || ({b1}) END")
+
+
+def _llm_output_sql() -> str:
+    from earcrawler_spark.operators.output_schema import (
+        ALLOWED_LABELS,
+        HINT_PATTERN,
+        OPTIONAL_KEYS,
+        REFUSAL_PATTERN,
+        REQUIRED_KEYS,
+    )
+
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    body = ("CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+            "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    sd = sec.format(x="doc_id")
+    sd1 = sec.format(x="doc_id + 1")
+    bd = body.format(x="doc_id")
+    allowed_keys = ", ".join(f"'{k}'" for k in REQUIRED_KEYS + OPTIONAL_KEYS)
+    required_keys = ", ".join(f"'{k}'" for k in REQUIRED_KEYS)
+    labels = ", ".join(f"'{v}'" for v in ALLOWED_LABELS)
+    refusal = REFUSAL_PATTERN.replace("'", "''")
+    hint = HINT_PATTERN.replace("'", "''")
+    norm_csec = normalize_ear_section_sql("csec")
+    nws = "trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+    ent_sec = normalize_ear_section_sql(
+        "regexp_extract(entry, '^\\[([^\\]]+)\\]', 1)"
+    )
+    ent_text = ("trim(regexp_extract(entry, "
+                "'^\\[[^\\]]+\\]\\s*([\\s\\S]*)$', 1))")
+    full_agg = nws.format(
+        x="string_agg(entry, chr(10) || chr(10) ORDER BY entry)"
+    )
+    g_q = nws.format(x="c.q")
+    g_qc = nws.format(x="coalesce(c.q, '')")
+    g_t = nws.format(x="e.text")
+    a_el = nws.format(
+        x="coalesce(json_extract_string(f.t, '$.assumptions[' || i || ']'), '')"
+    )
+    a_el2 = nws.format(
+        x="json_extract_string(f.t, '$.assumptions[' || i || ']')"
+    )
+
+    def okp(label="'permitted'",
+            answer="'Export is permitted per the cited provision.'",
+            citations=None,
+            evidence='\'{"ok": true, "reasons": ["grounded"]}\'',
+            assumptions="'[]'", extra="''"):
+        if citations is None:
+            citations = ('\'[{"section_id": "\' || ' + sd +
+                         ' || \'", "quote": "require licensing review under \''
+                         ' || ' + sd + ' || \'"}]\'')
+        return ('\'{"label": "\' || ' + label +
+                ' || \'", "answer_text": "\' || ' + answer +
+                ' || \'", "citations": \' || ' + citations +
+                ' || \', "evidence_okay": \' || ' + evidence +
+                ' || \', "assumptions": \' || ' + assumptions +
+                ' || ' + extra + ' || \'}\'')
+
+    c_extra = okp(extra='\', "bogus": "1"\'')
+    c_missing = ('\'{"label": "permitted", "answer_text": "x", '
+                 '"citations": [], "evidence_okay": '
+                 '{"ok": true, "reasons": []}}\'')
+    c_empty_answer = okp(answer="''")
+    c_enum = okp(label="'maybe'")
+    c_cit_str = okp(citations='\'"none"\'')
+    c_noquote = okp(citations='\'[{"section_id": "\' || ' + sd + ' || \'"}]\'')
+    c_badsec = okp(citations='\'[{"section_id": "§ \' || ' + bd +
+                   ' || \'", "quote": "require licensing review"}]\'')
+    c_evid = okp(evidence='\'{"ok": false, "reasons": ["weak"]}\'')
+    c_assume = okp(assumptions='\'["galactic wizardry assumption"]\'')
+    c_nocits = okp(citations="'[]'")
+    c_unans_ok = okp(
+        label="'unanswerable'",
+        answer="'Cannot determine from the provided context; "
+               "need more information.'",
+        citations="'[]'",
+    )
+    c_unans_bad = okp(label="'unanswerable'",
+                      answer="'Determination is final here.'",
+                      citations="'[]'")
+    c_unground = okp(citations='\'[{"section_id": "\' || ' + sd +
+                     ' || \'", "quote": "quantum tunneling manifold"}]\'')
+    c_ok = okp()
+
+    return f"""
+WITH payloads AS (
+  SELECT doc_id AS item_id,
+    CASE
+      WHEN doc_id % 23 = 0 THEN '{{"label": "permitted"'
+      WHEN doc_id % 19 = 0 THEN '["not an object"]'
+      WHEN doc_id % 17 = 0 THEN {c_extra}
+      WHEN doc_id % 13 = 0 THEN {c_missing}
+      WHEN doc_id % 29 = 0 THEN {c_empty_answer}
+      WHEN doc_id % 11 = 0 THEN {c_enum}
+      WHEN doc_id % 31 = 0 THEN {c_cit_str}
+      WHEN doc_id % 37 = 0 THEN {c_noquote}
+      WHEN doc_id % 5 = 0 THEN {c_badsec}
+      WHEN doc_id % 41 = 0 THEN {c_evid}
+      WHEN doc_id % 43 = 0 THEN {c_assume}
+      WHEN doc_id % 47 = 0 THEN {c_nocits}
+      WHEN doc_id % 7 = 0 THEN CASE WHEN doc_id % 2 = 0
+        THEN {c_unans_ok}
+        ELSE {c_unans_bad} END
+      WHEN doc_id % 3 = 0 THEN {c_unground}
+      ELSE {c_ok}
+    END AS raw
+  FROM documents
+), entries AS (
+  SELECT doc_id AS item_id,
+         '[' || {sd} || '] Exports of encryption software require licensing review under ' || {sd} AS entry
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         '[' || {sd1} || '] Additional provisions apply to re-exports'
+  FROM documents
+), ent AS (
+  SELECT item_id,
+         {ent_sec} AS sec,
+         {ent_text} AS text,
+         entry
+  FROM entries
+), full_ctx AS (
+  SELECT item_id,
+         {full_agg} AS full_c
+  FROM ent GROUP BY item_id
+), p AS (
+  SELECT item_id, trim(raw) AS t FROM payloads
+), flags AS (
+  SELECT item_id, t,
+    (t = '' OR NOT json_valid(t)) AS invalid_json,
+    (t NOT LIKE '{{%') AS not_object,
+    CASE WHEN json_valid(t) AND t LIKE '{{%'
+         THEN list_sort(list_filter(json_keys(t), k -> k NOT IN ({allowed_keys})))
+         ELSE [] END AS extras,
+    CASE WHEN json_valid(t) AND t LIKE '{{%'
+         THEN list_sort(list_filter([{required_keys}],
+                        k -> NOT list_contains(json_keys(t), k)))
+         ELSE [] END AS missing,
+    CASE WHEN json_valid(t) THEN lower(coalesce(json_extract_string(t, '$.label'), '')) ELSE '' END AS label,
+    CASE WHEN json_valid(t) THEN coalesce(json_extract_string(t, '$.answer_text'), '') ELSE '' END AS answer,
+    CASE WHEN json_valid(t) AND t LIKE '{{%'
+         THEN (json_type(t, '$.citations') IS NOT NULL
+               AND json_type(t, '$.citations') <> 'ARRAY')
+         ELSE FALSE END AS cit_not_array,
+    CASE WHEN json_valid(t) AND t LIKE '{{%'
+              AND json_type(t, '$.citations') = 'ARRAY'
+         THEN json_array_length(t, '$.citations') ELSE 0 END AS n_cits,
+    CASE WHEN json_valid(t) THEN json_extract_string(t, '$.evidence_okay.ok') END AS evid_ok,
+    CASE WHEN json_valid(t) AND t LIKE '{{%'
+              AND json_type(t, '$.assumptions') = 'ARRAY'
+         THEN json_array_length(t, '$.assumptions') ELSE 0 END AS n_ass
+  FROM p
+), cit_rows AS (
+  SELECT f.item_id, i AS pos,
+         json_extract_string(f.t, '$.citations[' || i || '].section_id') AS csec,
+         json_extract_string(f.t, '$.citations[' || i || '].quote') AS q
+  FROM flags f, unnest(range(CAST(f.n_cits AS BIGINT))) u(i)
+), cit_n AS (
+  SELECT *, ({norm_csec}) AS norm FROM cit_rows
+), per_cit AS (
+  SELECT c.item_id, c.pos, any_value(c.csec) AS csec, any_value(c.q) AS q,
+         any_value(c.norm) AS norm,
+         max(CASE WHEN e.text IS NOT NULL AND {g_qc} <> ''
+                       AND position({g_q} IN {g_t}) > 0
+                  THEN 1 ELSE 0 END) AS grounded
+  FROM cit_n c LEFT JOIN ent e ON c.item_id = e.item_id AND c.norm = e.sec
+  GROUP BY c.item_id, c.pos
+), first_cit AS (
+  SELECT item_id, arg_min(code, pos) AS cit_code FROM (
+    SELECT item_id, pos,
+      CASE WHEN q IS NULL OR csec IS NULL THEN 'missing_key'
+           WHEN norm IS NULL OR norm <> csec THEN 'invalid_section_id'
+           WHEN grounded = 0 THEN 'ungrounded_citation' END AS code
+    FROM per_cit) WHERE code IS NOT NULL GROUP BY item_id
+), ass_rows AS (
+  SELECT f.item_id,
+         max(CASE WHEN {a_el} <> ''
+                       AND position({a_el2} IN fc.full_c) = 0
+                  THEN 1 ELSE 0 END) AS ass_bad
+  FROM flags f
+  JOIN full_ctx fc ON f.item_id = fc.item_id, unnest(range(CAST(f.n_ass AS BIGINT))) u(i)
+  GROUP BY f.item_id
+)
+SELECT f.item_id,
+  CASE
+    WHEN f.invalid_json THEN 'invalid_json'
+    WHEN f.not_object THEN 'wrong_type'
+    WHEN len(f.extras) > 0 THEN 'extra_key'
+    WHEN len(f.missing) > 0 THEN 'missing_key'
+    WHEN f.label = '' OR f.answer = '' THEN 'invalid_value'
+    WHEN f.label NOT IN ({labels}) THEN 'invalid_enum'
+    WHEN f.cit_not_array THEN 'wrong_type'
+    WHEN fc.cit_code IS NOT NULL THEN fc.cit_code
+    WHEN f.evid_ok = 'false' THEN 'evidence_not_ok'
+    WHEN f.label <> 'unanswerable' AND coalesce(a.ass_bad, 0) = 1 THEN 'assumption_unsupported'
+    WHEN f.label <> 'unanswerable' AND f.n_cits = 0 THEN 'ungrounded_citation'
+    WHEN f.label = 'unanswerable' AND (
+           NOT regexp_matches(f.answer, '{refusal}')
+           OR NOT regexp_matches(f.answer, '{hint}')
+           OR lower(trim(f.answer)) LIKE 'yes%'
+           OR lower(trim(f.answer)) LIKE 'no%')
+         THEN 'invalid_value'
+    ELSE 'ok'
+  END AS code
+FROM flags f
+LEFT JOIN first_cit fc ON f.item_id = fc.item_id
+LEFT JOIN ass_rows a ON f.item_id = a.item_id
+ORDER BY f.item_id
+"""
+
+
+SCHEMA_QUERIES["llm_output_violations"] = q_llm_output_violations
+SCHEMA_ORACLES["llm_output_violations"] = _llm_output_sql()
