@@ -24,7 +24,7 @@ against the dimension-sized manifest; one union, no windows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from earcrawler_spark.functions.iri import ENTITY_NS, RESOURCE_NS
@@ -873,3 +873,221 @@ ORDER BY f.item_id
 
 SCHEMA_QUERIES["llm_output_violations"] = q_llm_output_violations
 SCHEMA_ORACLES["llm_output_violations"] = _llm_output_sql()
+
+
+# --- generation policy (thin-retrieval refusal) ------------------------------
+
+THIN_MIN_DOCS = 2
+THIN_MIN_TOP_SCORE = 0.35
+THIN_MIN_TOTAL_CHARS = 80
+
+
+def q_generation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluate_generation_policy (rag/policy.py:105-160): per item, the
+    refusal decision ladder — temporal should_refuse wins (with its
+    refusal reason, default 'temporal_evidence_ambiguous'), then
+    empty-retrieval refusal, then the thin-retrieval thresholds
+    (doc count / top score / total context chars, refuse-on-thin
+    enabled with the seeded thresholds) → (should_refuse,
+    disabled_reason).  Retrieval stats come from seeded per-item doc and
+    context tables via plain aggregation, exactly how a policy gate
+    would read a retrieval log table at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    items = docs.select(
+        d.alias("item_id"),
+        (d % 13 == 0).alias("temporal_refuse"),
+        F.when(d % 26 == 0, F.lit("effective_date_conflict")).alias(
+            "temporal_reason"
+        ),
+    )
+    # retrieval log: 0..3 docs per item with scores; context chars
+    rdocs = None
+    for k, flt in ((0, d % 11 != 0), (1, d % 3 == 0), (2, d % 4 == 0)):
+        part = docs.filter(flt).select(
+            d.alias("item_id"),
+            F.round((((d + k) % 20) / F.lit(20.0)), 2).alias("score"),
+            ((d + k) % 70 + 10).cast("long").alias("n_chars"),
+        )
+        rdocs = part if rdocs is None else rdocs.unionByName(part)
+    stats = rdocs.groupBy("item_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("score").alias("top_score"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    j = items.join(stats, "item_id", "left").select(
+        "item_id", "temporal_refuse", "temporal_reason",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("top_score", F.lit(0.0)).alias("top_score"),
+        F.coalesce("total_chars", F.lit(0)).alias("total_chars"),
+    )
+    thin = (
+        (F.col("n_docs") == 0)
+        | (F.col("n_docs") < THIN_MIN_DOCS)
+        | (F.col("top_score") < THIN_MIN_TOP_SCORE)
+        | (F.col("total_chars") < THIN_MIN_TOTAL_CHARS)
+    )
+    should = F.col("temporal_refuse") | thin
+    reason = (
+        F.when(
+            F.col("temporal_refuse"),
+            F.coalesce("temporal_reason", F.lit("temporal_evidence_ambiguous")),
+        )
+        .when(thin, F.lit("insufficient_evidence"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        "item_id", "n_docs",
+        F.round("top_score", 2).alias("top_score"),
+        "total_chars",
+        should.alias("should_refuse"),
+        reason.alias("disabled_reason"),
+    ).orderBy("item_id")
+
+
+def _generation_policy_sql() -> str:
+    return f"""
+WITH items AS (
+  SELECT doc_id AS item_id,
+         (doc_id % 13 = 0) AS temporal_refuse,
+         CASE WHEN doc_id % 26 = 0 THEN 'effective_date_conflict' END AS temporal_reason
+  FROM documents
+), rdocs AS (
+  SELECT doc_id AS item_id, round(((doc_id + 0) % 20) / 20.0, 2) AS score,
+         (doc_id + 0) % 70 + 10 AS n_chars
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id, round(((doc_id + 1) % 20) / 20.0, 2), (doc_id + 1) % 70 + 10
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, round(((doc_id + 2) % 20) / 20.0, 2), (doc_id + 2) % 70 + 10
+  FROM documents WHERE doc_id % 4 = 0
+), stats AS (
+  SELECT item_id, count(*) AS n_docs, max(score) AS top_score,
+         sum(n_chars) AS total_chars
+  FROM rdocs GROUP BY item_id
+), j AS (
+  SELECT i.item_id, i.temporal_refuse, i.temporal_reason,
+         coalesce(s.n_docs, 0) AS n_docs,
+         coalesce(s.top_score, 0.0) AS top_score,
+         coalesce(s.total_chars, 0) AS total_chars
+  FROM items i LEFT JOIN stats s ON i.item_id = s.item_id
+)
+SELECT item_id, n_docs,
+       CAST(round(top_score, 2) AS DOUBLE) AS top_score, total_chars,
+       (temporal_refuse OR n_docs = 0 OR n_docs < {THIN_MIN_DOCS}
+        OR top_score < {THIN_MIN_TOP_SCORE}
+        OR total_chars < {THIN_MIN_TOTAL_CHARS}) AS should_refuse,
+       CASE WHEN temporal_refuse
+              THEN coalesce(temporal_reason, 'temporal_evidence_ambiguous')
+            WHEN n_docs = 0 OR n_docs < {THIN_MIN_DOCS}
+              OR top_score < {THIN_MIN_TOP_SCORE}
+              OR total_chars < {THIN_MIN_TOTAL_CHARS}
+              THEN 'insufficient_evidence' END AS disabled_reason
+FROM j
+ORDER BY item_id
+"""
+
+
+SCHEMA_QUERIES["generation_policy"] = q_generation_policy
+SCHEMA_ORACLES["generation_policy"] = _generation_policy_sql()
+
+
+# --- snapshot payload validation ---------------------------------------------
+
+def q_snapshot_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate_snapshot_payload (rag/offline_snapshot_manifest.py:
+    182-224): per snapshot line — missing/empty/non-normalizable
+    section_id, missing/null/blank text, and duplicate canonical
+    section ids (every line after the first occurrence reports, with
+    the first-seen line number, via a min-over-window instead of the
+    reference's driver-side dict)."""
+    from earcrawler_spark.sources import normalize_ear_section_id
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    sec_raw = (
+        F.when(d % 23 == 0, F.lit(""))
+        .when(d % 19 == 0, F.lit("part x"))
+        .when(d % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(_sec(d % 101))  # 101 > 37x7 classes -> duplicates seeded
+    )
+    text = (
+        F.when(d % 29 == 0, F.lit(None).cast("string"))
+        .when(d % 31 == 0, F.lit("   "))
+        .otherwise(F.concat(F.lit("Provision text "), d.cast("string")))
+    )
+    snap = docs.select(d.alias("line"), sec_raw.alias("section_id"), text.alias("text"))
+    canon = normalize_ear_section_id(F.col("section_id"))
+    v = snap.select(
+        "line", "section_id", "text", canon.alias("_canon"),
+        F.when(F.col("section_id").isNull(), F.lit("missing_section_id"))
+        .when(F.trim("section_id") == "", F.lit("invalid_section_id"))
+        .when(canon.isNull(), F.lit("unnormalizable_section_id"))
+        .when(F.col("text").isNull(), F.lit("null_text"))
+        .when(F.trim("text") == "", F.lit("empty_text"))
+        .alias("violation"),
+    )
+    w = W.partitionBy("_canon")
+    dups = (
+        v.filter(F.col("violation").isNull() & F.col("_canon").isNotNull())
+        .withColumn("_first", F.min("line").over(w))
+        .filter(F.col("line") != F.col("_first"))
+        .select(
+            "line",
+            F.lit("duplicate_section_id").alias("violation"),
+            F.col("_canon").alias("value"),
+            F.col("_first").alias("first_seen_line"),
+        )
+    )
+    base = v.filter(F.col("violation").isNotNull()).select(
+        "line", "violation",
+        F.coalesce("section_id", F.lit("")).alias("value"),
+        F.lit(None).cast("long").alias("first_seen_line"),
+    )
+    return base.unionByName(dups).orderBy("line", "violation")
+
+
+def _snapshot_sql() -> str:
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    sd = sec.format(x="doc_id % 101")
+    norm = normalize_ear_section_sql("section_id")
+    return f"""
+WITH snap AS (
+  SELECT doc_id AS line,
+    CASE WHEN doc_id % 23 = 0 THEN ''
+         WHEN doc_id % 19 = 0 THEN 'part x'
+         WHEN doc_id % 17 = 0 THEN NULL
+         ELSE {sd} END AS section_id,
+    CASE WHEN doc_id % 29 = 0 THEN NULL
+         WHEN doc_id % 31 = 0 THEN '   '
+         ELSE 'Provision text ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+), v AS (
+  SELECT line, section_id, text, ({norm}) AS canon,
+    CASE WHEN section_id IS NULL THEN 'missing_section_id'
+         WHEN trim(section_id) = '' THEN 'invalid_section_id'
+         WHEN ({norm}) IS NULL THEN 'unnormalizable_section_id'
+         WHEN text IS NULL THEN 'null_text'
+         WHEN trim(text) = '' THEN 'empty_text' END AS violation
+  FROM snap
+), base AS (
+  SELECT line, violation, coalesce(section_id, '') AS value,
+         CAST(NULL AS BIGINT) AS first_seen_line
+  FROM v WHERE violation IS NOT NULL
+), dups AS (
+  SELECT line, 'duplicate_section_id' AS violation, canon AS value,
+         first_seen_line
+  FROM (
+    SELECT line, canon, min(line) OVER (PARTITION BY canon) AS first_seen_line
+    FROM v WHERE violation IS NULL AND canon IS NOT NULL
+  ) WHERE line <> first_seen_line
+)
+SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM dups)
+ORDER BY line, violation
+"""
+
+
+SCHEMA_QUERIES["snapshot_violations"] = q_snapshot_violations
+SCHEMA_ORACLES["snapshot_violations"] = _snapshot_sql()

@@ -158,7 +158,7 @@ def test_eval_queries_stay_jvm_side(spark, sf_small, name):
 ROUND4_QUERIES = [
     "groundedness_gate", "groundedness_reasons", "phase2_contract_gate",
     "eval_schema_violations", "index_binding", "kg_expansion_index",
-    "citation_scores_agg", "retrieval_compare",
+    "citation_scores_agg", "retrieval_compare", "llm_output_violations",
 ]
 
 
