@@ -1429,13 +1429,29 @@ def q_groundedness_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = items.select("item_id", "dataset_id")
     sc = score_citations(citations, context)
 
-    def cit_rows(flag, name):
-        return (
-            sc.filter(F.col(flag))
-            .join(F.broadcast(ds), "item_id")
-            .select("dataset_id", F.lit(name).alias("reason"))
+    # ONE pass over the scored citations: melt the four reason flags
+    # into rows instead of four filtered re-scans of the subtree
+    cit_rows = (
+        sc.join(F.broadcast(ds), "item_id")
+        .select(
+            "dataset_id",
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(F.col("r_invalid_section_id"),
+                               F.lit("invalid_section_id")),
+                        F.when(F.col("r_quote_missing"),
+                               F.lit("quote_missing")),
+                        F.when(F.col("r_quote_not_in_section_context"),
+                               F.lit("quote_not_in_section_context")),
+                        F.when(F.col("r_section_context_missing"),
+                               F.lit("section_context_missing")),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("reason"),
         )
-
+    )
     claims = score_claims(decisive, sc).join(F.broadcast(ds), "item_id")
     claim_rows = claims.select("dataset_id", F.col("reason"))
     overclaim_rows = (
@@ -1444,19 +1460,7 @@ def q_groundedness_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("dataset_id", F.lit("overclaim_present").alias("reason"))
     )
-    rows = (
-        cit_rows("r_invalid_section_id", "invalid_section_id")
-        .unionByName(cit_rows("r_quote_missing", "quote_missing"))
-        .unionByName(
-            cit_rows("r_quote_not_in_section_context",
-                     "quote_not_in_section_context")
-        )
-        .unionByName(
-            cit_rows("r_section_context_missing", "section_context_missing")
-        )
-        .unionByName(claim_rows)
-        .unionByName(overclaim_rows)
-    )
+    rows = cit_rows.unionByName(claim_rows).unionByName(overclaim_rows)
     base = rows.groupBy("dataset_id", "reason").agg(
         F.count(F.lit(1)).alias("n")
     )
