@@ -513,7 +513,16 @@ def dedup_clusters(
     cand_ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    sh = shingle_docs(docs.join(cand_ids, "doc_id", "left_semi"), n)
+    # candidate-doc shingle sets: native window-lead rows re-assembled
+    # into arrays, cached because BOTH join sides read them (uncached,
+    # the semi-join + shingling subtree ran twice and dominated the
+    # whole verify stage)
+    sh = (
+        shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"), n)
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("shingles"))
+        .cache()
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
