@@ -1091,3 +1091,129 @@ ORDER BY line, violation
 
 SCHEMA_QUERIES["snapshot_violations"] = q_snapshot_violations
 SCHEMA_ORACLES["snapshot_violations"] = _snapshot_sql()
+
+
+# --- telemetry redaction ------------------------------------------------------
+
+def telemetry_scrub(col):
+    """_scrub_string (telemetry/redaction.py:29-35) as a native
+    regexp_replace chain — EXACT reference order (email, token, path,
+    url-query, guid), which carries two deliberate reference quirks:
+    any 20+ run of [A-Za-z0-9_-=] (including every GUID) is taken by
+    the token rule before the guid rule can fire, and absolute-path
+    scrubbing also hits the path part of URLs.  The env-secret
+    replacement step is driver-side configuration (os.environ) and out
+    of the data plane."""
+    c = F.regexp_replace(
+        col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[redacted]"
+    )
+    c = F.regexp_replace(
+        c, r"(?i)(?:bearer\s+)?[A-Za-z0-9\-_=]{20,}", "[redacted]"
+    )
+    c = F.regexp_replace(c, r"(?:[A-Za-z]:\\\\[^\s]+|/[^\s]+)", "[path]")
+    c = F.regexp_replace(c, r"(https?://[^\s?]+)\?[^\s]+", "$1")
+    c = F.regexp_replace(
+        c,
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "[guid]",
+    )
+    return c
+
+
+def q_telemetry_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry event redaction (telemetry/redaction.py:7-53): the
+    key allowlist as a projection and the string-scrub chain over the
+    free-text fields, on events seeded with emails, bearer tokens,
+    absolute paths, query-string URLs, and GUIDs."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    error = (
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit("auth failed for user"), d.cast("string"),
+                     F.lit("@example.com retry later")),
+        )
+        .when(
+            d % 7 == 1,
+            F.concat(F.lit("denied: bearer tok"),
+                     F.lpad(d.cast("string"), 24, "x"), F.lit(" expired")),
+        )
+        .when(
+            d % 7 == 2,
+            F.concat(F.lit("read error at /var/data/part-"),
+                     d.cast("string"), F.lit(".parquet on node")),
+        )
+        .when(
+            d % 7 == 3,
+            F.concat(F.lit("fetch https://api.example.gov/v1/items?key=abc&item="),
+                     d.cast("string"), F.lit(" timed out")),
+        )
+        .when(
+            d % 7 == 4,
+            F.concat(F.lit("session 0123abcd-0000-1111-2222-00005555"),
+                     F.lpad((d % 10000).cast("string"), 4, "0"),
+                     F.lit(" dropped")),
+        )
+        .when(d % 7 == 5, F.lit("plain failure message"))
+        .otherwise(F.concat(F.lit("mixed j.doe@corp.io at /opt/app run "),
+                            d.cast("string")))
+    )
+    events = docs.select(
+        d.alias("event_id"),
+        F.when(d % 2 == 0, F.lit("crawl")).otherwise(F.lit("kg")).alias("command"),
+        (d % 5000).cast("long").alias("duration_ms"),
+        (d % 3).cast("int").alias("exit_code"),
+        error.alias("error"),
+    )
+    # ALLOWED_KEYS projection keeps event metadata; the scrub chain runs
+    # over the free-text fields
+    return events.select(
+        "event_id",
+        telemetry_scrub(F.col("command")).alias("command"),
+        "duration_ms", "exit_code",
+        telemetry_scrub(F.col("error")).alias("error"),
+    ).orderBy("event_id")
+
+
+def _telemetry_sql() -> str:
+    return """
+WITH events AS (
+  SELECT doc_id AS event_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'crawl' ELSE 'kg' END AS command,
+         doc_id % 5000 AS duration_ms,
+         CAST(doc_id % 3 AS INT) AS exit_code,
+         CASE WHEN doc_id % 7 = 0 THEN 'auth failed for user' || CAST(doc_id AS VARCHAR) || '@example.com retry later'
+              WHEN doc_id % 7 = 1 THEN 'denied: bearer tok' || lpad(CAST(doc_id AS VARCHAR), 24, 'x') || ' expired'
+              WHEN doc_id % 7 = 2 THEN 'read error at /var/data/part-' || CAST(doc_id AS VARCHAR) || '.parquet on node'
+              WHEN doc_id % 7 = 3 THEN 'fetch https://api.example.gov/v1/items?key=abc&item=' || CAST(doc_id AS VARCHAR) || ' timed out'
+              WHEN doc_id % 7 = 4 THEN 'session 0123abcd-0000-1111-2222-00005555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' dropped'
+              WHEN doc_id % 7 = 5 THEN 'plain failure message'
+              ELSE 'mixed j.doe@corp.io at /opt/app run ' || CAST(doc_id AS VARCHAR) END AS error
+  FROM documents
+), scrubbed AS (
+  SELECT event_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      command,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[redacted]', 'g'),
+      '(?i)(?:bearer\\s+)?[A-Za-z0-9\\-_=]{20,}', '[redacted]', 'g'),
+      '(?:[A-Za-z]:\\\\\\\\[^\\s]+|/[^\\s]+)', '[path]', 'g'),
+      '(https?://[^\\s?]+)\\?[^\\s]+', '\\1', 'g'),
+      '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '[guid]', 'g')
+      AS command,
+    duration_ms, exit_code,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      error,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[redacted]', 'g'),
+      '(?i)(?:bearer\\s+)?[A-Za-z0-9\\-_=]{20,}', '[redacted]', 'g'),
+      '(?:[A-Za-z]:\\\\\\\\[^\\s]+|/[^\\s]+)', '[path]', 'g'),
+      '(https?://[^\\s?]+)\\?[^\\s]+', '\\1', 'g'),
+      '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '[guid]', 'g')
+      AS error
+  FROM events
+)
+SELECT * FROM scrubbed ORDER BY event_id
+"""
+
+
+SCHEMA_QUERIES["telemetry_scrub"] = q_telemetry_scrub
+SCHEMA_ORACLES["telemetry_scrub"] = _telemetry_sql()

@@ -194,3 +194,47 @@ def test_validate_items_fuzz_vs_model(spark):
         if oc is not None and oc not in ("pass", "fail"):
             want.append((line, "regression_outcome_enum", oc))
     assert got == sorted(want)
+
+
+def test_telemetry_scrub_matches_reference_model(spark):
+    """telemetry_scrub vs a transcription of telemetry/redaction.py
+    _scrub_string, including its quirks (token rule swallows GUIDs and
+    the path rule hits URL paths before the query-strip rule)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from earcrawler_spark.queries_schema import telemetry_scrub
+
+    EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    TOKEN_RE = re.compile(r"(?:bearer\s+)?[A-Za-z0-9\-_=]{20,}", re.IGNORECASE)
+    PATH_RE = re.compile(r"(?:[A-Za-z]:\\\\[^\s]+|/[^\s]+)")
+    URL_QUERY_RE = re.compile(r"https?://[^\s?]+\?[^\s]+")
+    GUID_RE = re.compile(
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+    )
+
+    def model(v):
+        v = EMAIL_RE.sub("[redacted]", v)
+        v = TOKEN_RE.sub("[redacted]", v)
+        v = PATH_RE.sub("[path]", v)
+        v = URL_QUERY_RE.sub(lambda m: m.group(0).split("?")[0], v)
+        v = GUID_RE.sub("[guid]", v)
+        return v
+
+    cases = [
+        "alice@example.com wrote",
+        "bearer abcdefghijklmnopqrstuvwx done",
+        "token AAAAAAAAAAAAAAAAAAAA-____==== end",
+        "guid 0123abcd-0000-1111-2222-000055554444 here",  # token rule wins
+        "path /var/log/app.log seen",
+        "win C:\\\\Users\\\\x seen",
+        "url https://h.example/a?b=c tail",   # path rule hits first
+        "plain text only",
+        "mix j.d@x.io /opt/a https://h.x/p?q=1 0123abcd-0000-1111-2222-000055554444",
+        "short-token abc-def",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, v string")
+    got = {r["i"]: r["o"] for r in df.select("i", telemetry_scrub(F.col("v")).alias("o")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == model(c), (c, got[i], model(c))
