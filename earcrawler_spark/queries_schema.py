@@ -1217,3 +1217,103 @@ SELECT * FROM scrubbed ORDER BY event_id
 
 SCHEMA_QUERIES["telemetry_scrub"] = q_telemetry_scrub
 SCHEMA_ORACLES["telemetry_scrub"] = _telemetry_sql()
+
+
+# --- data-egress audit record -------------------------------------------------
+
+def normalize_egress_text(col):
+    """data_egress.normalize_text (security/data_egress.py:37-39): CRLF/CR
+    to LF, rstrip each line, strip trailing newlines (RE2-safe — no
+    lookahead: the per-line rstrip consumes and restores the newline)."""
+    n1 = F.regexp_replace(col, r"\r\n|\r", "\n")
+    n2 = F.regexp_replace(n1, r"[ \t]+\n", "\n")
+    n3 = F.regexp_replace(n2, r"[ \t]+$", "")
+    return F.regexp_replace(n3, r"\n+$", "")
+
+
+def q_egress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_data_egress_decision's deterministic hashing core
+    (security/data_egress.py:37-125): per item, the normalized-text
+    sha256 question hash, per-context hashes in context order, the
+    canonical-JSON prompt hash over the (system, user) message pair
+    (sorted keys, compact separators), the resolved redaction mode, and
+    the mode-applied scrubbed question (env_rules_v1 = the P5 privacy
+    scrub, already reference-fuzzed)."""
+    from earcrawler_spark.functions.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    question = F.concat(
+        F.lit("Does section "), _sec(d),
+        F.lit(" apply?  \r\nContact j.doe@example.com for detail\t\r\n\r\n"),
+    )
+    sysmsg = F.lit("You are an export-control assistant.")
+    ctx1 = F.concat(F.lit("[CTX] provision text "), d.cast("string"),
+                    F.lit("   \r\n line two  "))
+    ctx2 = F.concat(F.lit("supplementary note "), (d % 9).cast("string"))
+    mode = F.when(d % 2 == 0, F.lit("env_rules_v1")).otherwise(F.lit("none"))
+
+    qn = normalize_egress_text(question)
+    c1n, c2n = normalize_egress_text(ctx1), normalize_egress_text(ctx2)
+    sn = normalize_egress_text(sysmsg)
+    esc = lambda c: F.regexp_replace(c, r"\n", r"\\n")
+    prompt_json = F.concat(
+        F.lit('[{"content":"'), esc(sn), F.lit('","role":"system"},'),
+        F.lit('{"content":"'), esc(qn), F.lit('","role":"user"}]'),
+    )
+    return docs.select(
+        d.alias("item_id"),
+        mode.alias("redaction_mode"),
+        F.sha2(qn, 256).alias("question_hash"),
+        F.sha2(prompt_json, 256).alias("prompt_hash"),
+        F.concat_ws("|", F.sha2(c1n, 256), F.sha2(c2n, 256)).alias(
+            "context_hashes"
+        ),
+        F.lit(2).alias("context_count"),
+        F.when(mode == "env_rules_v1", pii_scrub(question))
+        .otherwise(question).alias("question_out"),
+    ).orderBy("item_id")
+
+
+def _egress_sql() -> str:
+    from earcrawler_spark.functions.text import pii_scrub_sql
+
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    sd = sec.format(x="doc_id")
+
+    def norm(expr):
+        n1 = f"regexp_replace({expr}, '\\r\\n|\\r', chr(10), 'g')"
+        n2 = f"regexp_replace({n1}, '[ \\t]+\\n', chr(10), 'g')"
+        n3 = f"regexp_replace({n2}, '[ \\t]+$', '')"
+        return f"regexp_replace({n3}, '\\n+$', '')"
+
+    q = ("'Does section ' || " + sd +
+         " || ' apply?  ' || chr(13) || chr(10) || "
+         "'Contact j.doe@example.com for detail' || chr(9) || chr(13) || "
+         "chr(10) || chr(13) || chr(10)")
+    c1 = ("'[CTX] provision text ' || CAST(doc_id AS VARCHAR) || '   ' || "
+          "chr(13) || chr(10) || ' line two  '")
+    c2 = "'supplementary note ' || CAST(doc_id % 9 AS VARCHAR)"
+    s = "'You are an export-control assistant.'"
+    qn, c1n, c2n, sn = norm(q), norm(c1), norm(c2), norm(s)
+    esc = lambda e: f"replace({e}, chr(10), '\\n')"
+    prompt = ("'[{\"content\":\"' || " + esc(sn) +
+              " || '\",\"role\":\"system\"},' || '{\"content\":\"' || "
+              + esc(qn) + " || '\",\"role\":\"user\"}]'")
+    return f"""
+SELECT doc_id AS item_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'env_rules_v1' ELSE 'none' END AS redaction_mode,
+       sha256({qn}) AS question_hash,
+       sha256({prompt}) AS prompt_hash,
+       sha256({c1n}) || '|' || sha256({c2n}) AS context_hashes,
+       2 AS context_count,
+       CASE WHEN doc_id % 2 = 0 THEN {pii_scrub_sql(q)}
+            ELSE {q} END AS question_out
+FROM documents
+ORDER BY item_id
+"""
+
+
+SCHEMA_QUERIES["egress_audit"] = q_egress_audit
+SCHEMA_ORACLES["egress_audit"] = _egress_sql()
