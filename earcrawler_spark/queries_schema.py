@@ -1224,7 +1224,10 @@ SCHEMA_ORACLES["telemetry_scrub"] = _telemetry_sql()
 def normalize_egress_text(col):
     """data_egress.normalize_text (security/data_egress.py:37-39): CRLF/CR
     to LF, rstrip each line, strip trailing newlines (RE2-safe — no
-    lookahead: the per-line rstrip consumes and restores the newline)."""
+    lookahead: the per-line rstrip consumes and restores the newline).
+    Documented narrow bound: the per-line rstrip covers space/tab (the
+    reference's str.rstrip also strips exotic unicode whitespace, which
+    the synthetic domain never emits)."""
     n1 = F.regexp_replace(col, r"\r\n|\r", "\n")
     n2 = F.regexp_replace(n1, r"[ \t]+\n", "\n")
     n3 = F.regexp_replace(n2, r"[ \t]+$", "")

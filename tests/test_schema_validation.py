@@ -238,3 +238,41 @@ def test_telemetry_scrub_matches_reference_model(spark):
     got = {r["i"]: r["o"] for r in df.select("i", telemetry_scrub(F.col("v")).alias("o")).collect()}
     for i, c in enumerate(cases):
         assert got[i] == model(c), (c, got[i], model(c))
+
+
+def test_normalize_egress_text_fuzz_vs_model(spark):
+    """normalize_egress_text vs the reference normalize_text over
+    randomized CR/LF/space/tab compositions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from earcrawler_spark.queries_schema import normalize_egress_text
+
+    def model(value):
+        normalized = (value or "").replace("\r\n", "\n").replace("\r", "\n")
+        return "\n".join(
+            line.rstrip(" \t") for line in normalized.split("\n")
+        ).rstrip("\n")
+
+    rng = random.Random(99)
+    frags = ["word", "two words", "", " ", "\t", "  tail  ", "x\t\t"]
+    seps = ["\r\n", "\n", "\r", ""]
+    cases = []
+    for _ in range(200):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            parts.append(rng.choice(frags))
+            parts.append(rng.choice(seps))
+        cases.append("".join(parts))
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, v string"
+    )
+    got = {
+        r["i"]: r["o"]
+        for r in df.select(
+            "i", normalize_egress_text(F.col("v")).alias("o")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == model(c), (repr(c), repr(got[i]), repr(model(c)))
