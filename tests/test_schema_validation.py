@@ -276,3 +276,29 @@ def test_normalize_egress_text_fuzz_vs_model(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == model(c), (repr(c), repr(got[i]), repr(model(c)))
+
+
+def test_bound_materialization_cache_eviction():
+    """Same-session other-sf entries are evicted (and unpersisted);
+    dead sessions' handles are dropped; the current key survives."""
+    from earcrawler_spark.session import bound_materialization_cache
+
+    class FakeDF:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    a, b, c, d = FakeDF(), FakeDF(), FakeDF(), FakeDF()
+    cache = {
+        ("app1", "/sf0.001"): a,
+        ("app1", "/sf0.01"): b,
+        ("app2", "/sf0.001"): c,
+        ("app1", "/sf0.1"): d,
+    }
+    bound_materialization_cache(cache, ("app1", "/sf0.1"))
+    assert set(cache) == {("app1", "/sf0.1")}
+    assert a.unpersisted and b.unpersisted
+    assert not c.unpersisted  # dead-session handle dropped, not touched
+    assert not d.unpersisted  # the current key is preserved
