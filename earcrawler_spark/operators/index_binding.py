@@ -31,18 +31,25 @@ def exact_corpus_digest(docs: DataFrame, id_col: str = "doc_id",
     Deliberate single-reducer plan (repartition(1) + in-partition sort)
     — the sequential hash cannot be parallelized without changing the
     reference's byte stream.
+
+    Reference quirk (build_corpus.py:64-68): the id goes through
+    `str(doc.get('doc_id') or '')`, so FALSY ids coerce to '' in both
+    the sort key and the hashed bytes.  Falsiness is Python-typed:
+    numeric 0 is falsy, the string "0" is not — mirrored here off the
+    column's dtype.
     """
-    line = F.concat_ws(
-        "",
-        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
-        F.lit("\n"),
-        F.coalesce(F.col(text_col), F.lit("")),
-        F.lit("\n"),
-    )
-    return (
-        docs.select(
-            F.col(id_col).cast("string").alias("_k"), line.alias("_line")
+    col = F.col(id_col)
+    if dict(docs.dtypes).get(id_col) == "string":
+        key = F.when(col.isNull() | (col == ""), F.lit("")).otherwise(col)
+    else:
+        key = (
+            F.when(col.isNull() | (col == F.lit(0)), F.lit(""))
+            .otherwise(col.cast("string"))
         )
+    line = F.concat_ws("", key, F.lit("\n"),
+                       F.coalesce(F.col(text_col), F.lit("")), F.lit("\n"))
+    return (
+        docs.select(key.alias("_k"), line.alias("_line"))
         .repartition(1)
         .sortWithinPartitions("_k")
         .agg(
@@ -72,8 +79,11 @@ def verify_index_binding(
     )
     j = index_meta.crossJoin(F.broadcast(truth))
     model_match = F.coalesce(F.col("embedding_model"), F.lit("")) == expected_model
-    digest_match = F.col("corpus_digest") == F.col("expected_digest")
-    count_match = F.col("doc_count") == F.col("expected_doc_count")
+    # eqNullSafe: a missing sidecar digest/doc_count must REFUSE (the
+    # reference's _verify_meta_contract refuses on any disagreement) —
+    # a plain == would yield NULL and skip the refusal CASE branch.
+    digest_match = F.col("corpus_digest").eqNullSafe(F.col("expected_digest"))
+    count_match = F.col("doc_count").eqNullSafe(F.col("expected_doc_count"))
     refusal = (
         F.when(~model_match, F.lit("embedding_model mismatch"))
         .when(~digest_match, F.lit("corpus_digest mismatch"))

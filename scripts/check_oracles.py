@@ -15,10 +15,13 @@ from tests.oracle_harness import compare, duckdb_conn  # noqa: E402
 
 
 def main() -> int:
+    import duckdb
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(QUERIES)
     spark = get_spark("check_oracles")
     con = duckdb_conn(sf_dir)
+    print(f"duckdb {duckdb.__version__}; strict compare (raw repr + type)")
     failed = []
     for name in names:
         try:

@@ -44,7 +44,24 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out)
 
 
-def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+def _strict_cell(v):
+    """Zero-normalization view of a cell: Python type + full repr.
+
+    No float formatting, no Decimal→float coercion, no timestamp
+    stringification — if Spark hands back 0.15000000000000002 and DuckDB
+    0.15, or one side is Decimal('0.150000') and the other float, this
+    compare fails where the 6-dp legacy compare silently passed (the
+    round-4 driver-gate blind spot, VERDICT r4 What's-wrong #2)."""
+    return (type(v).__name__, repr(v))
+
+
+def strict_normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_strict_cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def compare(spark_df, con, sql: str, strict: bool = True) -> tuple[bool, str]:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
     res = con.execute(sql)
@@ -58,4 +75,10 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     if sn != dn:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
         return False, f"values differ, first diffs: {diffs}"
-    return True, f"OK ({len(s_rows)} rows)"
+    if strict:
+        ss = strict_normalize(s_rows, s_cols)
+        dd = strict_normalize(d_rows, d_cols)
+        if ss != dd:
+            diffs = [(a, b) for a, b in zip(ss, dd) if a != b][:3]
+            return False, f"STRICT repr/type mismatch, first diffs: {diffs}"
+    return True, f"OK ({len(s_rows)} rows, strict)" if strict else f"OK ({len(s_rows)} rows)"

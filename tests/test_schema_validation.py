@@ -56,11 +56,19 @@ def test_index_binding_verdicts(spark):
     # model mismatch wins over any later check, mirroring the reference's
     # check order
     assert not rows["idx-wrong-model"]["binding_ok"]
+    # a missing sidecar (NULL digest + NULL count) must REFUSE, not pass
+    # through as NULL (ADVICE r4: eqNullSafe comparisons)
+    assert rows["idx-no-meta"]["refusal"] == "corpus_digest mismatch"
+    assert rows["idx-no-meta"]["binding_ok"] is False
+    assert rows["idx-no-meta"]["digest_match"] is False
+    assert rows["idx-no-meta"]["count_match"] is False
 
 
 def test_exact_corpus_digest_matches_hashlib_model(spark):
     """exact_corpus_digest vs the reference compute_corpus_digest
-    transcription (sha256 over doc_id\\n text\\n in str(doc_id) order)."""
+    transcription: sha256 over doc_id\\n text\\n in str(doc_id or '')
+    order — FALSY ids (0, None) coerce to '' in both the sort key and
+    the hashed bytes (build_corpus.py:64-68, ADVICE r4)."""
     import hashlib
 
     from earcrawler_spark.operators.index_binding import exact_corpus_digest
@@ -73,11 +81,44 @@ def test_exact_corpus_digest_matches_hashlib_model(spark):
     got = exact_corpus_digest(df).collect()[0]
 
     h = hashlib.sha256()
-    for did, text in sorted(rows, key=lambda r: str(r[0])):
-        h.update(str(did).encode()); h.update(b"\n")
+    for did, text in sorted(rows, key=lambda r: str(r[0] or "")):
+        h.update(str(did or "").encode()); h.update(b"\n")
         h.update(text.encode()); h.update(b"\n")
     assert got["digest"] == h.hexdigest()
     assert got["doc_count"] == len(rows)
+
+    # string-typed ids: "0" is truthy in Python, only ''/None coerce
+    srows = [("0", "zero str"), ("", "empty"), ("9", "nine")]
+    sdf = spark.createDataFrame(srows, "doc_id string, text string")
+    sgot = exact_corpus_digest(sdf).collect()[0]
+    hs = hashlib.sha256()
+    for did, text in sorted(srows, key=lambda r: str(r[0] or "")):
+        hs.update(str(did or "").encode()); hs.update(b"\n")
+        hs.update(text.encode()); hs.update(b"\n")
+    assert sgot["digest"] == hs.hexdigest()
+
+
+def test_llm_output_zero_citations_requires_context(spark):
+    """The answerable-needs-citations rule only fires when the item HAS
+    retrieved context (reference output_schema.py:421 gates on
+    has_structured_context or full_context) — an item with no context
+    entries may answer without citations (ADVICE r4)."""
+    from earcrawler_spark.operators.output_schema import validate_llm_outputs
+
+    payload = (
+        '{"label": "permitted", "answer_text": "fine", "citations": [], '
+        '"evidence_okay": {"ok": true, "reasons": []}, "assumptions": []}'
+    )
+    payloads = spark.createDataFrame(
+        [(1, payload), (2, payload)], "item_id long, raw string"
+    )
+    entries = spark.createDataFrame(
+        [(1, "[EAR-736.2] context text")], "item_id long, entry string"
+    )
+    codes = {r["item_id"]: r["code"]
+             for r in validate_llm_outputs(payloads, entries).collect()}
+    assert codes[1] == "ungrounded_citation"  # has context, no citations
+    assert codes[2] == "ok"                   # no context entries at all
 
 
 def test_validate_items_fuzz_vs_model(spark):
