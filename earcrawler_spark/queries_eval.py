@@ -1818,3 +1818,304 @@ SELECT * FROM (
 
 EVAL_QUERIES["groundedness_reasons"] = q_groundedness_reasons
 EVAL_ORACLES["groundedness_reasons"] = _groundedness_reasons_sql()
+
+
+# --- golden citation-regression harness --------------------------------------
+
+def q_citation_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The golden citation-regression rows
+    (tests/golden/test_citation_regressions.py +
+    tests/fixtures/golden_retrieval_map.py, computing
+    eval_rag_llm.py:1034-1084's per-item citation verdict): a pinned
+    query→expected-citations map joined against the (seeded) retrieval/
+    citation outcome.  Per item: tp/fp/fn vs the expected set, citation
+    precision/recall, missing-ground-truth-in-retrieval, the
+    citation_errors code list in reference insertion order (invalid_id,
+    reserved_cited, not_in_references, not_in_expected, missing_expected,
+    missing_in_retrieval) and the status ladder (retrieval miss wins,
+    then citation_wrong, else ok — eval_rag_llm.py:1078-1083).  Healthy
+    items emit status 'ok' with no codes; each seeded drift class
+    (wrong cite %13, reserved cite %17, invalid id %19, unregistered
+    section %23, retrieval miss %4∧%6) trips its reference code — the
+    reference CI's first tripwire on retrieval drift."""
+    from earcrawler_spark.operators.citation import normalize_section_full
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def sec(x):
+        return F.concat(
+            F.lit("EAR-"), (x % 37 + 700).cast("string"),
+            F.lit("."), (x % 7 + 1).cast("string"),
+        )
+
+    corpus = docs.select(sec(d).alias("ref_sec")).distinct()
+
+    gt_rows = docs.select(
+        d.alias("item_id"),
+        F.explode(
+            F.filter(
+                F.array(sec(d), F.when(d % 4 == 0, sec(d + 1))),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("gsec"),
+    )
+    retr_rows = docs.select(
+        d.alias("item_id"),
+        F.explode(
+            F.filter(
+                F.array(
+                    sec(d), sec(d + 7),
+                    F.when((d % 4 == 0) & (d % 6 != 0), sec(d + 1)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("rsec"),
+    ).distinct()
+    pred_raw = docs.select(
+        d.alias("item_id"),
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(d % 13 == 0, sec(d + 5)).otherwise(sec(d)),
+                    F.when((d % 4 == 0) & (d % 13 != 0), sec(d + 1)),
+                    F.when(d % 17 == 0, F.lit("EAR-740.9(a)(2)")),
+                    F.when(d % 19 == 0, F.lit("")),
+                    F.when(d % 23 == 0, F.lit("EAR-999.99")),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("raw"),
+    ).withColumn("norm", normalize_section_full(F.col("raw")))
+
+    invalid_item = pred_raw.groupBy("item_id").agg(
+        F.sum(F.col("norm").isNull().cast("long")).alias("invalid_cnt")
+    )
+    pred_set = (
+        pred_raw.filter(F.col("norm").isNotNull())
+        .select("item_id", F.col("norm").alias("psec"))
+        .distinct()
+    )
+    reserved = [F.lit(s) for s in RESERVED_OR_INVALID_SECTION_IDS]
+    pred_stats = (
+        pred_set
+        .join(
+            gt_rows.select(F.col("item_id").alias("gi"), F.col("gsec").alias("g")),
+            (F.col("item_id") == F.col("gi")) & (F.col("psec") == F.col("g")),
+            "left",
+        )
+        .drop("gi")
+        .join(
+            corpus.withColumnRenamed("ref_sec", "psec").withColumn(
+                "_in_ref", F.lit(True)
+            ),
+            "psec",
+            "left",
+        )
+        .groupBy("item_id")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(F.col("g").isNotNull().cast("long")).alias("tp"),
+            F.sum(F.col("psec").isin(*reserved).cast("long")).alias("reserved_cnt"),
+            F.sum(F.col("_in_ref").isNull().cast("long")).alias("notref_cnt"),
+        )
+    )
+    gt_stats = (
+        gt_rows
+        .join(
+            pred_set.select(F.col("item_id").alias("pi"), F.col("psec").alias("p")),
+            (F.col("item_id") == F.col("pi")) & (F.col("gsec") == F.col("p")),
+            "left",
+        )
+        .drop("pi")
+        .join(
+            retr_rows.select(F.col("item_id").alias("ri"), F.col("rsec").alias("r")),
+            (F.col("item_id") == F.col("ri")) & (F.col("gsec") == F.col("r")),
+            "left",
+        )
+        .drop("ri")
+        .groupBy("item_id")
+        .agg(
+            F.count(F.lit(1)).alias("ngt"),
+            F.sum(F.col("p").isNull().cast("long")).alias("fn"),
+            F.sum(F.col("r").isNull().cast("long")).alias("miss_cnt"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_set(F.when(F.col("r").isNull(), F.col("gsec")))
+                ),
+                "|",
+            ).alias("missing_in_retrieval"),
+        )
+    )
+    j = (
+        docs.select(d.alias("item_id"))
+        .join(pred_stats, "item_id", "left")
+        .join(gt_stats, "item_id", "left")
+        .select(
+            "item_id",
+            F.coalesce("np", F.lit(0)).alias("np"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("reserved_cnt", F.lit(0)).alias("reserved_cnt"),
+            F.coalesce("notref_cnt", F.lit(0)).alias("notref_cnt"),
+            F.coalesce("ngt", F.lit(0)).alias("ngt"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+            F.coalesce("miss_cnt", F.lit(0)).alias("miss_cnt"),
+            F.coalesce("missing_in_retrieval", F.lit("")).alias(
+                "missing_in_retrieval"
+            ),
+        )
+        .join(invalid_item, "item_id", "left")
+        .withColumn("invalid_cnt", F.coalesce("invalid_cnt", F.lit(0)))
+        .withColumn("fp", F.col("np") - F.col("tp"))
+    )
+    precision = F.when(
+        F.col("np") == 0,
+        F.when(F.col("ngt") == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    ).otherwise(F.col("tp") / F.col("np"))
+    recall = F.when(F.col("ngt") == 0, F.lit(1.0)).otherwise(
+        F.col("tp") / F.col("ngt")
+    )
+    codes = F.concat_ws(
+        "|",
+        F.filter(
+            F.array(
+                F.when(F.col("invalid_cnt") > 0, F.lit("invalid_id")),
+                F.when(F.col("reserved_cnt") > 0, F.lit("reserved_cited")),
+                F.when(F.col("notref_cnt") > 0, F.lit("not_in_references")),
+                F.when(F.col("fp") > 0, F.lit("not_in_expected")),
+                F.when(F.col("fn") > 0, F.lit("missing_expected")),
+                F.when(F.col("miss_cnt") > 0, F.lit("missing_in_retrieval")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    status = (
+        F.when(
+            (F.col("miss_cnt") > 0) & (F.col("ngt") > 0),
+            F.lit("retrieval_miss_gt_section"),
+        )
+        .when(
+            (F.col("fp") > 0) | (F.col("fn") > 0) | (F.col("reserved_cnt") > 0)
+            | (F.col("invalid_cnt") > 0) | (F.col("notref_cnt") > 0),
+            F.lit("citation_wrong"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "item_id", "np", "tp", "fp", "fn",
+        precision.alias("citation_precision"),
+        recall.alias("citation_recall"),
+        "missing_in_retrieval",
+        codes.alias("error_codes"),
+        status.alias("status_category"),
+    ).orderBy("item_id")
+
+
+def _citation_regressions_sql() -> str:
+    # version-stable SQL: unnest fixtures, relational set counts, DOUBLE
+    # single divisions, CASE-concat + ltrim code list (no aggregate lists)
+    from earcrawler_spark.operators.citation import normalize_section_full_sql
+
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    s0 = sec.format(x="doc_id")
+    s1 = sec.format(x="doc_id + 1")
+    s5 = sec.format(x="doc_id + 5")
+    s7 = sec.format(x="doc_id + 7")
+    norm = normalize_section_full_sql("raw")
+    reserved = ", ".join(f"'{s}'" for s in RESERVED_OR_INVALID_SECTION_IDS)
+    return f"""
+WITH corpus AS (
+  SELECT DISTINCT {s0} AS ref_sec FROM documents
+), gt_rows AS (
+  SELECT item_id, gsec FROM (
+    SELECT doc_id AS item_id,
+           unnest([{s0}, CASE WHEN doc_id % 4 = 0 THEN {s1} END]) AS gsec
+    FROM documents) WHERE gsec IS NOT NULL
+), retr_rows AS (
+  SELECT DISTINCT item_id, rsec FROM (
+    SELECT doc_id AS item_id,
+           unnest([{s0}, {s7},
+                   CASE WHEN doc_id % 4 = 0 AND doc_id % 6 <> 0 THEN {s1} END]) AS rsec
+    FROM documents) WHERE rsec IS NOT NULL
+), pred_raw AS (
+  SELECT item_id, raw, {norm} AS norm FROM (
+    SELECT doc_id AS item_id, unnest([
+      CASE WHEN doc_id % 13 = 0 THEN {s5} ELSE {s0} END,
+      CASE WHEN doc_id % 4 = 0 AND doc_id % 13 <> 0 THEN {s1} END,
+      CASE WHEN doc_id % 17 = 0 THEN 'EAR-740.9(a)(2)' END,
+      CASE WHEN doc_id % 19 = 0 THEN '' END,
+      CASE WHEN doc_id % 23 = 0 THEN 'EAR-999.99' END
+    ]) AS raw FROM documents) WHERE raw IS NOT NULL
+), invalid_item AS (
+  SELECT item_id, sum(CASE WHEN norm IS NULL THEN 1 ELSE 0 END) AS invalid_cnt
+  FROM pred_raw GROUP BY item_id
+), pred_set AS (
+  SELECT DISTINCT item_id, norm AS psec FROM pred_raw WHERE norm IS NOT NULL
+), pred_stats AS (
+  SELECT p.item_id, count(*) AS np,
+         sum(CASE WHEN g.gsec IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN p.psec IN ({reserved}) THEN 1 ELSE 0 END) AS reserved_cnt,
+         sum(CASE WHEN c.ref_sec IS NULL THEN 1 ELSE 0 END) AS notref_cnt
+  FROM pred_set p
+  LEFT JOIN gt_rows g ON g.item_id = p.item_id AND g.gsec = p.psec
+  LEFT JOIN corpus c ON c.ref_sec = p.psec
+  GROUP BY p.item_id
+), gt_stats AS (
+  SELECT g.item_id, count(*) AS ngt,
+         sum(CASE WHEN p.psec IS NULL THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN r.rsec IS NULL THEN 1 ELSE 0 END) AS miss_cnt
+  FROM gt_rows g
+  LEFT JOIN pred_set p ON p.item_id = g.item_id AND p.psec = g.gsec
+  LEFT JOIN retr_rows r ON r.item_id = g.item_id AND r.rsec = g.gsec
+  GROUP BY g.item_id
+), miss_str AS (
+  SELECT item_id, string_agg(gsec, '|' ORDER BY gsec) AS missing_in_retrieval
+  FROM (SELECT DISTINCT g.item_id, g.gsec FROM gt_rows g
+        LEFT JOIN retr_rows r ON r.item_id = g.item_id AND r.rsec = g.gsec
+        WHERE r.rsec IS NULL)
+  GROUP BY item_id
+), j AS (
+  SELECT i.doc_id AS item_id,
+         coalesce(ps.np, 0) AS np, coalesce(ps.tp, 0) AS tp,
+         coalesce(ps.np, 0) - coalesce(ps.tp, 0) AS fp,
+         coalesce(gs.fn, 0) AS fn,
+         coalesce(ps.reserved_cnt, 0) AS reserved_cnt,
+         coalesce(ps.notref_cnt, 0) AS notref_cnt,
+         coalesce(ii.invalid_cnt, 0) AS invalid_cnt,
+         coalesce(gs.ngt, 0) AS ngt,
+         coalesce(gs.miss_cnt, 0) AS miss_cnt,
+         coalesce(ms.missing_in_retrieval, '') AS missing_in_retrieval
+  FROM documents i
+  LEFT JOIN pred_stats ps ON ps.item_id = i.doc_id
+  LEFT JOIN gt_stats gs ON gs.item_id = i.doc_id
+  LEFT JOIN invalid_item ii ON ii.item_id = i.doc_id
+  LEFT JOIN miss_str ms ON ms.item_id = i.doc_id
+)
+SELECT item_id, np, tp, fp, fn,
+       CASE WHEN np = 0
+            THEN CASE WHEN ngt = 0 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END
+            ELSE CAST(tp AS DOUBLE) / np END AS citation_precision,
+       CASE WHEN ngt = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(tp AS DOUBLE) / ngt END AS citation_recall,
+       missing_in_retrieval,
+       ltrim(
+         CASE WHEN invalid_cnt > 0 THEN '|invalid_id' ELSE '' END
+         || CASE WHEN reserved_cnt > 0 THEN '|reserved_cited' ELSE '' END
+         || CASE WHEN notref_cnt > 0 THEN '|not_in_references' ELSE '' END
+         || CASE WHEN fp > 0 THEN '|not_in_expected' ELSE '' END
+         || CASE WHEN fn > 0 THEN '|missing_expected' ELSE '' END
+         || CASE WHEN miss_cnt > 0 THEN '|missing_in_retrieval' ELSE '' END,
+         '|') AS error_codes,
+       CASE WHEN miss_cnt > 0 AND ngt > 0 THEN 'retrieval_miss_gt_section'
+            WHEN fp > 0 OR fn > 0 OR reserved_cnt > 0
+                 OR invalid_cnt > 0 OR notref_cnt > 0 THEN 'citation_wrong'
+            ELSE 'ok' END AS status_category
+FROM j
+ORDER BY item_id
+"""
+
+
+EVAL_QUERIES["citation_regressions"] = q_citation_regressions
+EVAL_ORACLES["citation_regressions"] = _citation_regressions_sql()

@@ -1199,6 +1199,192 @@ RAG_QUERIES["rag_context_kg"] = q_rag_context_kg
 RAG_ORACLES["rag_context_kg"] = _rag_context_kg_sql()
 
 
+# --- multihop ablation compare (expansion on/off A/B) -------------------------
+
+def q_multihop_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multihop retrieval-ablation compare
+    (scripts/eval/run_multihop_ablation_compare_stubbed.py +
+    eval_rag_metrics.py:89-173 ablation_metrics/build_ablation_summary +
+    tests/golden/test_multihop_ablation.py): the SAME retrieval under
+    faiss_only (the shared rag_context materialization as-is) vs
+    faiss_plus_kg (context sections expanded over the section KG — the
+    same bounded 2-hop no-revisit walk rag_context_kg performs), scored
+    per eval item against its expected multihop section set (every item
+    carries >= 2 expected sections: the --multihop-only slice by
+    construction).  Per dataset + ALL: expected-section coverage under
+    both conditions, the coverage delta, first-hit rank sums (the
+    per-item rank deltas, aggregated), and kg_path_usage_rate — the
+    reference summary's headline delta (items where expansion
+    contributed a hit base retrieval lacked).
+
+    Scale shape: the ctx seed side is <= top_k sections and broadcast;
+    the edge table is touched once per hop; item scoring is one
+    broadcast join per condition over the exploded expected rows."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def sec(x):
+        return F.concat(
+            F.lit("EAR-"), (x % 37 + 700).cast("string"),
+            F.lit("."), (x % 7 + 1).cast("string"),
+        )
+
+    ctx = _rag_context_materialized(spark, sf_dir).filter(
+        F.col("section_id").isNotNull()
+    )
+    seeds = ctx.groupBy("section_id").agg(F.min("ctx_rank").alias("seed_rank"))
+    edges = _section_edges(docs)
+    h1 = (
+        F.broadcast(seeds)
+        .join(edges, seeds["section_id"] == edges["src"])
+        .filter(F.col("dst") != F.col("section_id"))
+        .select("section_id", "seed_rank", F.col("dst").alias("n1"))
+    )
+    h2 = (
+        h1.join(edges, h1["n1"] == edges["src"])
+        .filter((F.col("dst") != F.col("section_id")) & (F.col("dst") != F.col("n1")))
+        .select("seed_rank", F.col("dst").alias("target"))
+    )
+    exp_targets = h1.select("seed_rank", F.col("n1").alias("target")).unionByName(h2)
+    exp_hits = exp_targets.groupBy("target").agg(
+        F.min("seed_rank").alias("exp_rank")
+    )
+    direct = seeds.select(
+        F.col("section_id").alias("target"), F.col("seed_rank").alias("direct_rank")
+    )
+
+    exp_rows = docs.select(
+        d.alias("item_id"),
+        F.concat(F.lit("ds"), (d % 3).cast("string")).alias("dataset_id"),
+        F.explode(
+            F.filter(
+                F.array(sec(d), sec(d + 1), F.when(d % 4 == 0, sec(d + 2))),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("esec"),
+    )
+    joined = (
+        exp_rows.join(F.broadcast(direct), exp_rows["esec"] == direct["target"], "left")
+        .drop("target")
+        .join(F.broadcast(exp_hits), exp_rows["esec"] == exp_hits["target"], "left")
+        .drop("target")
+        .select(
+            "item_id", "dataset_id",
+            F.col("direct_rank").alias("off_rank"),
+            F.when(F.col("direct_rank").isNull(), F.col("exp_rank"))
+            .when(F.col("exp_rank").isNull(), F.col("direct_rank"))
+            .otherwise(F.least("direct_rank", "exp_rank"))
+            .alias("on_rank"),
+        )
+    )
+    per_item = joined.groupBy("item_id", "dataset_id").agg(
+        F.count(F.lit(1)).alias("n_exp"),
+        F.sum(F.col("off_rank").isNotNull().cast("long")).alias("i_off"),
+        F.sum(F.col("on_rank").isNotNull().cast("long")).alias("i_on"),
+        F.sum(F.coalesce(F.col("off_rank").cast("long"), F.lit(0))).alias("r_off"),
+        F.sum(F.coalesce(F.col("on_rank").cast("long"), F.lit(0))).alias("r_on"),
+    )
+    g = per_item.rollup("dataset_id").agg(
+        F.count(F.lit(1)).alias("num_items"),
+        F.sum("n_exp").alias("expected_total"),
+        F.sum("i_off").alias("hits_off"),
+        F.sum("i_on").alias("hits_on"),
+        F.sum((F.col("i_on") > F.col("i_off")).cast("long")).alias("items_gained"),
+        F.sum("r_off").alias("sum_rank_off"),
+        F.sum("r_on").alias("sum_rank_on"),
+    )
+    cov_off = F.col("hits_off") / F.col("expected_total")
+    cov_on = F.col("hits_on") / F.col("expected_total")
+    return g.select(
+        F.coalesce("dataset_id", F.lit("ALL")).alias("dataset_id"),
+        "num_items", "expected_total", "hits_off", "hits_on", "items_gained",
+        "sum_rank_off", "sum_rank_on",
+        cov_off.alias("coverage_off"),
+        cov_on.alias("coverage_on"),
+        (cov_on - cov_off).alias("coverage_delta"),
+        (F.col("items_gained") / F.col("num_items")).alias("kg_path_usage_rate"),
+    ).orderBy("dataset_id")
+
+
+def _multihop_ablation_sql() -> str:
+    # version-stable SQL: counts + single DOUBLE divisions, UNION ALL
+    # rollup, unnest fixture — nothing DuckDB-version-sensitive
+    sec = ("'EAR-' || CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    s0 = sec.format(x="doc_id")
+    s1 = sec.format(x="doc_id + 1")
+    s2 = sec.format(x="doc_id + 2")
+    rag_sql = _rag_context_sql().rstrip()
+    return f"""
+WITH rag AS ({rag_sql}),
+seeds AS (
+  SELECT section_id, min(ctx_rank) AS seed_rank
+  FROM rag WHERE section_id IS NOT NULL GROUP BY section_id
+), edges AS ({_SQL_SECTION_EDGES}),
+h1 AS (
+  SELECT s.section_id, s.seed_rank, e.dst AS n1
+  FROM seeds s JOIN edges e ON s.section_id = e.src
+  WHERE e.dst <> s.section_id
+), exp_targets AS (
+  SELECT seed_rank, n1 AS target FROM h1
+  UNION ALL
+  SELECT h1.seed_rank, e.dst
+  FROM h1 JOIN edges e ON h1.n1 = e.src
+  WHERE e.dst <> h1.section_id AND e.dst <> h1.n1
+), exp_hits AS (
+  SELECT target, min(seed_rank) AS exp_rank FROM exp_targets GROUP BY target
+), direct AS (
+  SELECT section_id AS target, seed_rank AS direct_rank FROM seeds
+), exp_rows AS (
+  SELECT item_id, dataset_id, esec FROM (
+    SELECT doc_id AS item_id,
+           'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset_id,
+           unnest([{s0}, {s1},
+                   CASE WHEN doc_id % 4 = 0 THEN {s2} END]) AS esec
+    FROM documents) WHERE esec IS NOT NULL
+), joined AS (
+  SELECT r.item_id, r.dataset_id, d.direct_rank AS off_rank,
+         CASE WHEN d.direct_rank IS NULL THEN x.exp_rank
+              WHEN x.exp_rank IS NULL THEN d.direct_rank
+              WHEN d.direct_rank <= x.exp_rank THEN d.direct_rank
+              ELSE x.exp_rank END AS on_rank
+  FROM exp_rows r
+  LEFT JOIN direct d ON r.esec = d.target
+  LEFT JOIN exp_hits x ON r.esec = x.target
+), per_item AS (
+  SELECT item_id, dataset_id, count(*) AS n_exp,
+         sum(CASE WHEN off_rank IS NOT NULL THEN 1 ELSE 0 END) AS i_off,
+         sum(CASE WHEN on_rank IS NOT NULL THEN 1 ELSE 0 END) AS i_on,
+         sum(coalesce(off_rank, 0)) AS r_off,
+         sum(coalesce(on_rank, 0)) AS r_on
+  FROM joined GROUP BY item_id, dataset_id
+), g AS (
+  SELECT dataset_id, count(*) AS num_items, sum(n_exp) AS expected_total,
+         sum(i_off) AS hits_off, sum(i_on) AS hits_on,
+         sum(CASE WHEN i_on > i_off THEN 1 ELSE 0 END) AS items_gained,
+         sum(r_off) AS sum_rank_off, sum(r_on) AS sum_rank_on
+  FROM per_item GROUP BY dataset_id
+  UNION ALL
+  SELECT 'ALL', count(*), sum(n_exp), sum(i_off), sum(i_on),
+         sum(CASE WHEN i_on > i_off THEN 1 ELSE 0 END),
+         sum(r_off), sum(r_on)
+  FROM per_item
+)
+SELECT dataset_id, num_items, expected_total, hits_off, hits_on, items_gained,
+       sum_rank_off, sum_rank_on,
+       CAST(hits_off AS DOUBLE) / expected_total AS coverage_off,
+       CAST(hits_on AS DOUBLE) / expected_total AS coverage_on,
+       CAST(hits_on AS DOUBLE) / expected_total
+         - CAST(hits_off AS DOUBLE) / expected_total AS coverage_delta,
+       CAST(items_gained AS DOUBLE) / num_items AS kg_path_usage_rate
+FROM g ORDER BY dataset_id
+"""
+
+
+RAG_QUERIES["multihop_ablation"] = q_multihop_ablation
+RAG_ORACLES["multihop_ablation"] = _multihop_ablation_sql()
+
+
 # --- kg_expansion_index: the file-backed expansion snippet builder -----------
 
 def q_kg_expansion_index(spark: SparkSession, sf_dir: str) -> DataFrame:

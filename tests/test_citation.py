@@ -350,3 +350,39 @@ def test_fuzz_normalize_section_full(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == model(c), (repr(c), got[i], model(c))
+
+
+def test_citation_regressions_seeded_drift(spark):
+    """Golden citation-regression harness: healthy items are 'ok' with no
+    codes; every seeded drift class trips its reference error code
+    (tests/golden/test_citation_regressions.py scenarios)."""
+    from earcrawler_spark.queries_eval import q_citation_regressions
+
+    rows = {
+        r["item_id"]: r
+        for r in q_citation_regressions(spark, "/root/testdata/sf0.001").collect()
+    }
+    # healthy item: doc 1 hits none of the seeded moduli
+    ok = rows[1]
+    assert ok["status_category"] == "ok"
+    assert ok["error_codes"] == ""
+    assert ok["citation_precision"] == 1.0 and ok["citation_recall"] == 1.0
+    # wrong cite (%13): fp+fn -> citation_wrong
+    wrong = rows[13]
+    assert wrong["status_category"] == "citation_wrong"
+    assert "not_in_expected" in wrong["error_codes"]
+    assert "missing_expected" in wrong["error_codes"]
+    assert wrong["citation_recall"] < 1.0
+    # reserved cite (%17, not %13/%19/%23): reserved_cited fires
+    assert "reserved_cited" in rows[17]["error_codes"]
+    assert rows[17]["status_category"] == "citation_wrong"
+    # invalid id (%19): '' normalizes to null -> invalid_id
+    assert "invalid_id" in rows[19]["error_codes"]
+    # unregistered section (%23): EAR-999.99 -> not_in_references
+    assert "not_in_references" in rows[23]["error_codes"]
+    # retrieval miss (%4 and %6): gt section absent from retrieval wins
+    # the status ladder over citation_wrong (reference :1078-1083)
+    miss = rows[12]
+    assert miss["status_category"] == "retrieval_miss_gt_section"
+    assert "missing_in_retrieval" in miss["error_codes"]
+    assert miss["missing_in_retrieval"] != ""
