@@ -500,15 +500,40 @@ def dedup_clusters(
     struct-min argmax (longest text, tie → smallest doc_id) — the keep
     policy large dedup pipelines use.  Output: one row per clustered doc
     (doc_id, component, is_rep, cluster_size).
+
+    Hot-bucket cap (VERDICT r4): EXACT duplicates pre-collapse to one
+    LSH participant per distinct text hash (group rep = min doc_id), so
+    a corpus with a giant identical-document cluster costs O(group) to
+    collapse instead of O(group²) inside one band bucket.  The collapse
+    is output-preserving: exact dups always pairwise-verify at J=1.0 in
+    the uncollapsed graph, so re-attaching group members to their rep's
+    component reproduces the identical clustering (the rep IS the group
+    min, so min-label components are unchanged) — asserted by the strict
+    oracle row (the DuckDB oracle still runs the uncollapsed pipeline)
+    and the adversarial 1k-identical-docs test.
     """
     from earcrawler_spark.operators.reconcile import connected_components
+
+    # exact-dup pre-collapse: one rep per distinct text
+    th = docs.select(
+        "doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("th")
+    )
+    groups = th.groupBy("th").agg(
+        F.min("doc_id").alias("g_rep"), F.count(F.lit(1)).alias("g_n")
+    )
+    member = th.join(groups, "th").select("doc_id", "g_rep", "g_n").cache()
+    rep_docs = docs.join(
+        member.filter(F.col("doc_id") == F.col("g_rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
 
     # The candidate set is near-dup-bounded (tiny relative to the corpus)
     # and feeds three consumers — materialize it once so the LSH pipeline
     # runs once, and shingle ONLY candidate docs for the verify (the
     # whole-corpus shingling already happened inside the LSH hash pass;
     # re-running it corpus-wide for the verify doubled the query cost).
-    cands = lsh_candidate_pairs(docs, n=n, bands=bands, rows=rows).cache()
+    cands = lsh_candidate_pairs(rep_docs, n=n, bands=bands, rows=rows).cache()
     cands.count()
     cand_ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
@@ -518,7 +543,7 @@ def dedup_clusters(
     # the semi-join + shingling subtree ran twice and dominated the
     # whole verify stage)
     sh = (
-        shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"), n)
+        shingle_rows(rep_docs.join(cand_ids, "doc_id", "left_semi"), n)
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("shingles"))
         .cache()
@@ -534,8 +559,31 @@ def dedup_clusters(
         .select("doc_a", "doc_b")
     )
     cc = connected_components(verified, src="doc_a", dst="doc_b")
+    # multi-member exact-dup groups whose rep never met another rep form
+    # a component of their own IF the rep is shingle-eligible (≥ n
+    # tokens) — exactly the pairs the uncollapsed graph would have
+    # verified among the identical members.  Shorter docs never shingle,
+    # never become candidates, and stay out — mirroring the uncollapsed
+    # behavior.
+    eligible = rep_docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("_ntok")
+    ).filter(F.col("_ntok") >= n).select("doc_id")
+    self_groups = (
+        member.filter((F.col("doc_id") == F.col("g_rep")) & (F.col("g_n") >= 2))
+        .join(eligible, "doc_id", "left_semi")
+        .join(cc.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+        .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("component"))
+    )
+    rep_cc = cc.unionByName(self_groups)
+    # expand rep components back to every member of each text group
+    doc_cc = (
+        member.join(
+            rep_cc.select(F.col("id").alias("g_rep"), "component"), "g_rep"
+        )
+        .select(F.col("doc_id").alias("id"), "component")
+    )
     stats = docs.select(F.col("doc_id").alias("id"), "n_chars")
-    labeled = cc.join(stats, "id")
+    labeled = doc_cc.join(stats, "id")
     rep = (
         labeled.select(
             "component",

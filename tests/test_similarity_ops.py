@@ -158,3 +158,64 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
     a = sorted((r["centroid_id"], tuple(round(x, 9) for x in r["cv"])) for r in trained.collect())
     b = sorted((r["centroid_id"], tuple(round(x, 9) for x in r["cv"])) for r in trained2.collect())
     assert a == b
+
+
+def test_dedup_clusters_exact_dup_hot_bucket(spark):
+    """Adversarial fixture: 1000 byte-identical docs would put C(1000,2)
+    ≈ 500k pairs through one LSH band bucket; the exact-dup pre-collapse
+    reduces the LSH participant set to ONE rep per distinct text while
+    reproducing the identical clustering (component = min doc_id, every
+    member labeled, rep = smallest id among longest texts)."""
+    from earcrawler_spark.operators.similarity import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+    )
+
+    dup_text = "the same exact duplicated text repeated for shingling purposes"
+    rows = [(i, dup_text, len(dup_text)) for i in range(1000)]
+    rows += [
+        (2000 + i, f"unique document number {i} entirely different words x{i * 7}", 48)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+
+    # the blowup the cap avoids: raw LSH on the same corpus emits the
+    # full quadratic pair set for the identical group
+    raw_pairs = lsh_candidate_pairs(df).count()
+    assert raw_pairs >= 1000 * 999 // 2
+
+    out = dedup_clusters(df).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    assert set(by_comp) == {0}
+    cluster = by_comp[0]
+    assert len(cluster) == 1000
+    assert {r["doc_id"] for r in cluster} == set(range(1000))
+    assert all(r["cluster_size"] == 1000 for r in cluster)
+    assert [r["doc_id"] for r in cluster if r["is_rep"]] == [0]
+
+
+def test_dedup_clusters_collapse_output_identical(spark):
+    """Mixed corpus (exact dups + near dups + uniques): the collapsed
+    pipeline must equal a direct uncollapsed model — exact dups join
+    their rep's component even when the rep also near-dup-merges with
+    other texts."""
+    from earcrawler_spark.operators.similarity import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        (0, base, len(base)), (1, base, len(base)), (2, base, len(base)),
+        (3, near, len(near)),
+        (4, "totally different content with other tokens here", 48),
+        (5, "short", 5), (6, "short", 5),  # < n tokens: never clusters
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    out = {r["doc_id"]: r for r in dedup_clusters(df).collect()}
+    # near-dup 3 merges with the exact-dup group 0-2
+    assert set(out) == {0, 1, 2, 3}
+    assert all(out[i]["component"] == 0 for i in (0, 1, 2, 3))
+    assert all(out[i]["cluster_size"] == 4 for i in (0, 1, 2, 3))
+    # shingle-ineligible short dups stay out (uncollapsed parity)
+    assert 5 not in out and 6 not in out
