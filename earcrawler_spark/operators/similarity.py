@@ -382,12 +382,16 @@ def kmeans_train(
         .localCheckpoint()
     )
     for _ in range(iters):
+        # argmin on round(sim, 6) + centroid-id tie-break — the repo's
+        # deterministic bucket+tie-break ranking pattern, which also makes
+        # the Lloyd assignment reproducible across engines (the DuckDB
+        # oracle replays the identical unrolled rounds)
         best = (
             e.crossJoin(F.broadcast(cents))
             .select(
                 "vid", "v",
                 F.struct(
-                    (-cosine(F.col("v"), F.col("cv"))).alias("negsim"),
+                    (-F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("negsim"),
                     F.col("centroid_id").alias("cid"),
                 ).alias("cand"),
             )

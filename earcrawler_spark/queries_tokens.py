@@ -167,9 +167,76 @@ TOKEN_QUERIES = {
     "cosine_neardup": q_cosine_neardup,
 }
 
+def _ivf_sql(k: int = IVF_K, iters: int = IVF_ITERS) -> str:
+    """ann_ivf_lists oracle: the deterministic spherical k-means rounds
+    UNROLLED as SQL (init = k smallest vec_ids, per-round argmin on
+    round(cos, 6) + centroid-id tie-break, per-dim means, renormalize,
+    empty clusters keep the previous centroid) followed by the
+    assignment + inverted-list stage — the whole trained-quantizer path
+    now has an oracle row instead of rows-only (VERDICT r4 #7)."""
+
+    def dot(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(range(1, len({a})+1), "
+                f"i -> {a}[i]*{b}[i]), 'sum')")
+
+    def cos(a: str, b: str) -> str:
+        return (f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))")
+
+    def norm(v: str) -> str:
+        return (f"CASE WHEN sqrt({dot(v, v)}) > 0 "
+                f"THEN list_transform({v}, x -> x / sqrt({dot(v, v)})) "
+                f"ELSE {v} END")
+
+    rounds = []
+    for r in range(1, iters + 1):
+        prev = f"cents{r - 1}"
+        rounds.append(f"""best{r} AS (
+  SELECT vid, v, cid FROM (
+    SELECT e.vid, e.v, c.centroid_id AS cid,
+           row_number() OVER (PARTITION BY e.vid
+             ORDER BY round({cos('e.v', 'c.cv')}, 6) DESC, c.centroid_id) AS rn
+    FROM e, {prev} c) WHERE rn = 1
+), cvec{r} AS (
+  SELECT centroid_id, list(m ORDER BY dim) AS cv_raw FROM (
+    SELECT cid AS centroid_id, dim, avg(x) AS m
+    FROM (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+          FROM best{r})
+    GROUP BY cid, dim)
+  GROUP BY centroid_id
+), cents{r} AS (
+  SELECT p.centroid_id, coalesce({norm('n.cv_raw')}, p.cv) AS cv
+  FROM {prev} p LEFT JOIN cvec{r} n ON p.centroid_id = n.centroid_id
+)""")
+        chain = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vid, {norm('v')} AS v FROM e0
+), cents0 AS (
+  SELECT vid AS centroid_id, v AS cv FROM e ORDER BY vid LIMIT {k}
+),
+{chain},
+e2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assigned AS (
+  SELECT vec_id, cid AS centroid_id, sim FROM (
+    SELECT e2.vec_id, c.centroid_id AS cid,
+           round({cos('e2.v', 'c.cv')}, 6) AS sim,
+           row_number() OVER (PARTITION BY e2.vec_id
+             ORDER BY round({cos('e2.v', 'c.cv')}, 6) DESC, c.centroid_id) AS rn
+    FROM e2, cents{iters} c) WHERE rn = 1
+)
+SELECT centroid_id, count(*) AS list_size,
+       CAST(round(avg(sim), 4) AS DOUBLE) AS avg_sim_to_centroid
+FROM assigned GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
 TOKEN_ORACLES = {
     "token_stats_bpe": _SQL_TOKEN_BPE,
     "rolling_fingerprint": _SQL_ROLLING_FP,
-    # ann_ivf_lists: rows-only (recall pytest-verified)
+    "ann_ivf_lists": _ivf_sql(),
     "cosine_neardup": _SQL_COSINE_NEARDUP,
 }
