@@ -1644,3 +1644,70 @@ ORDER BY dataset_id
 
 RAG_QUERIES["citation_scores_agg"] = q_citation_scores_agg
 RAG_ORACLES["citation_scores_agg"] = _SQL_CITATION_AGG
+
+
+# --- eval report (rendered gate aggregates) -----------------------------------
+
+def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval report row set (scripts/eval/eval_rag_reporting.py
+    build_eval_markdown_lines + eval_rag_artifacts.py +
+    log_eval_summary.py): the reference renders its report from
+    already-computed gate aggregates — here the same join, one row per
+    dataset + ALL, pulling each metric from its owning gate query
+    (groundedness rates, citation micro scores, evidence coverage from
+    the FR coverage gate, multihop/kg-usage from the ablation compare).
+    The queries share their materializations, so this is a metadata-
+    scale join of four tiny aggregate outputs — exactly how a report
+    table over persisted gate outputs composes at scale."""
+    from earcrawler_spark.queries_eval import q_fr_coverage, q_groundedness_gate
+
+    gg = q_groundedness_gate(spark, sf_dir).select(
+        "dataset_id", "num_items", "presence_rate", "valid_citation_rate",
+        "supported_rate", "overclaim_rate", "unanswerable_accuracy",
+    )
+    cs = q_citation_scores_agg(spark, sf_dir).select(
+        "dataset_id", "micro_precision", "micro_recall", "micro_f1",
+    )
+    fc = q_fr_coverage(spark, sf_dir).select(
+        "dataset_id",
+        (F.lit(1) - F.col("missing_in_retrieval_rate")).alias(
+            "evidence_coverage_recall"
+        ),
+    )
+    mh = q_multihop_ablation(spark, sf_dir).select(
+        "dataset_id",
+        F.col("coverage_on").alias("multihop_evidence_coverage_recall"),
+        "kg_path_usage_rate",
+    )
+    return (
+        gg.join(cs, "dataset_id")
+        .join(fc, "dataset_id")
+        .join(mh, "dataset_id")
+        .orderBy("dataset_id")
+    )
+
+
+def _eval_report_sql() -> str:
+    from earcrawler_spark.queries_eval import EVAL_ORACLES
+
+    gg = EVAL_ORACLES["groundedness_gate"].rstrip()
+    fc = EVAL_ORACLES["fr_coverage"].rstrip()
+    cs = _SQL_CITATION_AGG.rstrip()
+    mh = _multihop_ablation_sql().rstrip()
+    return f"""
+SELECT g.dataset_id, g.num_items, g.presence_rate, g.valid_citation_rate,
+       g.supported_rate, g.overclaim_rate, g.unanswerable_accuracy,
+       c.micro_precision, c.micro_recall, c.micro_f1,
+       1 - f.missing_in_retrieval_rate AS evidence_coverage_recall,
+       m.coverage_on AS multihop_evidence_coverage_recall,
+       m.kg_path_usage_rate
+FROM ({gg}) g
+JOIN ({cs}) c ON g.dataset_id = c.dataset_id
+JOIN ({fc}) f ON g.dataset_id = f.dataset_id
+JOIN ({mh}) m ON g.dataset_id = m.dataset_id
+ORDER BY g.dataset_id
+"""
+
+
+RAG_QUERIES["eval_report"] = q_eval_report
+RAG_ORACLES["eval_report"] = _eval_report_sql()
