@@ -2119,3 +2119,410 @@ ORDER BY item_id
 
 EVAL_QUERIES["citation_regressions"] = q_citation_regressions
 EVAL_ORACLES["citation_regressions"] = _citation_regressions_sql()
+
+
+# --- identifier consistency gate ---------------------------------------------
+
+
+def q_id_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_check (scripts/eval/check_id_consistency.py:348-471): every
+    expected EAR section referenced by the eval datasets (ear_sections,
+    expected.citations, evidence span ids — :87-154) must appear exactly
+    once in the retrieval corpus and exactly once in the KG under its
+    canonical IRI.  Per dataset + ALL: num_items, expected sections, the
+    reference's six-way classification sums (ok subtracts each issue
+    list independently, floor 0 — :422-429), invalid-reference
+    occurrences (failed normalizations, incl. evidence doc_ids), and the
+    ok/fail status.  The KG is scanned exactly like the reference — raw
+    line relation, canonical-IRI + legacy ``ear:s_*`` token regexes
+    (:244-261) — via operators.id_consistency.scan_kg_sections.
+
+    Scale shape: the line scan is one regexp pass + explode (linear in
+    KG size, partial-agg distinct); sections are a metadata-scale
+    dimension, so every classify join is broadcast-sized; the final
+    per-dataset + ALL rows are flag sums with no windows."""
+    from earcrawler_spark.operators.id_consistency import (
+        SECTION_IRI_PREFIX,
+        scan_kg_sections,
+    )
+    from earcrawler_spark.functions.iri import section_iri
+    from earcrawler_spark.sources import (
+        normalize_ear_doc_id,
+        normalize_ear_section_id,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def num(x):
+        return F.concat(
+            (x % 37 + 700).cast("string"), F.lit("."), (x % 7 + 1).cast("string")
+        )
+
+    def base(x):
+        return F.concat(F.lit("EAR-"), num(x))
+
+    def ref(field, raw):
+        return F.struct(F.lit(field).alias("field"), raw.alias("raw"))
+
+    refs = (
+        docs.select(
+            d.alias("item_id"),
+            F.concat(F.lit("ds"), (d % 3).cast("string")).alias("dataset_id"),
+            F.filter(
+                F.array(
+                    ref("ear_sections", base(d)),
+                    F.when(d % 3 == 0, ref("ear_sections", F.concat(F.lit("§ "), num(d + 1)))),
+                    F.when(d % 11 == 0, ref("ear_sections", F.lit("not a section"))),
+                    F.when(d % 4 == 0, ref("expected.citations", F.concat(F.lit("15 CFR "), num(d + 2)))),
+                    F.when(d % 13 == 0, ref("expected.citations", F.lit("EAR-"))),
+                    F.when(d % 5 == 0, ref("evidence.doc_spans.span_id", F.concat(base(d + 3), F.lit("(B)")))),
+                    F.when(d % 17 == 0, ref("evidence.doc_spans.doc_id", F.lit("part XIV"))),
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("refs"),
+        )
+        .select("item_id", "dataset_id", F.explode("refs").alias("r"))
+        .select(
+            "item_id",
+            "dataset_id",
+            F.col("r.field").alias("field"),
+            F.col("r.raw").alias("raw"),
+        )
+        .withColumn(
+            "norm",
+            F.when(
+                F.col("field") == "evidence.doc_spans.doc_id",
+                normalize_ear_doc_id(F.col("raw")),
+            ).otherwise(normalize_ear_section_id(F.col("raw"))),
+        )
+    )
+
+    # corpus + KG fixture over the full (part, minor, tail) section space
+    p, m, t = F.col("p"), F.col("m"), F.col("t")
+    space = (
+        docs.select((d % 37).alias("p"), (d % 7 + 1).alias("m"))
+        .distinct()
+        .withColumn("t", F.explode(F.array(F.lit(0), F.lit(1))))
+    )
+    sec = F.concat(
+        F.lit("EAR-"), (p + 700).cast("string"), F.lit("."), m.cast("string"),
+        F.when(t == 1, F.lit("(b)")).otherwise(F.lit("")),
+    )
+    corpclass = (p + m + t) % 13
+    kgclass = (p * 7 + (m - 1) + 5 * t) % 11
+    corpus = space.select(
+        sec.alias("section_id"),
+        F.when(corpclass == 0, F.array().cast("array<int>"))
+        .when(corpclass == 1, F.array(F.lit(1), F.lit(2)))
+        .otherwise(F.array(F.lit(1)))
+        .alias("copies"),
+    ).select("section_id", F.explode("copies"))
+    counts = corpus.groupBy("section_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+    enc_e = F.regexp_replace(F.regexp_replace(sec, r"\(", "%28"), r"\)", "%29")
+    enc_v = F.regexp_replace(enc_e, r"\.", "%2E")
+    tok = F.concat(
+        F.lit("ear:s_"), (p + 700).cast("string"), F.lit("_"), m.cast("string"),
+        F.when(t == 1, F.lit("_b")).otherwise(F.lit("")),
+    )
+    pre = F.lit("<" + SECTION_IRI_PREFIX)
+    lines = space.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(kgclass == 1, F.concat(F.lit("stmt "), tok, F.lit(" ."))),
+                    F.when(
+                        (kgclass == 2) | (kgclass >= 4),
+                        F.concat(pre, enc_e, F.lit("> a ex:Section .")),
+                    ),
+                    F.when(
+                        (kgclass == 2) | (kgclass == 3),
+                        F.concat(pre, enc_v, F.lit("> a ex:Section .")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("line")
+    ).unionByName(
+        docs.filter(d == 0).select(
+            F.explode(
+                F.array(
+                    F.lit("junk ear:s_12_x ."),
+                    F.lit("<" + SECTION_IRI_PREFIX + "EAR-699.9> a ex:Section ."),
+                )
+            ).alias("line")
+        )
+    )
+
+    canonical, legacy = scan_kg_sections(lines)
+    canon_agg = canonical.groupBy("section_id").agg(
+        F.countDistinct("iri").alias("n_iri"), F.max("iri").alias("one_iri")
+    )
+
+    pairs = (
+        refs.filter(
+            F.col("norm").isNotNull()
+            & (F.col("field") != "evidence.doc_spans.doc_id")
+        )
+        .select("dataset_id", F.col("norm").alias("sec"))
+        .distinct()
+    )
+    secs = pairs.select("sec").distinct()
+    cls = (
+        secs.join(counts.withColumnRenamed("section_id", "sec"), "sec", "left")
+        .join(canon_agg.withColumnRenamed("section_id", "sec"), "sec", "left")
+        .join(
+            legacy.withColumnRenamed("section_id", "sec").withColumn(
+                "has_legacy", F.lit(True)
+            ),
+            "sec",
+            "left",
+        )
+        .select(
+            "sec",
+            (F.coalesce(F.col("cnt"), F.lit(0)) == 0).cast("long").alias("miss_c"),
+            (F.coalesce(F.col("cnt"), F.lit(0)) > 1).cast("long").alias("dup_c"),
+            (F.col("n_iri").isNull() & F.col("has_legacy").isNull())
+            .cast("long")
+            .alias("miss_kg"),
+            (
+                (F.col("n_iri").isNull() & F.col("has_legacy").isNotNull())
+                | (
+                    (F.col("n_iri") == 1)
+                    & (F.col("one_iri") != section_iri(F.col("sec")))
+                )
+            )
+            .cast("long")
+            .alias("noncanon"),
+            (F.coalesce(F.col("n_iri"), F.lit(0)) > 1).cast("long").alias("dup_kg"),
+        )
+    )
+
+    def flag_sums(df):
+        return [
+            F.count(F.lit(1)).alias("expected_sections"),
+            F.sum("miss_c").alias("missing_in_corpus"),
+            F.sum("dup_c").alias("duplicate_in_corpus"),
+            F.sum("miss_kg").alias("missing_in_kg"),
+            F.sum("dup_kg").alias("duplicate_in_kg"),
+            F.sum("noncanon").alias("noncanonical_in_kg"),
+        ]
+
+    perds = pairs.join(cls, "sec").groupBy("dataset_id").agg(*flag_sums(None))
+    items = refs.groupBy("dataset_id").agg(
+        F.countDistinct("item_id").alias("num_items")
+    )
+    inv = refs.filter(F.col("norm").isNull()).groupBy("dataset_id").agg(
+        F.count(F.lit(1)).alias("invalid_dataset_refs")
+    )
+    ds_rows = (
+        items.join(perds, "dataset_id", "left")
+        .join(inv, "dataset_id", "left")
+        .select(
+            "dataset_id",
+            "num_items",
+            *[
+                F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+                for c in (
+                    "expected_sections", "missing_in_corpus",
+                    "duplicate_in_corpus", "missing_in_kg", "duplicate_in_kg",
+                    "noncanonical_in_kg", "invalid_dataset_refs",
+                )
+            ],
+        )
+    )
+    all_row = (
+        cls.agg(*flag_sums(None))
+        .crossJoin(
+            F.broadcast(
+                refs.agg(
+                    F.countDistinct("item_id").alias("num_items"),
+                    F.sum(F.col("norm").isNull().cast("long")).alias(
+                        "invalid_dataset_refs"
+                    ),
+                )
+            )
+        )
+        .select(
+            F.lit("ALL").alias("dataset_id"),
+            "num_items", "expected_sections", "missing_in_corpus",
+            "duplicate_in_corpus", "missing_in_kg", "duplicate_in_kg",
+            "noncanonical_in_kg", "invalid_dataset_refs",
+        )
+    )
+    issues = (
+        F.col("missing_in_corpus") + F.col("duplicate_in_corpus")
+        + F.col("missing_in_kg") + F.col("duplicate_in_kg")
+        + F.col("noncanonical_in_kg")
+    )
+    return (
+        ds_rows.unionByName(all_row)
+        .select(
+            "dataset_id",
+            "num_items",
+            "expected_sections",
+            F.greatest(
+                F.lit(0).cast("long"), F.col("expected_sections") - issues
+            ).alias("ok_sections"),
+            "missing_in_corpus", "duplicate_in_corpus", "missing_in_kg",
+            "duplicate_in_kg", "noncanonical_in_kg", "invalid_dataset_refs",
+            F.when(
+                issues + F.col("invalid_dataset_refs") > 0, F.lit("fail")
+            ).otherwise(F.lit("ok")).alias("status"),
+        )
+        .orderBy("dataset_id")
+    )
+
+
+def _id_consistency_sql() -> str:
+    # Version-stable SQL only: UNION ALL fixtures, scalar regex/replace
+    # chains, flag sums — no list lambdas, ROLLUP, median, or float
+    # arithmetic.  The percent-decode and legacy split_part mirrors are
+    # fixture-domain (%28/%29/%2E, <=3 '_'-tokens) — the Spark side runs
+    # the general algorithms (operators/id_consistency.py).
+    from earcrawler_spark.operators.id_consistency import SECTION_IRI_PREFIX
+    from earcrawler_spark.queries_schema import normalize_ear_section_sql
+
+    num = ("CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    nd, nd1, nd2, nd3 = (num.format(x=f"doc_id + {k}") for k in range(4))
+    norm = normalize_ear_section_sql("raw")
+    norm_enc = normalize_ear_section_sql(
+        "replace(replace(replace(encoded, '%28', '('), '%29', ')'), '%2E', '.')"
+    )
+    norm_tok = normalize_ear_section_sql(
+        "t0 || '.' || t1 || CASE WHEN t2 <> '' THEN '(' || lower(t2) || ')' ELSE '' END"
+    )
+    pre = SECTION_IRI_PREFIX
+    sec = ("'EAR-' || CAST(p + 700 AS VARCHAR) || '.' || CAST(m AS VARCHAR) "
+           "|| CASE WHEN t = 1 THEN '(b)' ELSE '' END")
+    tok = ("'ear:s_' || CAST(p + 700 AS VARCHAR) || '_' || CAST(m AS VARCHAR) "
+           "|| CASE WHEN t = 1 THEN '_b' ELSE '' END")
+    enc_e = f"replace(replace({sec}, '(', '%28'), ')', '%29')"
+    enc_v = f"replace({enc_e}, '.', '%2E')"
+    canon_re = r"https://ear\.example\.org/resource/ear/section/([A-Za-z0-9\-._~%]+)"
+    legacy_re = r"\bear:s_([A-Za-z0-9_]+)\b"
+    expected_iri = f"'{pre}' || replace(replace(s.sec, '(', '%28'), ')', '%29')"
+    return f"""
+WITH refs AS (
+  SELECT doc_id AS item_id, 'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset_id,
+         'ear_sections' AS field, 'EAR-' || {nd} AS raw FROM documents
+  UNION ALL SELECT doc_id, 'ds' || CAST(doc_id % 3 AS VARCHAR),
+         'ear_sections', '§ ' || {nd1} FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 'ds' || CAST(doc_id % 3 AS VARCHAR),
+         'ear_sections', 'not a section' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL SELECT doc_id, 'ds' || CAST(doc_id % 3 AS VARCHAR),
+         'expected.citations', '15 CFR ' || {nd2} FROM documents WHERE doc_id % 4 = 0
+  UNION ALL SELECT doc_id, 'ds' || CAST(doc_id % 3 AS VARCHAR),
+         'expected.citations', 'EAR-' FROM documents WHERE doc_id % 13 = 0
+  UNION ALL SELECT doc_id, 'ds' || CAST(doc_id % 3 AS VARCHAR),
+         'evidence.doc_spans.span_id', 'EAR-' || {nd3} || '(B)'
+         FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id, 'ds' || CAST(doc_id % 3 AS VARCHAR),
+         'evidence.doc_spans.doc_id', 'part XIV' FROM documents WHERE doc_id % 17 = 0
+), normalized AS (
+  SELECT item_id, dataset_id, field, {norm} AS norm FROM refs
+), space AS (
+  SELECT p, m, t FROM (SELECT DISTINCT doc_id % 37 AS p, doc_id % 7 + 1 AS m
+                       FROM documents)
+  CROSS JOIN (SELECT 0 AS t UNION ALL SELECT 1)
+), counts AS (
+  SELECT section_id, count(*) AS cnt FROM (
+    SELECT {sec} AS section_id FROM space WHERE (p + m + t) % 13 <> 0
+    UNION ALL SELECT {sec} FROM space WHERE (p + m + t) % 13 = 1
+  ) GROUP BY section_id
+), kglines AS (
+  SELECT 'stmt ' || {tok} || ' .' AS line FROM space
+  WHERE (p * 7 + (m - 1) + 5 * t) % 11 = 1
+  UNION ALL SELECT '<{pre}' || {enc_e} || '> a ex:Section .' FROM space
+  WHERE (p * 7 + (m - 1) + 5 * t) % 11 = 2 OR (p * 7 + (m - 1) + 5 * t) % 11 >= 4
+  UNION ALL SELECT '<{pre}' || {enc_v} || '> a ex:Section .' FROM space
+  WHERE (p * 7 + (m - 1) + 5 * t) % 11 IN (2, 3)
+  UNION ALL SELECT 'junk ear:s_12_x .'
+  UNION ALL SELECT '<{pre}EAR-699.9> a ex:Section .'
+), canonical AS (
+  SELECT DISTINCT {norm_enc} AS section_id, '{pre}' || encoded AS iri FROM (
+    SELECT unnest(regexp_extract_all(line, '{canon_re}', 1)) AS encoded
+    FROM kglines)
+  WHERE {norm_enc} IS NOT NULL
+), legacy AS (
+  SELECT DISTINCT {norm_tok} AS section_id FROM (
+    SELECT split_part(tk, '_', 1) AS t0, split_part(tk, '_', 2) AS t1,
+           split_part(tk, '_', 3) AS t2 FROM (
+      SELECT unnest(regexp_extract_all(line, '{legacy_re}', 1)) AS tk
+      FROM kglines))
+  WHERE regexp_matches(t0, '^\\d{{3}}$') AND regexp_matches(t1, '^\\d+$')
+    AND {norm_tok} IS NOT NULL
+), canon_agg AS (
+  SELECT section_id, count(DISTINCT iri) AS n_iri, max(iri) AS one_iri
+  FROM canonical GROUP BY section_id
+), pairs AS (
+  SELECT DISTINCT dataset_id, norm AS sec FROM normalized
+  WHERE norm IS NOT NULL AND field <> 'evidence.doc_spans.doc_id'
+), secs AS (
+  SELECT DISTINCT sec FROM pairs
+), cls AS (
+  SELECT s.sec,
+    CAST(coalesce(c.cnt, 0) = 0 AS BIGINT) AS miss_c,
+    CAST(coalesce(c.cnt, 0) > 1 AS BIGINT) AS dup_c,
+    CAST(a.n_iri IS NULL AND l.section_id IS NULL AS BIGINT) AS miss_kg,
+    CAST((a.n_iri IS NULL AND l.section_id IS NOT NULL)
+         OR (a.n_iri = 1 AND a.one_iri <> {expected_iri}) AS BIGINT) AS noncanon,
+    CAST(coalesce(a.n_iri, 0) > 1 AS BIGINT) AS dup_kg
+  FROM secs s
+  LEFT JOIN counts c ON s.sec = c.section_id
+  LEFT JOIN canon_agg a ON s.sec = a.section_id
+  LEFT JOIN legacy l ON s.sec = l.section_id
+), perds AS (
+  SELECT p.dataset_id, count(*) AS expected_sections,
+         CAST(sum(miss_c) AS BIGINT) AS missing_in_corpus,
+         CAST(sum(dup_c) AS BIGINT) AS duplicate_in_corpus,
+         CAST(sum(miss_kg) AS BIGINT) AS missing_in_kg,
+         CAST(sum(dup_kg) AS BIGINT) AS duplicate_in_kg,
+         CAST(sum(noncanon) AS BIGINT) AS noncanonical_in_kg
+  FROM pairs p JOIN cls ON p.sec = cls.sec GROUP BY p.dataset_id
+), rows_ AS (
+  SELECT i.dataset_id, i.num_items,
+         coalesce(e.expected_sections, 0) AS expected_sections,
+         coalesce(e.missing_in_corpus, 0) AS missing_in_corpus,
+         coalesce(e.duplicate_in_corpus, 0) AS duplicate_in_corpus,
+         coalesce(e.missing_in_kg, 0) AS missing_in_kg,
+         coalesce(e.duplicate_in_kg, 0) AS duplicate_in_kg,
+         coalesce(e.noncanonical_in_kg, 0) AS noncanonical_in_kg,
+         coalesce(v.n, 0) AS invalid_dataset_refs
+  FROM (SELECT dataset_id, count(DISTINCT item_id) AS num_items
+        FROM refs GROUP BY dataset_id) i
+  LEFT JOIN perds e ON i.dataset_id = e.dataset_id
+  LEFT JOIN (SELECT dataset_id, count(*) AS n FROM normalized
+             WHERE norm IS NULL GROUP BY dataset_id) v
+    ON i.dataset_id = v.dataset_id
+  UNION ALL
+  SELECT 'ALL',
+         (SELECT count(DISTINCT item_id) FROM refs),
+         (SELECT count(*) FROM cls),
+         (SELECT CAST(sum(miss_c) AS BIGINT) FROM cls),
+         (SELECT CAST(sum(dup_c) AS BIGINT) FROM cls),
+         (SELECT CAST(sum(miss_kg) AS BIGINT) FROM cls),
+         (SELECT CAST(sum(dup_kg) AS BIGINT) FROM cls),
+         (SELECT CAST(sum(noncanon) AS BIGINT) FROM cls),
+         (SELECT count(*) FROM normalized WHERE norm IS NULL)
+)
+SELECT dataset_id, num_items, expected_sections,
+       greatest(CAST(0 AS BIGINT),
+                expected_sections - missing_in_corpus - duplicate_in_corpus
+                - missing_in_kg - duplicate_in_kg - noncanonical_in_kg)
+         AS ok_sections,
+       missing_in_corpus, duplicate_in_corpus, missing_in_kg,
+       duplicate_in_kg, noncanonical_in_kg, invalid_dataset_refs,
+       CASE WHEN missing_in_corpus + duplicate_in_corpus + missing_in_kg
+                 + duplicate_in_kg + noncanonical_in_kg
+                 + invalid_dataset_refs > 0
+            THEN 'fail' ELSE 'ok' END AS status
+FROM rows_
+ORDER BY dataset_id
+"""
+
+
+EVAL_QUERIES["id_consistency"] = q_id_consistency
+EVAL_ORACLES["id_consistency"] = _id_consistency_sql()
