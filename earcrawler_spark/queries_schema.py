@@ -1344,3 +1344,143 @@ ORDER BY item_id
 
 SCHEMA_QUERIES["egress_audit"] = q_egress_audit
 SCHEMA_ORACLES["egress_audit"] = _egress_sql()
+
+
+# --- HITL decision-event ingest summary --------------------------------------
+
+def q_hitl_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ingest_hitl_directory's parse + summary core
+    (audit/hitl_events.py:102-186): each decision event parses with the
+    reference's coercions — _as_bool truthy set {1,true,yes,y,on} after
+    lowercase-strip (:83-87), _as_int falling back to 0 on non-numeric
+    then floored at 0 (:90-99,111), empty reason_code -> 'other' (:108)
+    — then the ingest report aggregates: event count, override rate,
+    mean time-to-decision, and reason codes sorted by (-count, code)
+    (:166-186).  Rates emit as round(CAST double, 6) per the
+    version-stable oracle rules.
+
+    Scale shape: one projection pass over the event relation + two
+    partial-agg-friendly aggregates; the reason histogram (<=4 rows)
+    broadcast-crossJoins the 1-row stats."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    labels = ["export_controlled", "not_controlled", "unanswerable"]
+    initial = (
+        F.when(d % 3 == 0, F.lit(labels[0]))
+        .when(d % 3 == 1, F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+    )
+    override_raw = (
+        F.when(d % 7 == 0, F.lit("true"))
+        .when(d % 7 == 1, F.lit("1"))
+        .when(d % 7 == 2, F.lit(" YES "))
+        .when(d % 7 == 3, F.lit("y"))
+        .when(d % 7 == 4, F.lit("on"))
+        .when(d % 7 == 5, F.lit("false"))
+        .otherwise(F.lit(""))
+    )
+    override = F.lower(F.trim(override_raw)).isin("1", "true", "yes", "y", "on")
+    time_raw = (
+        F.when(d % 5 == 0, F.lit("1200"))
+        .when(d % 5 == 1, F.lit("-50"))
+        .when(d % 5 == 2, F.lit(""))
+        .when(d % 5 == 3, F.lit("notanum"))
+        .otherwise(F.lit("88"))
+    )
+    time_ms = F.greatest(
+        F.lit(0).cast("long"),
+        F.coalesce(F.trim(time_raw).try_cast("long"), F.lit(0).cast("long")),
+    )
+    reason = (
+        F.when(d % 4 == 0, F.lit("insufficient_evidence"))
+        .when(d % 4 == 1, F.lit("wrong_citation"))
+        .when(d % 4 == 2, F.lit("policy_override"))
+        .otherwise(F.lit(""))
+    )
+    reason = F.when(F.trim(reason) == "", F.lit("other")).otherwise(reason)
+
+    events = docs.select(
+        F.concat(F.lit("t-"), d.cast("string")).alias("trace_id"),
+        override.alias("override"),
+        time_ms.alias("time_to_decision_ms"),
+        reason.alias("reason_code"),
+    )
+    stats = events.agg(
+        F.count(F.lit(1)).alias("ingested_events"),
+        F.sum(F.col("override").cast("long")).alias("overrides"),
+        F.round(
+            F.sum(F.col("override").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("override_rate"),
+        F.round(
+            F.sum("time_to_decision_ms").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_time_to_decision_ms"),
+    )
+    reasons = (
+        events.groupBy("reason_code")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("cnt")).alias("neg"),
+                                F.col("reason_code").alias("rc"),
+                                F.col("cnt").alias("cnt"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat(
+                        s["rc"], F.lit(":"), s["cnt"].cast("string")
+                    ),
+                ),
+                "|",
+            ).alias("top_reason_codes")
+        )
+    )
+    return stats.crossJoin(F.broadcast(reasons)).select(
+        "ingested_events", "overrides", "override_rate",
+        "avg_time_to_decision_ms", "top_reason_codes",
+    )
+
+
+def _hitl_sql() -> str:
+    return """
+WITH events AS (
+  SELECT
+    CASE WHEN lower(trim(CASE doc_id % 7
+        WHEN 0 THEN 'true' WHEN 1 THEN '1' WHEN 2 THEN ' YES '
+        WHEN 3 THEN 'y' WHEN 4 THEN 'on' WHEN 5 THEN 'false'
+        ELSE '' END)) IN ('1', 'true', 'yes', 'y', 'on')
+      THEN 1 ELSE 0 END AS override,
+    greatest(CAST(0 AS BIGINT), coalesce(TRY_CAST(trim(CASE doc_id % 5
+        WHEN 0 THEN '1200' WHEN 1 THEN '-50' WHEN 2 THEN ''
+        WHEN 3 THEN 'notanum' ELSE '88' END) AS BIGINT),
+      CAST(0 AS BIGINT))) AS time_to_decision_ms,
+    CASE doc_id % 4
+        WHEN 0 THEN 'insufficient_evidence' WHEN 1 THEN 'wrong_citation'
+        WHEN 2 THEN 'policy_override' ELSE 'other' END AS reason_code
+  FROM documents
+), stats AS (
+  SELECT count(*) AS ingested_events,
+         CAST(sum(override) AS BIGINT) AS overrides,
+         round(CAST(sum(override) AS DOUBLE) / count(*), 6) AS override_rate,
+         round(CAST(sum(time_to_decision_ms) AS DOUBLE) / count(*), 6)
+           AS avg_time_to_decision_ms
+  FROM events
+), reasons AS (
+  SELECT string_agg(reason_code || ':' || CAST(cnt AS VARCHAR), '|'
+                    ORDER BY cnt DESC, reason_code) AS top_reason_codes
+  FROM (SELECT reason_code, count(*) AS cnt FROM events GROUP BY reason_code)
+)
+SELECT ingested_events, overrides, override_rate, avg_time_to_decision_ms,
+       top_reason_codes
+FROM stats CROSS JOIN reasons
+"""
+
+
+SCHEMA_QUERIES["hitl_summary"] = q_hitl_summary
+SCHEMA_ORACLES["hitl_summary"] = _hitl_sql()
