@@ -1182,9 +1182,22 @@ _GATED_R1_R3: frozenset[str] = frozenset(
 )
 
 
+# Rows-only queries whose current impl already has a driver rows-check
+# from an earlier round: re-running them adds no evidence, so when the
+# never-certified set exceeds the 50-slot gate window they yield their
+# slot to oracled queries (round 5: media_features, rows-only r4, impl
+# unchanged since).
+_GATE_DEPRIORITIZED: frozenset[str] = frozenset({"media_features"})
+
+
 def _reorder_for_gate() -> None:
     """Put never-driver-certified queries first in registry iteration order."""
-    order = [k for k in QUERIES if k not in _GATED_R1_R3]
+    order = [
+        k
+        for k in QUERIES
+        if k not in _GATED_R1_R3 and k not in _GATE_DEPRIORITIZED
+    ]
+    order += [k for k in QUERIES if k in _GATE_DEPRIORITIZED]
     order += [k for k in QUERIES if k in _GATED_R1_R3]
     snap = dict(QUERIES)
     QUERIES.clear()
