@@ -1484,3 +1484,358 @@ FROM stats CROSS JOIN reasons
 
 SCHEMA_QUERIES["hitl_summary"] = q_hitl_summary
 SCHEMA_ORACLES["hitl_summary"] = _hitl_sql()
+
+
+# --- trace-pack contract validation ------------------------------------------
+
+def q_trace_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_trace_pack + validate_trace_pack + provenance_hash
+    (trace/trace_pack.py:218-344) with require_kg_paths and
+    require_run_provenance on: per synthetic pack, the canonical-JSON
+    provenance hash over the five normalized evidence parts (sorted
+    keys, compact separators, reference sort orders, droppable
+    entries), the deterministic issue ladder (missing core fields,
+    label-conditional section_quotes on the NORMALIZED list, kg_paths,
+    the five required run_provenance scalars, missing/invalid
+    provenance_hash), and the recomputed expected hash.
+
+    Scale shape: one pack per row, every normalize/serialize/hash step
+    a native higher-order-function column — no explode, no shuffle
+    before the final orderBy."""
+    from earcrawler_spark.operators.trace import (
+        REQUIRED_PROVENANCE_FIELDS,
+        kg_paths_kept_size,
+        provenance_hash,
+        section_quotes_kept_size,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def num(x):
+        return F.concat(
+            (x % 37 + 700).cast("string"), F.lit("."), (x % 7 + 1).cast("string")
+        )
+
+    def sec(x):
+        return F.concat(F.lit("EAR-"), num(x))
+
+    answerable = (d % 4 == 0) | (d % 4 == 1)
+    label = (
+        F.when(d % 4 == 0, F.lit("export_controlled"))
+        .when(d % 4 == 1, F.lit("not_controlled"))
+        .when(d % 4 == 2, F.lit("unanswerable"))
+        .otherwise(F.lit(" Unanswerable "))
+    )
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+    has_q = answerable & (d % 21 != 0)
+    sq = F.filter(
+        F.array(
+            F.when(
+                has_q,
+                F.struct(
+                    sec(d).alias("section_id"),
+                    F.concat(F.lit("alpha "), d.cast("string")).alias("quote"),
+                    F.concat(F.lit("https://s/"), d.cast("string")).alias(
+                        "source_url"
+                    ),
+                    F.lit(0.5).alias("score"),
+                ),
+            ),
+            F.when(
+                has_q & (d % 2 == 0),
+                F.struct(
+                    F.concat(F.lit("§ "), num(d + 1)).alias("section_id"),
+                    F.lit("beta").alias("quote"),
+                    ns.alias("source_url"),
+                    nd.alias("score"),
+                ),
+            ),
+            F.when(
+                has_q & (d % 6 == 0),
+                F.struct(
+                    F.lit("").alias("section_id"),
+                    F.lit("orphan").alias("quote"),
+                    ns.alias("source_url"),
+                    F.lit(1.5).alias("score"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    def edge(s, p_, t):
+        return F.struct(
+            F.lit(s).alias("source"), F.lit(p_).alias("predicate"),
+            F.lit(t).alias("target"),
+        )
+
+    kg = F.filter(
+        F.array(
+            F.when(
+                d % 15 != 0,
+                F.struct(
+                    F.concat(F.lit("p"), d.cast("string")).alias("path_id"),
+                    F.array(
+                        F.struct(
+                            F.concat(F.lit("n"), d.cast("string")).alias(
+                                "source"
+                            ),
+                            F.lit("cites").alias("predicate"),
+                            F.concat(F.lit("n"), (d + 1).cast("string")).alias(
+                                "target"
+                            ),
+                        )
+                    ).alias("edges"),
+                ),
+            ),
+            F.when(
+                (d % 15 != 0) & (d % 3 == 0),
+                F.struct(
+                    F.concat(F.lit("a"), d.cast("string")).alias("path_id"),
+                    F.array(
+                        edge("b", "r", "c"), edge("a", "r", "b"),
+                        edge("", "x", "y"),
+                    ).alias("edges"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    cit = F.filter(
+        F.array(
+            F.struct(
+                sec(d).alias("section_id"), F.lit("z").alias("quote"),
+                F.lit("s1").alias("span_id"), F.lit("faiss").alias("source"),
+            ),
+            F.when(
+                d % 5 == 0,
+                F.struct(
+                    F.lit("736.2").alias("section_id"),
+                    F.lit("").alias("quote"), F.lit("").alias("span_id"),
+                    F.lit("kg").alias("source"),
+                ),
+            ),
+            F.when(
+                d % 7 == 0,
+                F.struct(
+                    F.lit("").alias("section_id"), F.lit("drop").alias("quote"),
+                    F.lit("").alias("span_id"), F.lit("").alias("source"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    meta = F.filter(
+        F.array(
+            F.struct(
+                F.concat(F.lit("d"), d.cast("string")).alias("id"),
+                sec(d).alias("section"), F.lit(1.5).alias("score"),
+                F.lit("faiss").alias("source"),
+                F.concat(F.lit("https://u/"), d.cast("string")).alias("url"),
+                F.lit("T").alias("title"),
+            ),
+            F.when(
+                d % 2 == 1,
+                F.struct(
+                    F.lit("").alias("id"),
+                    F.concat(F.lit("15 CFR "), num(d + 1)).alias("section"),
+                    nd.alias("score"), F.lit("kg").alias("source"),
+                    F.lit("").alias("url"), F.lit("").alias("title"),
+                ),
+            ),
+            F.when(
+                d % 8 == 0,
+                F.struct(
+                    F.concat(F.lit("x"), d.cast("string")).alias("id"),
+                    F.lit("").alias("section"), F.lit(0.25).alias("score"),
+                    F.lit("x").alias("source"), F.lit("").alias("url"),
+                    F.lit("").alias("title"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    prov = F.struct(
+        F.concat(F.lit("snap-"), d.cast("string")).alias("snapshot_id"),
+        F.sha2(F.concat(F.lit("s"), d.cast("string")), 256).alias(
+            "snapshot_sha256"
+        ),
+        F.sha2(F.concat(F.lit("c"), d.cast("string")), 256).alias(
+            "corpus_digest"
+        ),
+        F.concat(F.lit("/idx/"), (d % 5).cast("string")).alias("index_path"),
+        F.lit("").alias("index_sha256"),
+        ns.alias("index_meta_path"),
+        ns.alias("index_meta_sha256"),
+        ns.alias("index_meta_schema_version"),
+        ns.alias("index_build_timestamp_utc"),
+        F.when(d % 19 == 0, F.lit("")).otherwise(F.lit("minilm")).alias(
+            "embedding_model"
+        ),
+        F.lit("").alias("llm_provider"),
+        F.when(d % 2 == 0, F.lit("m1")).otherwise(F.lit("")).alias("llm_model"),
+    )
+
+    base = docs.select(
+        d.alias("item_id"),
+        F.when(d % 23 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("t"), d.cast("string"))
+        ).alias("trace_id"),
+        F.when(d % 29 == 0, F.lit("")).otherwise(
+            F.sha2(F.concat(F.lit("q"), d.cast("string")), 256)
+        ).alias("question_hash"),
+        F.when(d % 31 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("Answer for "), sec(d))
+        ).alias("answer_text"),
+        label.alias("label"),
+        sq.alias("section_quotes"),
+        kg.alias("kg_paths"),
+        cit.alias("citations"),
+        meta.alias("retrieval_metadata"),
+        prov.alias("run_provenance"),
+    ).withColumn(
+        "expected_hash",
+        provenance_hash(
+            F.col("section_quotes"), F.col("kg_paths"), F.col("citations"),
+            F.col("retrieval_metadata"), F.col("run_provenance"),
+        ),
+    ).withColumn(
+        "provided_hash",
+        F.when(F.col("item_id") % 27 == 0, F.lit(""))
+        .when(F.col("item_id") % 27 == 13, F.lit("f" * 8))
+        .otherwise(F.col("expected_hash")),
+    )
+
+    require_quotes = F.lower(F.trim(F.col("label"))) != "unanswerable"
+    ladder = [
+        F.when(F.col("trace_id") == "", F.lit("missing:trace_id")),
+        F.when(F.col("question_hash") == "", F.lit("missing:question_hash")),
+        F.when(F.col("answer_text") == "", F.lit("missing:answer_text")),
+        F.when(F.col("label") == "", F.lit("missing:label")),
+        F.when(
+            require_quotes
+            & (section_quotes_kept_size(F.col("section_quotes")) == 0),
+            F.lit("missing:section_quotes"),
+        ),
+        F.when(
+            kg_paths_kept_size(F.col("kg_paths")) == 0,
+            F.lit("missing:kg_paths"),
+        ),
+        *[
+            F.when(
+                F.trim(F.coalesce(F.col("run_provenance")[f], F.lit(""))) == "",
+                F.lit(f"missing:run_provenance.{f}"),
+            )
+            for f in REQUIRED_PROVENANCE_FIELDS
+        ],
+        F.when(F.col("provided_hash") == "", F.lit("missing:provenance_hash")),
+        F.when(
+            (F.col("provided_hash") != "")
+            & (F.col("provided_hash") != F.col("expected_hash")),
+            F.lit("invalid:provenance_hash"),
+        ),
+    ]
+    issues = F.filter(F.array(*ladder), lambda x: x.isNotNull())
+    return base.select(
+        "item_id",
+        "expected_hash",
+        F.array_join(issues, "|").alias("issues"),
+        F.size(issues).alias("n_issues"),
+        (F.size(issues) == 0).alias("valid"),
+    ).orderBy("item_id")
+
+
+def _trace_sql() -> str:
+    # The oracle reconstructs the canonical payload from fixture
+    # knowledge: entry order within each <=3-entry list is resolved with
+    # explicit CASE comparisons on the reference sort keys (the engine
+    # side runs the general normalize/sort operators).  Strings + one
+    # sha256 per part — version-stable.
+    num = ("CAST(({x}) % 37 + 700 AS VARCHAR) || '.' "
+           "|| CAST(({x}) % 7 + 1 AS VARCHAR)")
+    numd, numd1 = num.format(x="doc_id"), num.format(x="doc_id + 1")
+    di = "CAST(doc_id AS VARCHAR)"
+    d1 = "CAST(doc_id + 1 AS VARCHAR)"
+    jA = (f"'{{\"quote\":\"alpha ' || {di} || '\",\"score\":0.5,"
+          f"\"section_id\":\"EAR-' || {numd} || '\",\"source_url\":"
+          f"\"https://s/' || {di} || '\"}}'")
+    jB = (f"'{{\"quote\":\"beta\",\"score\":null,\"section_id\":\"EAR-' "
+          f"|| {numd1} || '\",\"source_url\":null}}'")
+    sq = (f"CASE WHEN NOT (doc_id % 4 IN (0, 1) AND doc_id % 21 <> 0) THEN '[]' "
+          f"WHEN doc_id % 2 <> 0 THEN '[' || {jA} || ']' "
+          f"WHEN 'EAR-' || {numd} < 'EAR-' || {numd1} "
+          f"THEN '[' || {jA} || ',' || {jB} || ']' "
+          f"ELSE '[' || {jB} || ',' || {jA} || ']' END")
+    jP1 = (f"'{{\"edges\":[{{\"predicate\":\"cites\",\"source\":\"n' || {di} "
+           f"|| '\",\"target\":\"n' || {d1} || '\"}}],\"path_id\":\"p' "
+           f"|| {di} || '\"}}'")
+    jP2 = (f"'{{\"edges\":[{{\"predicate\":\"r\",\"source\":\"a\","
+           f"\"target\":\"b\"}},{{\"predicate\":\"r\",\"source\":\"b\","
+           f"\"target\":\"c\"}}],\"path_id\":\"a' || {di} || '\"}}'")
+    kg = (f"CASE WHEN doc_id % 15 = 0 THEN '[]' "
+          f"WHEN doc_id % 3 = 0 THEN '[' || {jP2} || ',' || {jP1} || ']' "
+          f"ELSE '[' || {jP1} || ']' END")
+    jC1 = (f"'{{\"quote\":\"z\",\"section_id\":\"EAR-' || {numd} || '\","
+           f"\"source\":\"faiss\",\"span_id\":\"s1\"}}'")
+    jC2 = ("'{\"quote\":\"\",\"section_id\":\"EAR-736.2\","
+           "\"source\":\"kg\",\"span_id\":\"\"}'")
+    cit = (f"CASE WHEN doc_id % 5 <> 0 THEN '[' || {jC1} || ']' "
+           f"WHEN 'EAR-' || {numd} < 'EAR-736.2' "
+           f"THEN '[' || {jC1} || ',' || {jC2} || ']' "
+           f"ELSE '[' || {jC2} || ',' || {jC1} || ']' END")
+    jR1 = (f"'{{\"id\":\"d' || {di} || '\",\"score\":1.5,\"section\":\"EAR-' "
+           f"|| {numd} || '\",\"source\":\"faiss\",\"title\":\"T\","
+           f"\"url\":\"https://u/' || {di} || '\"}}'")
+    jR2 = (f"'{{\"id\":\"EAR-' || {numd1} || '\",\"score\":null,"
+           f"\"section\":\"EAR-' || {numd1} || '\",\"source\":\"kg\","
+           f"\"title\":\"\",\"url\":\"\"}}'")
+    jR3 = (f"'{{\"id\":\"x' || {di} || '\",\"score\":0.25,\"section\":\"x' "
+           f"|| {di} || '\",\"source\":\"x\",\"title\":\"\",\"url\":\"\"}}'")
+    meta = (f"'[' || CASE WHEN doc_id % 2 = 1 THEN {jR2} || ',' ELSE '' END "
+            f"|| {jR1} "
+            f"|| CASE WHEN doc_id % 8 = 0 THEN ',' || {jR3} ELSE '' END "
+            f"|| ']'")
+    prov = (
+        "'{\"corpus_digest\":\"' || sha256('c' || " + di + ") || '\"'"
+        " || CASE WHEN doc_id % 19 <> 0 THEN "
+        "',\"embedding_model\":\"minilm\"' ELSE '' END"
+        " || ',\"index_path\":\"/idx/' || CAST(doc_id % 5 AS VARCHAR) || '\"'"
+        " || CASE WHEN doc_id % 2 = 0 THEN ',\"llm_model\":\"m1\"' "
+        "ELSE '' END"
+        " || ',\"snapshot_id\":\"snap-' || " + di + " || '\","
+        "\"snapshot_sha256\":\"' || sha256('s' || " + di + ") || '\"}'"
+    )
+    payload = (f"'{{\"citations\":' || {cit} || ',\"kg_paths\":' || {kg} "
+               f"|| ',\"retrieval_metadata\":' || {meta} "
+               f"|| ',\"run_provenance\":' || {prov} "
+               f"|| ',\"section_quotes\":' || {sq} || '}}'")
+    ladder = [
+        ("doc_id % 23 = 0", "missing:trace_id"),
+        ("doc_id % 29 = 0", "missing:question_hash"),
+        ("doc_id % 31 = 0", "missing:answer_text"),
+        ("doc_id % 4 IN (0, 1) AND doc_id % 21 = 0", "missing:section_quotes"),
+        ("doc_id % 15 = 0", "missing:kg_paths"),
+        ("doc_id % 19 = 0", "missing:run_provenance.embedding_model"),
+        ("doc_id % 27 = 0", "missing:provenance_hash"),
+        ("doc_id % 27 = 13", "invalid:provenance_hash"),
+    ]
+    cases = ", ".join(
+        f"CASE WHEN {cond} THEN '{code}' END" for cond, code in ladder
+    )
+    flags = " + ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END" for cond, _ in ladder
+    )
+    return f"""
+SELECT doc_id AS item_id, sha256({payload}) AS expected_hash,
+       coalesce(concat_ws('|', {cases}), '') AS issues,
+       CAST({flags} AS INTEGER) AS n_issues,
+       ({flags}) = 0 AS valid
+FROM documents
+ORDER BY doc_id
+"""
+
+
+SCHEMA_QUERIES["trace_validation"] = q_trace_validation
+SCHEMA_ORACLES["trace_validation"] = _trace_sql()
