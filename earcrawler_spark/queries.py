@@ -1189,15 +1189,41 @@ _GATED_R1_R3: frozenset[str] = frozenset(
 # unchanged since).
 _GATE_DEPRIORITIZED: frozenset[str] = frozenset({"media_features"})
 
+# Queries fully green in CORRECTNESS_r04.json whose impl AND oracle are
+# unchanged since (modified-since-certification counts as never
+# certified, so the round-5 diffs removed: dedup_clusters — pre-collapse
+# rework; index_binding — null-safe/falsy-id ADVICE fixes;
+# llm_output_violations + generation_policy — the shared output_schema
+# operator's context-gated zero-citations fix).  These sort between the
+# never-certified set and the r1-3 set: they fill any spare gate-window
+# slots with harmless re-certification.
+_GATED_R4: frozenset[str] = frozenset(
+    {
+        "retrieval_compare", "token_stats_bpe", "rolling_fingerprint",
+        "cosine_neardup", "chunking_sections", "entity_extraction",
+        "date_normalization", "text_mining", "reconcile_v2",
+        "reconcile_summary", "record_merge_full", "iri_minting",
+        "part_mining", "provenance_upsert", "part_anchors", "rrf_hybrid",
+        "label_inference", "citation_metrics", "temporal_requests",
+        "knn_l2_bucket", "bm25_tokenized", "citation_boost", "rag_context",
+        "context_lines", "rag_context_kg", "kg_expansion_index",
+        "shape_violations", "sparql_update", "claims_extraction",
+        "eval_schema_violations", "snapshot_violations", "telemetry_scrub",
+        "egress_audit",
+    }
+)
+
 
 def _reorder_for_gate() -> None:
     """Put never-driver-certified queries first in registry iteration order."""
+    certified = _GATED_R1_R3 | _GATED_R4
     order = [
         k
         for k in QUERIES
-        if k not in _GATED_R1_R3 and k not in _GATE_DEPRIORITIZED
+        if k not in certified and k not in _GATE_DEPRIORITIZED
     ]
     order += [k for k in QUERIES if k in _GATE_DEPRIORITIZED]
+    order += [k for k in QUERIES if k in _GATED_R4 and k not in _GATED_R1_R3]
     order += [k for k in QUERIES if k in _GATED_R1_R3]
     snap = dict(QUERIES)
     QUERIES.clear()
