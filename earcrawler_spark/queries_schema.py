@@ -1839,3 +1839,93 @@ ORDER BY doc_id
 
 SCHEMA_QUERIES["trace_validation"] = q_trace_validation
 SCHEMA_ORACLES["trace_validation"] = _trace_sql()
+
+
+# --- canary probe evaluation --------------------------------------------------
+
+def q_canary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluate_canary_response (observability/canary.py:32-68): each
+    probe outcome checks status (skipped when status_code is NULL),
+    latency, and row-count against its budget, accumulating the
+    reference's message parts in order ('; '-joined, 'within budget'
+    when clean) and the pass/fail status."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    latency = ((d * 7) % 5000).cast("double") * 0.5
+    rows_ = (d % 40).cast("int")
+    status_code = (
+        F.when(d % 11 == 0, F.lit(None).cast("int"))
+        .when(d % 13 == 0, F.lit(500))
+        .otherwise(F.lit(200))
+    )
+    max_latency, min_rows, expect = 1200.0, 10, 200
+    parts = F.filter(
+        F.array(
+            F.when(
+                status_code.isNotNull() & (status_code != expect),
+                F.concat(
+                    F.lit("status "), status_code.cast("string"),
+                    F.lit(f" != expected {expect}"),
+                ),
+            ),
+            F.when(
+                latency > max_latency,
+                F.concat(
+                    F.lit("latency "), F.format_string("%.2f", latency),
+                    F.lit(f"ms > {max_latency}ms budget"),
+                ),
+            ),
+            F.when(
+                rows_ < min_rows,
+                F.concat(
+                    F.lit("rows "), rows_.cast("string"),
+                    F.lit(f" < min {min_rows}"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    ok = F.size(parts) == 0
+    return docs.select(
+        F.concat(F.lit("probe-"), d.cast("string")).alias("name"),
+        ok.alias("ok"),
+        F.round(latency, 2).alias("latency_ms"),
+        rows_.alias("observed_rows"),
+        status_code.alias("status_code"),
+        F.when(ok, F.lit("within budget"))
+        .otherwise(F.array_join(parts, "; "))
+        .alias("message"),
+        F.when(ok, F.lit("pass")).otherwise(F.lit("fail")).alias("status"),
+    ).orderBy("name")
+
+
+def _canary_sql() -> str:
+    lat = "CAST((doc_id * 7) % 5000 AS DOUBLE) * 0.5"
+    sc = ("CASE WHEN doc_id % 11 = 0 THEN NULL "
+          "WHEN doc_id % 13 = 0 THEN 500 ELSE 200 END")
+    parts = [
+        (f"{sc} IS NOT NULL AND {sc} <> 200",
+         f"'status ' || CAST({sc} AS VARCHAR) || ' != expected 200'"),
+        (f"{lat} > 1200.0",
+         f"'latency ' || printf('%.2f', {lat}) || 'ms > 1200.0ms budget'"),
+        ("doc_id % 40 < 10",
+         "'rows ' || CAST(doc_id % 40 AS VARCHAR) || ' < min 10'"),
+    ]
+    cases = ", ".join(f"CASE WHEN {c} THEN {m} END" for c, m in parts)
+    anybad = " OR ".join(f"({c})" for c, _ in parts)
+    return f"""
+SELECT 'probe-' || CAST(doc_id AS VARCHAR) AS name,
+       NOT ({anybad}) AS ok,
+       round({lat}, 2) AS latency_ms,
+       CAST(doc_id % 40 AS INTEGER) AS observed_rows,
+       CAST({sc} AS INTEGER) AS status_code,
+       CASE WHEN NOT ({anybad}) THEN 'within budget'
+            ELSE concat_ws('; ', {cases}) END AS message,
+       CASE WHEN NOT ({anybad}) THEN 'pass' ELSE 'fail' END AS status
+FROM documents
+ORDER BY name
+"""
+
+
+SCHEMA_QUERIES["canary_eval"] = q_canary_eval
+SCHEMA_ORACLES["canary_eval"] = _canary_sql()
