@@ -1929,3 +1929,105 @@ ORDER BY name
 
 SCHEMA_QUERIES["canary_eval"] = q_canary_eval
 SCHEMA_ORACLES["canary_eval"] = _canary_sql()
+
+
+# --- upstream status tracker --------------------------------------------------
+
+def q_upstream_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpstreamStatusTracker.snapshot (api_clients/upstream_status.py:
+    88-129): every client operation emits a status from the six-state
+    taxonomy; the tracker keeps the LATEST per (source, operation) —
+    here via a partial-agg-friendly max(struct(ts, event_id, ...)), no
+    window — and the snapshot reports sorted rows with the derived
+    `degraded` flag (state outside {ok, no_results}, :39-41) and the
+    3-dp-rounded cache age (:60)."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("event_id")
+    state = (
+        F.when(d % 6 == 0, F.lit("ok"))
+        .when(d % 6 == 1, F.lit("no_results"))
+        .when(d % 6 == 2, F.lit("missing_credentials"))
+        .when(d % 6 == 3, F.lit("upstream_unavailable"))
+        .when(d % 6 == 4, F.lit("invalid_response"))
+        .otherwise(F.lit("retry_exhausted"))
+    )
+    emitted = ev.select(
+        F.concat(F.lit("src"), (F.col("user_id") % 4).cast("string")).alias(
+            "source"
+        ),
+        F.col("event_type").alias("operation"),
+        F.col("ts"),
+        d.alias("event_id"),
+        state.alias("state"),
+        F.when(d % 5 != 0, (200 + (d % 3) * 100).cast("int")).alias(
+            "status_code"
+        ),
+        (d % 4).cast("int").alias("retry_attempts"),
+        F.when(d % 6 <= 1, (d % 50).cast("int")).alias("result_count"),
+        (d % 7 == 0).alias("cache_hit"),
+        F.when(d % 7 == 0, F.round(F.col("value"), 3)).alias(
+            "cache_age_seconds"
+        ),
+    )
+    latest = (
+        emitted.groupBy("source", "operation")
+        .agg(
+            F.max(
+                F.struct(
+                    "ts", "event_id", "state", "status_code",
+                    "retry_attempts", "result_count", "cache_hit",
+                    "cache_age_seconds",
+                )
+            ).alias("m")
+        )
+        .select(
+            "source",
+            "operation",
+            F.col("m.state").alias("state"),
+            (~F.col("m.state").isin("ok", "no_results")).alias("degraded"),
+            F.col("m.status_code").alias("status_code"),
+            F.col("m.retry_attempts").alias("retry_attempts"),
+            F.col("m.result_count").alias("result_count"),
+            F.col("m.cache_hit").alias("cache_hit"),
+            F.col("m.cache_age_seconds").alias("cache_age_seconds"),
+        )
+    )
+    return latest.orderBy("source", "operation")
+
+
+def _upstream_sql() -> str:
+    state = ("CASE event_id % 6 WHEN 0 THEN 'ok' WHEN 1 THEN 'no_results' "
+             "WHEN 2 THEN 'missing_credentials' "
+             "WHEN 3 THEN 'upstream_unavailable' "
+             "WHEN 4 THEN 'invalid_response' ELSE 'retry_exhausted' END")
+    return f"""
+WITH emitted AS (
+  SELECT 'src' || CAST(user_id % 4 AS VARCHAR) AS source,
+         event_type AS operation, ts, event_id,
+         {state} AS state,
+         CASE WHEN event_id % 5 <> 0
+              THEN CAST(200 + (event_id % 3) * 100 AS INTEGER) END
+           AS status_code,
+         CAST(event_id % 4 AS INTEGER) AS retry_attempts,
+         CASE WHEN event_id % 6 <= 1
+              THEN CAST(event_id % 50 AS INTEGER) END AS result_count,
+         event_id % 7 = 0 AS cache_hit,
+         CASE WHEN event_id % 7 = 0 THEN round(value, 3) END
+           AS cache_age_seconds
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source, operation
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM emitted
+)
+SELECT source, operation, state,
+       state NOT IN ('ok', 'no_results') AS degraded,
+       status_code, retry_attempts, result_count, cache_hit,
+       cache_age_seconds
+FROM ranked WHERE rn = 1
+ORDER BY source, operation
+"""
+
+
+SCHEMA_QUERIES["upstream_status"] = q_upstream_status
+SCHEMA_ORACLES["upstream_status"] = _upstream_sql()
