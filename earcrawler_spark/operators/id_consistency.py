@@ -35,12 +35,15 @@ _LEGACY_RE = r"\bear:s_([A-Za-z0-9_]+)\b"
 
 
 def pct_unquote(col: Column) -> Column:
-    """urllib.parse.unquote for ASCII input: '%'-split; each later
+    """urllib.parse.unquote on the ASCII domain: '%'-split; each later
     fragment decodes its 2-hex head (decode(unhex(..))) and keeps its
-    tail; a fragment without a valid hex head keeps its literal '%'.
-    (Multi-byte UTF-8 sequences would need cross-fragment byte
-    re-assembly — same corpus-domain caveat as
-    functions.iri.quote_segment.)"""
+    tail; a fragment without a decodable head keeps its literal '%'.
+    Only ASCII-range pairs (00-7F) decode — a pair >= 0x80 stays
+    literal rather than crashing the scan on an invalid standalone
+    UTF-8 byte (urllib would splice multi-byte sequences across
+    fragments; same corpus-domain caveat as
+    functions.iri.quote_segment, and a malformed KG line must never
+    kill the job)."""
     parts = F.split(col, "%")
     head = F.element_at(parts, 1)
     rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
@@ -50,7 +53,7 @@ def pct_unquote(col: Column) -> Column:
             F.transform(
                 rest,
                 lambda p: F.when(
-                    F.substring(p, 1, 2).rlike("^[0-9a-fA-F]{2}$"),
+                    F.substring(p, 1, 2).rlike("^[0-7][0-9a-fA-F]$"),
                     F.concat(
                         F.decode(F.unhex(F.substring(p, 1, 2)), "UTF-8"),
                         F.substring(p, 3, 1 << 20),
