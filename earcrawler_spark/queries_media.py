@@ -96,3 +96,78 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_QUERIES["media_features"] = q_media_features
 # no oracle: binary codec stages are not SQL-expressible (rows-only)
+
+
+def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sidecar BUILD stage of the multimodal pipeline, oracled: one
+    row per distinct media asset with the deterministic identity + kind
+    routing the mapInPandas stage uses (multimodal.py:195-228 —
+    media_id = sha256(ref)[:16], kind = int(sha256(ref)[:8], 16) % 3)
+    plus the span fan-in count.  Only the byte-decode stage remains
+    rows-only (`media_features`).
+
+    The kind index is JVM-native via conv(hex, 16, 10) % 3; the DuckDB
+    mirror uses 16^k ≡ 1 (mod 3): the hex value mod 3 equals the sum of
+    its hex digits mod 3."""
+    docs = _span_docs(_t(spark, sf_dir, "documents"))
+    spans = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+    fan_in = spans.groupBy("media_ref").agg(F.count(F.lit(1)).alias("fan_in"))
+    sha = F.sha2(F.col("media_ref"), 256)
+    kind_idx = F.conv(F.substring(sha, 1, 8), 16, 10).cast("long") % 3
+    kind = (
+        F.when(kind_idx == 0, F.lit("image"))
+        .when(kind_idx == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    codec = (
+        F.when(kind_idx == 0, F.lit("ppm"))
+        .when(kind_idx == 1, F.lit("wav"))
+        .otherwise(F.lit("ppmv"))
+    )
+    return fan_in.select(
+        F.substring(sha, 1, 16).alias("media_id"),
+        "media_ref",
+        kind.alias("kind"),
+        codec.alias("codec"),
+        "fan_in",
+    ).orderBy("media_id")
+
+
+def _media_manifest_sql() -> str:
+    digit = "(strpos('0123456789abcdef', substr(sha, {i}, 1)) - 1)"
+    ksum = " + ".join(digit.format(i=i) for i in range(1, 9))
+    return f"""
+WITH spans AS (
+  SELECT 'https://bis.doc.gov/media/' || CAST(doc_id % 120 AS VARCHAR)
+         || '.bin' AS media_ref
+  FROM documents WHERE doc_id % 4 <> 3
+  UNION ALL
+  SELECT 'https://bis.doc.gov/media/' || CAST(doc_id % 40 + 200 AS VARCHAR)
+         || '.bin'
+  FROM documents WHERE doc_id % 8 = 0
+), fan AS (
+  SELECT media_ref, count(*) AS fan_in FROM spans GROUP BY media_ref
+), hashed AS (
+  SELECT media_ref, fan_in, sha256(media_ref) AS sha FROM fan
+), kinds AS (
+  SELECT media_ref, fan_in, substr(sha, 1, 16) AS media_id,
+         CAST(({ksum}) % 3 AS BIGINT) AS kind_idx
+  FROM hashed
+)
+SELECT media_id, media_ref,
+       CASE kind_idx WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CASE kind_idx WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+            ELSE 'ppmv' END AS codec,
+       fan_in
+FROM kinds
+ORDER BY media_id
+"""
+
+
+MEDIA_QUERIES["media_manifest"] = q_media_manifest
+MEDIA_ORACLES["media_manifest"] = _media_manifest_sql()

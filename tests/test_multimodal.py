@@ -160,3 +160,23 @@ def test_media_features_query(spark):
     assert sum(r[1] for r in r1) == 95
     for r in r1:
         assert r[2] > 0  # avg feature norm
+
+
+def test_media_manifest_matches_sidecar_identity(spark):
+    """media_manifest's relational identity/kind routing must agree with
+    the mapInPandas sidecar build row-for-row (same sha256-derived
+    media_id and kind)."""
+    from earcrawler_spark.multimodal import media_table_from_spans
+    from earcrawler_spark.queries_media import _span_docs, q_media_manifest
+
+    sf = "/root/testdata/sf0.001"
+    docs = _span_docs(spark.read.parquet(f"{sf}/documents.parquet"))
+    sidecar = media_table_from_spans(docs).select("media_id", "kind", "codec")
+    manifest = q_media_manifest(spark, sf).select(
+        "media_id", F.col("kind").alias("mkind"), F.col("codec").alias("mcodec")
+    )
+    joined = sidecar.join(manifest, "media_id", "full").collect()
+    assert len(joined) == sidecar.count() == manifest.count()
+    for r in joined:
+        assert r["kind"] == r["mkind"], r
+        assert r["codec"] == r["mcodec"], r
