@@ -1177,7 +1177,9 @@ _GATED_R1_R3: frozenset[str] = frozenset(
         "sessionization", "sales_rollup", "event_pivot", "set_operations",
         "kg_paths", "alias_resolution", "sliding_window",
         # gated in r1/r2 before later registrations displaced them
-        "reconcile_jw", "seen_set_cardinality",
+        # (seen_set_cardinality left this set in round 5: its output row
+        # changed to the oracled exact-counts + HLL-bound-check form)
+        "reconcile_jw",
     }
 )
 
