@@ -72,7 +72,24 @@ def validate_llm_outputs(
     full_ctx = ent.groupBy("item_id").agg(
         _normws(
             F.concat_ws("\n\n", F.array_sort(F.collect_list("_entry")))
-        ).alias("_full")
+        ).alias("_full"),
+        # reference truthiness of the RAW '\n\n' join (output_schema.py
+        # :170, :411, :421): two empty entries join to '\n\n' (truthy)
+        # but a single empty entry joins to '' (falsy)
+        (
+            F.length(
+                F.concat_ws("\n\n", F.array_sort(F.collect_list("_entry")))
+            )
+            > 0
+        ).alias("_ctx_truthy"),
+        # has_structured_context: any entry parsed into the index
+        (
+            F.max(
+                (F.col("_sec").isNotNull() & (F.col("_text") != ""))
+                .cast("int")
+            )
+            == 1
+        ).alias("_has_struct"),
     )
 
     p = payloads.withColumn("_t", F.trim("raw"))
@@ -160,6 +177,9 @@ def validate_llm_outputs(
     )
     assumption_bad = (
         (F.col("_label") != "unanswerable")
+        # reference :411 `if full_context and assumptions` — raw-join
+        # truthiness, not row existence
+        & F.coalesce(F.col("_ctx_truthy"), F.lit(False))
         & F.exists(
             F.coalesce("_assumptions", F.array().cast("array<string>")),
             lambda a: (_normws(a) != "")
@@ -184,10 +204,14 @@ def validate_llm_outputs(
         .when(F.col("_evid_ok") == "false", F.lit("evidence_not_ok"))
         .when(assumption_bad, F.lit("assumption_unsupported"))
         .when(
-            # reference :421 gates this on context existing for the item
-            # (has_structured_context or full_context) — an item with no
-            # retrieved context may answer without citations
-            F.col("_full").isNotNull()
+            # reference :421 gates this on (has_structured_context or
+            # full_context-truthy) — an item with no retrieved context
+            # (or one whose single context entry is empty) may answer
+            # without citations
+            (
+                F.coalesce(F.col("_has_struct"), F.lit(False))
+                | F.coalesce(F.col("_ctx_truthy"), F.lit(False))
+            )
             & (F.col("_label") != "unanswerable")
             & (F.size(F.coalesce("_cits", F.from_json(F.lit("[]"), CITATIONS_SCHEMA))) == 0),
             F.lit("ungrounded_citation"),

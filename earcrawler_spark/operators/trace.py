@@ -38,8 +38,13 @@ REQUIRED_PROVENANCE_FIELDS = (
 
 
 def _s(col: Column) -> Column:
-    """_as_str (trace_pack.py:50-51): None -> '' then strip."""
-    return F.trim(F.coalesce(col, F.lit("")))
+    """_as_str (trace_pack.py:50-51): None -> '' then str.strip().
+    (?U)\\s matches Python's Unicode whitespace (NBSP, em-space, tabs)
+    — F.trim would strip ASCII spaces only.  Exotic control-char
+    whitespace (\\x1c-\\x1f) is outside the corpus domain."""
+    return F.regexp_replace(
+        F.coalesce(col, F.lit("")), r"(?U)^\s+|\s+$", ""
+    )
 
 
 def _jstr(col: Column) -> Column:
@@ -231,8 +236,14 @@ def retrieval_metadata_json(col: Column) -> Column:
         col,
         lambda r: F.struct(
             _s(r["id"]).alias("rid"),
+            # reference truthiness (`row.get("section") or row.get("id")`,
+            # trace_pack.py:164): ANY non-empty RAW string — including
+            # whitespace-only — wins; only None/'' falls back to id
             normalize_section_full(
-                F.when(_s(r["section"]) != "", r["section"]).otherwise(r["id"])
+                F.when(
+                    r["section"].isNotNull() & (r["section"] != ""),
+                    r["section"],
+                ).otherwise(r["id"])
             ).alias("section"),
             r["score"].cast("double").alias("score"),
             _s(r["source"]).alias("source"),

@@ -207,7 +207,7 @@ def _ivf_sql(k: int = IVF_K, iters: int = IVF_ITERS) -> str:
   SELECT p.centroid_id, coalesce({norm('n.cv_raw')}, p.cv) AS cv
   FROM {prev} p LEFT JOIN cvec{r} n ON p.centroid_id = n.centroid_id
 )""")
-        chain = ",\n".join(rounds)
+    chain = ",\n".join(rounds)
     return f"""
 WITH e0 AS (
   SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

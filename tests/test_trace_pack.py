@@ -140,6 +140,9 @@ def test_provenance_hash_matches_reference_model(spark):
         {  # full pack, unsorted inputs, droppable entries
             "section_quotes": [
                 {"section_id": "§ 736.2", "quote": " beta ", "source_url": None, "score": 0.5},
+                # NBSP/em-space padding strips like str.strip()
+                {"section_id": "EAR-701.9", "quote": "\u00a0nb\u2003", "source_url": None, "score": None},
+                {"section_id": "EAR-701.8", "quote": "\u00a0\u00a0", "source_url": None, "score": None},
                 {"section_id": "EAR-700.1", "quote": "alpha", "source_url": "https://x", "score": None},
                 {"section_id": "", "quote": "orphan", "source_url": None, "score": 1.5},
                 {"section_id": "EAR-700.1", "quote": "", "source_url": None, "score": None},
@@ -166,6 +169,9 @@ def test_provenance_hash_matches_reference_model(spark):
                 {"id": "d2", "section": "EAR-736.2", "score": 1.5, "source": "faiss", "url": "https://u", "title": "T"},
                 {"id": "", "section": "15 CFR 700.1", "score": None, "source": "kg", "url": "", "title": ""},
                 {"id": "", "section": "", "score": 0.25, "source": "x", "url": "", "title": ""},
+                # whitespace-only section is TRUTHY in the reference's
+                # `section or id` — it must NOT fall back to the id
+                {"id": "d9", "section": " ", "score": None, "source": "f", "url": "", "title": ""},
             ],
             "run_provenance": {
                 "snapshot_id": "snap-1", "snapshot_sha256": "a" * 64,
