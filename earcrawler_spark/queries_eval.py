@@ -2526,3 +2526,94 @@ ORDER BY dataset_id
 
 EVAL_QUERIES["id_consistency"] = q_id_consistency
 EVAL_ORACLES["id_consistency"] = _id_consistency_sql()
+
+
+# --- answer scoring modes -----------------------------------------------------
+
+
+def q_answer_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_answer_is_correct's exact + normalized modes
+    (scripts/eval/eval_rag_llm.py:241-277) over a gt/pred fixture
+    exercising the whole matrix: identical, case-only difference,
+    'answer:'/'final answer:' prefixes, trailing punctuation, quote
+    wrapping, whitespace padding, and empty ground truth / prediction
+    (always incorrect).  The semantic mode (difflib Ratcliff ratio) has
+    no relational equivalent — it lives in
+    operators/answer_scoring.semantic_match_ratio (Arrow UDF), pinned
+    against difflib in tests/test_answer_scoring.py."""
+    from earcrawler_spark.operators.answer_scoring import (
+        answer_is_correct,
+        normalize_answer_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    gt = (
+        F.when(d % 6 == 0, F.lit("Yes."))
+        .when(d % 6 == 1, F.lit("Answer: Yes!"))
+        .when(d % 6 == 2, F.concat(F.lit("A license is required for activity "), d.cast("string")))
+        .when(d % 6 == 3, F.lit("No"))
+        .when(d % 6 == 4, F.lit(""))
+        .otherwise(F.concat(F.lit("\"Quoted answer "), d.cast("string"), F.lit("\"")))
+    )
+    pred = (
+        F.when(d % 5 == 0, gt)
+        .when(d % 5 == 1, F.upper(gt))
+        .when(d % 5 == 2, F.concat(F.lit("final answer: "), gt))
+        .when(d % 5 == 3, F.concat(F.lit("  "), gt, F.lit("  !!")))
+        .otherwise(F.lit("different entirely"))
+    )
+    base = docs.select(d.alias("item_id"), gt.alias("gt"), pred.alias("pred"))
+    return base.select(
+        "item_id",
+        "gt",
+        "pred",
+        normalize_answer_text(F.col("pred")).alias("norm_pred"),
+        answer_is_correct(F.col("gt"), F.col("pred"), "exact").alias(
+            "correct_exact"
+        ),
+        answer_is_correct(F.col("gt"), F.col("pred"), "normalized").alias(
+            "correct_normalized"
+        ),
+    ).orderBy("item_id")
+
+
+def _answer_scoring_sql() -> str:
+    gt = ("CASE doc_id % 6 WHEN 0 THEN 'Yes.' WHEN 1 THEN 'Answer: Yes!' "
+          "WHEN 2 THEN 'A license is required for activity ' "
+          "|| CAST(doc_id AS VARCHAR) "
+          "WHEN 3 THEN 'No' WHEN 4 THEN '' "
+          "ELSE '\"Quoted answer ' || CAST(doc_id AS VARCHAR) || '\"' END")
+    pred = (f"CASE doc_id % 5 WHEN 0 THEN g WHEN 1 THEN upper(g) "
+            f"WHEN 2 THEN 'final answer: ' || g "
+            f"WHEN 3 THEN '  ' || g || '  !!' "
+            f"ELSE 'different entirely' END")
+
+    def norm(x):
+        ws = lambda e: f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"
+        v = ws(x)
+        v = f"regexp_replace({v}, '(?i)^(answer|final answer)\\s*:\\s*', '')"
+        v = f"lower({v})"
+        v = ws(f"regexp_replace({v}, '\\s+', ' ', 'g')")
+        v = (f"regexp_replace({v}, "
+             "'^[ \\t\\n\\r\"''`]+|[ \\t\\n\\r\"''`]+$', '', 'g')")
+        return (f"regexp_replace({v}, "
+                "'^[ .,:;!?]+|[ .,:;!?]+$', '', 'g')")
+
+    return f"""
+WITH base AS (
+  SELECT doc_id AS item_id, g AS gt, {pred} AS pred
+  FROM (SELECT doc_id, {gt} AS g FROM documents)
+)
+SELECT item_id, gt, pred,
+       {norm('pred')} AS norm_pred,
+       gt <> '' AND pred <> '' AND pred = gt AS correct_exact,
+       gt <> '' AND pred <> '' AND {norm('pred')} = {norm('gt')}
+         AS correct_normalized
+FROM base
+ORDER BY item_id
+"""
+
+
+EVAL_QUERIES["answer_scoring"] = q_answer_scoring
+EVAL_ORACLES["answer_scoring"] = _answer_scoring_sql()
