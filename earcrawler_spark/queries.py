@@ -1147,6 +1147,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(SCHEMA_QUERIES)
     ORACLES.update(SCHEMA_ORACLES)
+    from earcrawler_spark.queries_curation import CURATION_ORACLES, CURATION_QUERIES
+
+    QUERIES.update(CURATION_QUERIES)
+    ORACLES.update(CURATION_ORACLES)
     _reorder_for_gate()
 
 

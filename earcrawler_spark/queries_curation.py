@@ -1,0 +1,414 @@
+"""Query batch — training-data CURATION operators (brief §LLM-pipeline:
+the operations a large-scale training-data pipeline needs beyond the
+reference's own surface).  Five first-class ops over `documents`:
+
+- ``dataset_split``     deterministic hash split (train/val/test) + stats
+- ``decontamination``   benchmark-overlap check (8-gram shingle join)
+- ``repetition_quality`` Gopher-style repetition filters per document
+- ``stratified_sample`` deterministic per-language quota sample
+- ``source_mix``        per-source corpus composition / dup-rate audit
+
+All plans are shuffle-minimal: per-doc work is key-partitioned
+(posexplode + windows partitioned by doc_id — no global sorts), the
+benchmark side of the decontamination join is broadcast (eval sets stay
+small even at 100 TB corpora), and corpus totals enter via a broadcast
+1-row aggregate.  Oracles follow the round-5 version-stable SQL rules
+(CAST(x AS DOUBLE) single divisions, no list-aggregate chains in
+hash-relevant positions, no median/ROLLUP).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from earcrawler_spark.functions.text import tokens
+
+CURATION_QUERIES: dict = {}
+CURATION_ORACLES: dict = {}
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+# --- dataset_split ---------------------------------------------------------
+# First hex byte of sha256(doc_id) → 256 buckets; lexicographic compare on
+# fixed-width lowercase hex equals numeric compare, so ONE string predicate
+# runs identically in Spark and DuckDB.  cc=204 → ~79.7% train, e6=230 →
+# ~10.2% val, rest test.
+_TRAIN_HI = "cc"
+_VAL_HI = "e6"
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-free id hash —
+    the standard reproducible-split op for training corpora.  The split
+    is a pure function of doc_id (stable under re-partitioning, re-runs
+    and cluster size), so downstream epochs see an identical split with
+    zero coordination state."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    split = (
+        F.when(h < _TRAIN_HI, "train").when(h < _VAL_HI, "val").otherwise("test")
+    )
+    per_split = (
+        docs.select(
+            split.alias("split"),
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+            F.col("n_chars"),
+            F.col("lang"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("ws_tokens"),
+            F.countDistinct("lang").alias("distinct_langs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+    total = per_split.agg(F.sum("ws_tokens").alias("total_tokens"))
+    return (
+        per_split.crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            "ws_tokens",
+            "distinct_langs",
+            "avg_chars",
+            F.round(
+                F.col("ws_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("token_share"),
+        )
+        .orderBy("split")
+    )
+
+
+_SQL_DATASET_SPLIT = f"""
+WITH tagged AS (
+  SELECT CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+              WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
+              ELSE 'test' END AS split,
+         len({_TOKENS_SQL}) AS n_tok, n_chars, lang
+  FROM documents
+), per_split AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS ws_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS distinct_langs,
+         round(avg(n_chars), 4) AS avg_chars
+  FROM tagged GROUP BY split
+), tot AS (
+  SELECT CAST(sum(ws_tokens) AS BIGINT) AS total_tokens FROM per_split
+)
+SELECT split, n_docs, ws_tokens, distinct_langs, avg_chars,
+       round(CAST(ws_tokens AS DOUBLE) / total_tokens, 6) AS token_share
+FROM per_split CROSS JOIN tot
+ORDER BY split
+"""
+
+
+# --- decontamination -------------------------------------------------------
+DECON_N = 8
+_EVAL_MOD = 37
+
+
+def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, s) word n-gram rows, JVM-native (posexplode +
+    key-partitioned lead window — the interpreted array-HOF form measured
+    ~2x slower; see operators/similarity.shingle_rows)."""
+    tk = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t", k).over(w) for k in range(1, n)]
+    return (
+        tk.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .dropDuplicates(["doc_id", "s"])
+        .select("doc_id", "s")
+    )
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-gram word shingle with the held-out eval slice (doc_id % 37 == 0
+    models the benchmark set).  The eval side is broadcast — benchmark
+    suites stay O(10^4-10^5) documents even when the training corpus is
+    100 TB, so the contamination check is one broadcast-hash probe per
+    training-doc shingle, no shuffle of the big side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingle_rows(docs, DECON_N)
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == 0
+    ev = sh.filter(is_eval).select(
+        F.col("s"), F.col("doc_id").alias("eval_id")
+    )
+    tr = sh.filter(~is_eval)
+    tr_tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("hit_shingles"),
+            F.countDistinct("eval_id").alias("eval_docs_hit"),
+        )
+    )
+    return (
+        hits.join(tr_tot, "doc_id")
+        .select(
+            "doc_id",
+            "hit_shingles",
+            "eval_docs_hit",
+            F.round(
+                F.col("hit_shingles").cast("double") / F.col("n_shingles"), 6
+            ).alias("severity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DECONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - {DECON_N - 1}, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + {DECON_N - 1}), ' '))) AS s
+    FROM toks)
+), ev AS (
+  SELECT s, doc_id AS eval_id FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+), tr AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % {_EVAL_MOD} <> 0
+), tr_tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id
+), hits AS (
+  SELECT tr.doc_id,
+         CAST(count(DISTINCT tr.s) AS BIGINT) AS hit_shingles,
+         CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS eval_docs_hit
+  FROM tr JOIN ev ON tr.s = ev.s
+  GROUP BY tr.doc_id
+)
+SELECT h.doc_id, h.hit_shingles, h.eval_docs_hit,
+       round(CAST(h.hit_shingles AS DOUBLE) / t.n_shingles, 6) AS severity
+FROM hits h JOIN tr_tot t ON h.doc_id = t.doc_id
+ORDER BY h.doc_id
+"""
+
+
+# --- repetition_quality ----------------------------------------------------
+_TOP_BIGRAM_MAX = 0.18
+_DISTINCT_MIN = 0.20
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document: type/token ratio,
+    mass of the most frequent word, and token mass of the most frequent
+    bigram; `repetitive` applies the standard thresholds (top-bigram
+    fraction > 0.18 — counting only bigrams that actually repeat — or
+    distinct ratio < 0.2).  All per-doc work is
+    key-partitioned (groupBy doc_id / window over doc_id) — partial
+    aggregation keeps the shuffle at one row per (doc, term)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t"))
+    word_counts = tk.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = word_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.max("c").alias("max_word"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tk.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)).alias("b"),
+            F.lead("t", 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    distinct_ratio = F.round(
+        F.col("distinct_tokens").cast("double") / F.col("n_tokens"), 6
+    )
+    top_word = F.round(F.col("max_word").cast("double") / F.col("n_tokens"), 6)
+    top_bigram = F.round(
+        (F.coalesce(F.col("max_bigram"), F.lit(0)) * 2).cast("double")
+        / F.col("n_tokens"),
+        6,
+    )
+    return (
+        per_doc.join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            distinct_ratio.alias("distinct_ratio"),
+            top_word.alias("top_word_frac"),
+            top_bigram.alias("top_bigram_frac"),
+            (
+                (
+                    (F.coalesce(F.col("max_bigram"), F.lit(0)) >= 2)
+                    & (top_bigram > F.lit(_TOP_BIGRAM_MAX).cast("double"))
+                )
+                | (distinct_ratio < F.lit(_DISTINCT_MIN).cast("double"))
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_REPETITION = f"""
+WITH tk AS (
+  SELECT doc_id, t, CAST(pos AS BIGINT) AS pos FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS t,
+           generate_subscripts({_TOKENS_SQL}, 1) AS pos
+    FROM documents)
+), wc AS (
+  SELECT doc_id, t, count(*) AS c FROM tk GROUP BY doc_id, t
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_tokens,
+         CAST(max(c) AS BIGINT) AS max_word
+  FROM wc GROUP BY doc_id
+), bg_rows AS (
+  SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS b,
+         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS tail
+  FROM tk
+), bg AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bigram FROM (
+    SELECT doc_id, b, count(*) AS c FROM bg_rows WHERE tail IS NOT NULL
+    GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tokens,
+       round(CAST(p.distinct_tokens AS DOUBLE) / p.n_tokens, 6) AS distinct_ratio,
+       round(CAST(p.max_word AS DOUBLE) / p.n_tokens, 6) AS top_word_frac,
+       round(CAST(coalesce(bg.max_bigram, 0) * 2 AS DOUBLE) / p.n_tokens, 6) AS top_bigram_frac,
+       ((coalesce(bg.max_bigram, 0) >= 2
+         AND round(CAST(coalesce(bg.max_bigram, 0) * 2 AS DOUBLE) / p.n_tokens, 6)
+           > CAST({_TOP_BIGRAM_MAX} AS DOUBLE))
+        OR round(CAST(p.distinct_tokens AS DOUBLE) / p.n_tokens, 6)
+          < CAST({_DISTINCT_MIN} AS DOUBLE)) AS repetitive
+FROM per_doc p LEFT JOIN bg ON p.doc_id = bg.doc_id
+ORDER BY p.doc_id
+"""
+
+
+# --- stratified_sample -----------------------------------------------------
+SAMPLE_K = 20
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample: rank documents inside
+    each language stratum by a content-free salted hash and keep the
+    first K.  Reproducible under any partitioning/cluster size (pure
+    function of (doc_id, lang)); the window is stratum-partitioned so
+    there is no global sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hk = F.sha2(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("lang")), 256
+    )
+    w = W.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+        .orderBy("lang", "sample_rank")
+    )
+
+
+_SQL_STRATIFIED = f"""
+SELECT lang, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':' || lang), doc_id
+         ) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {SAMPLE_K}
+ORDER BY lang, sample_rank
+"""
+
+
+# --- source_mix ------------------------------------------------------------
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition audit: document and distinct-text
+    counts (exact-dup rate via sha256 content hash), token totals and
+    each source's share of the corpus token budget — the curation view
+    used to rebalance a source mix before training.  One groupBy on
+    source; the corpus total enters as a broadcast 1-row aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = (
+        docs.select(
+            "source",
+            F.sha2(F.col("text"), 256).alias("h"),
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+            "n_chars",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("distinct_texts"),
+            F.sum("n_tok").alias("ws_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+    total = per_src.agg(F.sum("ws_tokens").alias("total_tokens"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "distinct_texts",
+            F.round(
+                (F.col("n_docs") - F.col("distinct_texts")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("exact_dup_rate"),
+            "ws_tokens",
+            F.round(
+                F.col("ws_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("token_share"),
+            "avg_chars",
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SOURCE_MIX = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_texts,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS ws_tokens,
+         round(avg(n_chars), 4) AS avg_chars
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(ws_tokens) AS BIGINT) AS total_tokens FROM per_src
+)
+SELECT source, n_docs, distinct_texts,
+       round(CAST(n_docs - distinct_texts AS DOUBLE) / n_docs, 6) AS exact_dup_rate,
+       ws_tokens,
+       round(CAST(ws_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       avg_chars
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
+
+
+CURATION_QUERIES.update(
+    {
+        "dataset_split": q_dataset_split,
+        "decontamination": q_decontamination,
+        "repetition_quality": q_repetition_quality,
+        "stratified_sample": q_stratified_sample,
+        "source_mix": q_source_mix,
+    }
+)
+CURATION_ORACLES.update(
+    {
+        "dataset_split": _SQL_DATASET_SPLIT,
+        "decontamination": _SQL_DECONTAMINATION,
+        "repetition_quality": _SQL_REPETITION,
+        "stratified_sample": _SQL_STRATIFIED,
+        "source_mix": _SQL_SOURCE_MIX,
+    }
+)

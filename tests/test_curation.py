@@ -1,0 +1,142 @@
+"""Training-data curation operators (queries_curation): deterministic
+splits, benchmark decontamination, repetition filters, stratified
+sampling, source-mix audit.  Seeded-defect fixtures assert each check
+FIRES, not just that clean data passes."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dataset_split_partitions_and_proportions(spark):
+    from earcrawler_spark.queries_curation import q_dataset_split
+
+    rows = {r["split"]: r for r in q_dataset_split(spark, SF).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    n = sum(r["n_docs"] for r in rows.values())
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert n == docs.count()  # every doc lands in exactly one split
+    # hash split targets ~79.7 / 10.2 / 10.2 — wide tolerance at 500 docs
+    assert 0.70 <= rows["train"]["n_docs"] / n <= 0.90
+    assert abs(sum(r["token_share"] for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_dataset_split_is_pure_function_of_doc_id(spark):
+    """The split must match a direct sha256 model, row for row."""
+    from earcrawler_spark.queries_curation import _TRAIN_HI, _VAL_HI
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()
+
+    def model(doc_id: int) -> str:
+        b = hashlib.sha256(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if b < _TRAIN_HI else ("val" if b < _VAL_HI else "test")
+
+    from earcrawler_spark.queries_curation import q_dataset_split
+
+    got = {r["split"]: r["n_docs"] for r in q_dataset_split(spark, SF).collect()}
+    want: dict = {}
+    for r in docs:
+        want[model(r["doc_id"])] = want.get(model(r["doc_id"]), 0) + 1
+    assert got == want
+
+
+def test_decontamination_detects_seeded_overlap(spark, tmp_path):
+    """A train doc that quotes 8 consecutive words of an eval doc must be
+    flagged; fully disjoint docs must not."""
+    from earcrawler_spark.queries_curation import q_decontamination
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, eval_text, "en", "src0", len(eval_text)),  # doc_id % 37 == 0 -> eval
+        (1, "prefix words then alpha beta gamma delta epsilon zeta eta theta tail",
+         "en", "src1", 60),  # contains an 8-gram of the eval doc
+        (2, "totally unrelated content with no overlap at all here okay",
+         "en", "src1", 60),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars int")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_decontamination(spark, str(tmp_path)).collect()}
+    assert 1 in out and 2 not in out
+    assert out[1]["hit_shingles"] >= 1 and out[1]["eval_docs_hit"] == 1
+    assert 0.0 < out[1]["severity"] <= 1.0
+
+
+def test_decontamination_never_reports_eval_docs(spark):
+    from earcrawler_spark.queries_curation import q_decontamination
+
+    for r in q_decontamination(spark, SF).collect():
+        assert r["doc_id"] % 37 != 0
+
+
+def test_repetition_quality_flags_degenerate_doc(spark, tmp_path):
+    from earcrawler_spark.queries_curation import q_repetition_quality
+
+    rows = [
+        (1, "spam ham " * 30, "en", "s", 300),          # one bigram dominates
+        (2, "one two three four five six seven eight nine ten", "en", "s", 49),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars int")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_repetition_quality(spark, str(tmp_path)).collect()}
+    assert out[1]["repetitive"] is True
+    assert out[1]["distinct_ratio"] < 0.1
+    assert out[2]["repetitive"] is False
+    assert out[2]["distinct_ratio"] == 1.0
+    assert out[2]["top_word_frac"] == 0.1
+
+
+def test_repetition_quality_single_token_doc(spark, tmp_path):
+    """No bigram exists -> top_bigram_frac 0, no crash, not repetitive by
+    the bigram rule (but distinct_ratio 1.0 keeps it clean)."""
+    from earcrawler_spark.queries_curation import q_repetition_quality
+
+    df = spark.createDataFrame(
+        [(5, "solo", "en", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    (row,) = q_repetition_quality(spark, str(tmp_path)).collect()
+    assert row["n_tokens"] == 1
+    assert row["top_bigram_frac"] == 0.0
+    assert row["repetitive"] is False
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from earcrawler_spark.queries_curation import SAMPLE_K, q_stratified_sample
+
+    out = q_stratified_sample(spark, SF)
+    rows = out.collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lang_counts = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    for lang, sampled in per_lang.items():
+        assert len(sampled) == min(SAMPLE_K, lang_counts[lang])
+        assert sorted(r["sample_rank"] for r in sampled) == list(range(1, len(sampled) + 1))
+    # deterministic under a different shuffle width
+    again = sorted((r["lang"], r["doc_id"], r["sample_rank"]) for r in
+                   q_stratified_sample(spark, SF).repartition(13).collect())
+    assert again == sorted((r["lang"], r["doc_id"], r["sample_rank"]) for r in rows)
+
+
+def test_source_mix_shares_and_dup_rate(spark, tmp_path):
+    from earcrawler_spark.queries_curation import q_source_mix
+
+    rows = [
+        (1, "same text", "en", "a", 9),
+        (2, "same text", "en", "a", 9),     # exact dup inside source a
+        (3, "other text", "en", "a", 10),
+        (4, "unique here", "en", "b", 11),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars int")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["source"]: r for r in q_source_mix(spark, str(tmp_path)).collect()}
+    assert out["a"]["n_docs"] == 3 and out["a"]["distinct_texts"] == 2
+    assert round(out["a"]["exact_dup_rate"], 6) == round(1 / 3, 6)
+    assert out["b"]["exact_dup_rate"] == 0.0
+    assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-4
