@@ -1151,6 +1151,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(CURATION_QUERIES)
     ORACLES.update(CURATION_ORACLES)
+    from earcrawler_spark.queries_training import TRAINING_ORACLES, TRAINING_QUERIES
+
+    QUERIES.update(TRAINING_QUERIES)
+    ORACLES.update(TRAINING_ORACLES)
     _reorder_for_gate()
 
 

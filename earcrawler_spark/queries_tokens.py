@@ -160,33 +160,123 @@ ORDER BY vec_a, vec_b
 """
 
 
+NPROBE = 3
+SEARCH_K = 10
+SEARCH_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-probe top-k retrieval — the similarity-search
+    SCALE path (brute-force `knn_bruteforce` is the baseline): train the
+    coarse quantizer, probe each query's nprobe=3 nearest inverted
+    lists, rank candidates inside the probed lists only, and carry an
+    `in_exact_topk` flag against the exact brute-force top-10 so every
+    row is its own recall evidence.
+
+    Scale shape (100 TB): the probed-lists join keys on centroid_id —
+    the big side is the (vec_id, centroid_id) assignment co-located by
+    one shuffle, the probe side is |Q|*nprobe rows broadcast; scoring
+    touches only sum_probed |list| candidates instead of |Q|*N. The
+    exact leg exists for recall accounting and stays a broadcast of |Q|
+    rows over one corpus scan."""
+    from earcrawler_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        ivf_assign,
+        kmeans_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=IVF_K, iters=IVF_ITERS)
+    assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id").isin(SEARCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("psim"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("psim"), "centroid_id")
+            ),
+        )
+        .filter(F.col("pr") <= NPROBE)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    hits = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+        ),
+    ).filter(F.col("rank") <= SEARCH_K)
+    exact = cosine_topk(emb, SEARCH_QUERY_IDS, k=SEARCH_K).select(
+        "query_id", "neighbor_id", F.lit(True).alias("hit")
+    )
+    return (
+        hits.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cosine",
+            F.coalesce("hit", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 TOKEN_QUERIES = {
     "token_stats_bpe": q_token_stats_bpe,
     "rolling_fingerprint": q_rolling_fingerprint,
     "ann_ivf_lists": q_ann_ivf,
+    "ann_ivf_search": q_ann_ivf_search,
     "cosine_neardup": q_cosine_neardup,
 }
 
-def _ivf_sql(k: int = IVF_K, iters: int = IVF_ITERS) -> str:
-    """ann_ivf_lists oracle: the deterministic spherical k-means rounds
-    UNROLLED as SQL (init = k smallest vec_ids, per-round argmin on
-    round(cos, 6) + centroid-id tie-break, per-dim means, renormalize,
-    empty clusters keep the previous centroid) followed by the
-    assignment + inverted-list stage — the whole trained-quantizer path
-    now has an oracle row instead of rows-only (VERDICT r4 #7)."""
+def _sql_dot(a: str, b: str) -> str:
+    return (f"list_aggregate(list_transform(range(1, len({a})+1), "
+            f"i -> {a}[i]*{b}[i]), 'sum')")
 
-    def dot(a: str, b: str) -> str:
-        return (f"list_aggregate(list_transform(range(1, len({a})+1), "
-                f"i -> {a}[i]*{b}[i]), 'sum')")
 
-    def cos(a: str, b: str) -> str:
-        return (f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))")
+def _sql_cos(a: str, b: str) -> str:
+    return (f"({_sql_dot(a, b)} / "
+            f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))")
 
-    def norm(v: str) -> str:
-        return (f"CASE WHEN sqrt({dot(v, v)}) > 0 "
-                f"THEN list_transform({v}, x -> x / sqrt({dot(v, v)})) "
-                f"ELSE {v} END")
 
+def _sql_norm(v: str) -> str:
+    return (f"CASE WHEN sqrt({_sql_dot(v, v)}) > 0 "
+            f"THEN list_transform({v}, x -> x / sqrt({_sql_dot(v, v)})) "
+            f"ELSE {v} END")
+
+
+def kmeans_cents_sql(k: int, iters: int) -> tuple[str, str]:
+    """The deterministic spherical k-means rounds UNROLLED as DuckDB
+    CTEs (init = k smallest vec_ids, per-round argmin on round(cos, 6)
+    + centroid-id tie-break, per-dim means, renormalize, empty clusters
+    keep the previous centroid) — mirrors operators/similarity.
+    kmeans_train exactly. Returns (cte_chain, final_cents_name) so both
+    the ann_ivf_lists and semdedup oracles share one trained-quantizer
+    definition."""
+    cos, norm = _sql_cos, _sql_norm
     rounds = []
     for r in range(1, iters + 1):
         prev = f"cents{r - 1}"
@@ -207,16 +297,27 @@ def _ivf_sql(k: int = IVF_K, iters: int = IVF_ITERS) -> str:
   SELECT p.centroid_id, coalesce({norm('n.cv_raw')}, p.cv) AS cv
   FROM {prev} p LEFT JOIN cvec{r} n ON p.centroid_id = n.centroid_id
 )""")
-    chain = ",\n".join(rounds)
-    return f"""
-WITH e0 AS (
+    rounds_sql = ",\n".join(rounds)
+    chain = f"""e0 AS (
   SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), e AS (
   SELECT vid, {norm('v')} AS v FROM e0
 ), cents0 AS (
   SELECT vid AS centroid_id, v AS cv FROM e ORDER BY vid LIMIT {k}
 ),
-{chain},
+{rounds_sql}"""
+    return chain, f"cents{iters}"
+
+
+def _ivf_sql(k: int = IVF_K, iters: int = IVF_ITERS) -> str:
+    """ann_ivf_lists oracle: the shared trained-quantizer CTE chain
+    (kmeans_cents_sql) followed by the assignment + inverted-list stage
+    — the whole trained path has an oracle row instead of rows-only
+    (VERDICT r4 #7)."""
+    cos = _sql_cos
+    chain, cents = kmeans_cents_sql(k, iters)
+    return f"""
+WITH {chain},
 e2 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), assigned AS (
@@ -225,7 +326,7 @@ e2 AS (
            round({cos('e2.v', 'c.cv')}, 6) AS sim,
            row_number() OVER (PARTITION BY e2.vec_id
              ORDER BY round({cos('e2.v', 'c.cv')}, 6) DESC, c.centroid_id) AS rn
-    FROM e2, cents{iters} c) WHERE rn = 1
+    FROM e2, {cents} c) WHERE rn = 1
 )
 SELECT centroid_id, count(*) AS list_size,
        CAST(round(avg(sim), 4) AS DOUBLE) AS avg_sim_to_centroid
@@ -234,9 +335,67 @@ ORDER BY centroid_id
 """
 
 
+def _ivf_search_sql(
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = NPROBE,
+    topk: int = SEARCH_K,
+) -> str:
+    """ann_ivf_search oracle: shared trained-quantizer CTE chain +
+    assignment, nprobe-list probing, in-list ranking, and the exact
+    brute-force top-k leg for the in_exact_topk flag."""
+    cos = _sql_cos
+    chain, cents = kmeans_cents_sql(k, iters)
+    qids = ", ".join(str(i) for i in SEARCH_QUERY_IDS)
+    return f"""
+WITH {chain},
+e2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assigned AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e2.vec_id, c.centroid_id AS cid,
+           row_number() OVER (PARTITION BY e2.vec_id
+             ORDER BY round({cos('e2.v', 'c.cv')}, 6) DESC, c.centroid_id) AS rn
+    FROM e2, {cents} c) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id IN ({qids})
+), probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({cos('q.qv', 'c.cv')}, 6) DESC, c.centroid_id) AS pr
+    FROM q, {cents} c) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, e2.vec_id AS neighbor_id,
+         round({cos('p.qv', 'e2.v')}, 6) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN e2 ON e2.vec_id = a.vec_id
+  WHERE e2.vec_id <> p.query_id
+), hits AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored QUALIFY rank <= {topk}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({cos('q.qv', 'e2.v')}, 6) DESC, e2.vec_id) AS rk
+    FROM q, e2 WHERE e2.vec_id <> q.query_id) WHERE rk <= {topk}
+)
+SELECT h.query_id, h.rank, h.neighbor_id, h.cosine,
+       (x.neighbor_id IS NOT NULL) AS in_exact_topk
+FROM hits h LEFT JOIN exact x
+  ON x.query_id = h.query_id AND x.neighbor_id = h.neighbor_id
+ORDER BY h.query_id, h.rank
+"""
+
+
 TOKEN_ORACLES = {
     "token_stats_bpe": _SQL_TOKEN_BPE,
     "rolling_fingerprint": _SQL_ROLLING_FP,
     "ann_ivf_lists": _ivf_sql(),
+    "ann_ivf_search": _ivf_search_sql(),
     "cosine_neardup": _SQL_COSINE_NEARDUP,
 }

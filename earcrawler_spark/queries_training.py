@@ -1,0 +1,527 @@
+"""Query batch — training-data PIPELINE operators, part 2 (brief
+§LLM-pipeline: operations a large-scale training-data pipeline needs
+beyond the reference's own surface; part 1 is queries_curation.py).
+
+- ``shard_packing``      greedy token-budget shard assignment (prefix sum)
+- ``temperature_mix``    temperature-scaled source sampling weights
+- ``chunk_dedup``        C4-style duplicated-span (8-token chunk) audit
+- ``unigram_quality``    corpus unigram-LM per-doc quality scoring
+- ``semdedup``           semantic dedup inside trained IVF clusters
+- ``embedding_outliers`` mean-direction embedding outlier detection
+
+Scale notes (100 TB / 1000 executors):
+- shard_packing's prefix sum is windowed PER LANGUAGE (the shard streams
+  are per-lang), so no global sort — at real scale each lang partition
+  range-partitions by doc_id and the classic two-phase prefix sum
+  (per-partition totals -> broadcast offsets) keeps it one shuffle.
+- temperature_mix / unigram_quality reduce to a tiny per-source / vocab
+  aggregate that is broadcast back; the corpus side streams once.
+- chunk_dedup shuffles once on the chunk hash (same key pattern as
+  dedup_exact); chunk texts are fixed-width so skew is bounded.
+- semdedup confines the quadratic cosine join to WITHIN a coarse
+  k-means cluster (the SemDedup recipe): pair count drops from O(n^2)
+  to sum_c |c|^2, and each cluster's pairs co-locate under one shuffle
+  key. embedding_outliers is a broadcast of one 64-float mean vector.
+
+Determinism / oracle stability: every float that reaches the hash is
+either a single IEEE operation on exact integers, an ordered array fold
+(Spark F.aggregate == DuckDB list_aggregate, element order fixed), or a
+fixed-point micro-integer sum (round(x,6)*1e6 -> BIGINT) so sums are
+exact and order-independent on both engines (round-5 version-stable SQL
+rules: no DECIMAL literals, no median/ROLLUP/list-aggregate chains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from earcrawler_spark.functions.text import tokens
+
+TRAINING_QUERIES: dict = {}
+TRAINING_ORACLES: dict = {}
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- shard_packing ----------------------------------------------------------
+SHARD_BUDGET = 1024  # tokens per shard
+
+
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-token-budget
+    shards, one shard stream per language: a doc goes to the shard its
+    cumulative-token prefix starts in (docs may overflow the boundary —
+    the standard deterministic packing that needs no bin-packing state).
+    Pure function of (lang, doc_id, n_tok): stable under re-runs and
+    cluster size. Emits per-shard manifests."""
+    docs = _docs(spark, sf_dir).select(
+        "lang", "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = docs.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")).cast("double")
+            / F.lit(SHARD_BUDGET).cast("double")
+        )
+        .cast("bigint")
+        .alias("shard_no"),
+    )
+    return (
+        packed.groupBy("lang", "shard_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            "lang",
+            "shard_no",
+            "n_docs",
+            "shard_tokens",
+            "first_doc",
+            "last_doc",
+            F.round(
+                F.col("shard_tokens").cast("double")
+                / F.lit(SHARD_BUDGET).cast("double"),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang", "shard_no")
+    )
+
+
+_SQL_SHARD_PACKING = f"""
+WITH toks AS (
+  SELECT lang, doc_id, len({_TOKENS_SQL}) AS n_tok FROM documents
+), packed AS (
+  SELECT lang, doc_id, n_tok,
+         CAST(floor(CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS DOUBLE)
+              / CAST({SHARD_BUDGET} AS DOUBLE)) AS BIGINT) AS shard_no
+  FROM toks
+)
+SELECT lang, shard_no, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       round(CAST(sum(n_tok) AS DOUBLE) / CAST({SHARD_BUDGET} AS DOUBLE), 6) AS fill_ratio
+FROM packed GROUP BY lang, shard_no
+ORDER BY lang, shard_no
+"""
+
+
+# --- temperature_mix --------------------------------------------------------
+MIX_TARGET_TOKENS = 1_000_000  # tokens drawn per sampling epoch
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5, i.e. sqrt
+    up/down-weighting — the multilingual-corpus sampling standard):
+    per-source token counts c_i -> weight sqrt(c_i) / sum_j sqrt(c_j),
+    sampled tokens for a 1M-token epoch, and the implied epochs-over-
+    source rate (>1 = the source repeats). sqrt is IEEE-exact and the
+    weight denominator is a fixed-point micro-integer sum, so every
+    emitted float is engine-stable."""
+    per_src = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens"))
+        .withColumn(
+            "sw",
+            F.round(
+                F.sqrt(F.col("tokens").cast("double")) * F.lit(1_000_000.0), 0
+            ).cast("bigint"),
+        )
+    )
+    total = per_src.agg(F.sum("sw").alias("total_sw"))
+    wgt = F.col("sw").cast("double") / F.col("total_sw")
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(wgt, 6).alias("mix_weight"),
+            F.round(wgt * F.lit(float(MIX_TARGET_TOKENS)), 0)
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("sampled_tokens").cast("double") / F.col("tokens"), 4
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TEMPERATURE_MIX = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), sw AS (
+  SELECT source, n_docs, tokens,
+         CAST(round(sqrt(CAST(tokens AS DOUBLE)) * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS sw
+  FROM per_src
+), tot AS (
+  SELECT CAST(sum(sw) AS BIGINT) AS total_sw FROM sw
+)
+SELECT source, n_docs, tokens,
+       round(CAST(sw AS DOUBLE) / total_sw, 6) AS mix_weight,
+       CAST(round(CAST(sw AS DOUBLE) / total_sw * CAST({MIX_TARGET_TOKENS} AS DOUBLE), 0) AS BIGINT)
+         AS sampled_tokens,
+       round(CAST(CAST(round(CAST(sw AS DOUBLE) / total_sw * CAST({MIX_TARGET_TOKENS} AS DOUBLE), 0) AS BIGINT) AS DOUBLE)
+             / tokens, 4) AS epochs
+FROM sw CROSS JOIN tot
+ORDER BY source
+"""
+
+
+# --- chunk_dedup ------------------------------------------------------------
+CHUNK_TOKENS = 8
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span audit: split each doc into
+    non-overlapping 8-token chunks; a chunk occurrence is a duplicate
+    when the same 8-token text already occurred earlier in (doc_id,
+    chunk_no) order anywhere in the corpus. Emits the per-doc duplicate
+    load (the rows a span-dedup pass would rewrite). One shuffle on the
+    chunk text — the exact-dedup key pattern at corpus scale."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    ).withColumn("chunk_no", F.floor(F.col("pos") / F.lit(CHUNK_TOKENS)))
+    chunks = (
+        tk.groupBy("doc_id", "chunk_no")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("ps"))
+        .filter(F.size("ps") == CHUNK_TOKENS)
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.array_join(
+                F.transform(F.col("ps"), lambda s: s["t"]), " "
+            ).alias("chunk_text"),
+        )
+    )
+    occ = chunks.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("chunk_text").orderBy("doc_id", "chunk_no")
+        ),
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.round(
+                F.col("dup_chunks").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_CHUNK_DEDUP = f"""
+WITH tk AS (
+  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS t
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents)
+), chunks AS (
+  SELECT doc_id, CAST(floor(pos / {CHUNK_TOKENS}) AS BIGINT) AS chunk_no,
+         string_agg(t, ' ' ORDER BY pos) AS chunk_text,
+         count(*) AS n_tok
+  FROM tk GROUP BY doc_id, CAST(floor(pos / {CHUNK_TOKENS}) AS BIGINT)
+), occ AS (
+  SELECT doc_id, chunk_no, chunk_text,
+         row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_no) AS rn
+  FROM chunks WHERE n_tok = {CHUNK_TOKENS}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+FROM occ GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- unigram_quality --------------------------------------------------------
+# Quality bands on avg token log-prob (natural log); thresholds sized on
+# the synthetic corpus so all three bands are populated.
+QUALITY_HI = -3.4
+QUALITY_LO = -3.41
+
+
+def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM quality score per document: build the unigram
+    LM over the whole corpus (token -> ln(count/total)), score each doc
+    by its mean token log-prob, band into high/mid/low. The LM is a
+    broadcast dim (vocab aggregate); per-token log-probs are fixed-point
+    micro-integers so the per-doc sum is exact on both engines. At 100 TB
+    the vocab gets a min-count threshold + OOV floor — same plan shape."""
+    tk = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    vocab = tk.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    lm = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("total"))
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    avg_lp = (
+        F.col("s").cast("double")
+        / F.col("n_tok").cast("double")
+        / F.lit(1_000_000.0)
+    )
+    return (
+        tk.join(F.broadcast(lm), "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("lp_micro").alias("s"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(avg_lp, 6).alias("avg_logp"),
+            F.when(F.round(avg_lp, 6) >= QUALITY_HI, "high")
+            .when(F.round(avg_lp, 6) >= QUALITY_LO, "mid")
+            .otherwise("low")
+            .alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_UNIGRAM_QUALITY = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
+), vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY t
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab
+), lm AS (
+  SELECT t, CAST(round(ln(CAST(c AS DOUBLE) / total) * CAST(1000000 AS DOUBLE), 0) AS BIGINT)
+           AS lp_micro
+  FROM vocab CROSS JOIN tot
+), scored AS (
+  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(lm.lp_micro) AS BIGINT) AS s
+  FROM tk JOIN lm ON tk.t = lm.t
+  GROUP BY tk.doc_id
+)
+SELECT doc_id, n_tok,
+       round(CAST(s AS DOUBLE) / CAST(n_tok AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS avg_logp,
+       CASE WHEN round(CAST(s AS DOUBLE) / CAST(n_tok AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+                 >= {QUALITY_HI} THEN 'high'
+            WHEN round(CAST(s AS DOUBLE) / CAST(n_tok AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+                 >= {QUALITY_LO} THEN 'mid'
+            ELSE 'low' END AS band
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# --- semdedup ---------------------------------------------------------------
+SEMDEDUP_T = 0.35
+SEMDEDUP_K = 10
+SEMDEDUP_ITERS = 4
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023 recipe): train the coarse quantizer
+    (same deterministic spherical k-means as ann_ivf_lists), then do the
+    quadratic cosine comparison only WITHIN each cluster; a vector is
+    removed when a lower-id cluster-mate has cosine >= 0.35. Emits the
+    removal list with its best keeper. At 100 TB the within-cluster join
+    co-locates on centroid_id (one shuffle) and per-cluster pair counts
+    replace the corpus-wide O(n^2)."""
+    from earcrawler_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        kmeans_train,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_train(emb, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+    assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(assigned, "vec_id")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.centroid_id").alias("centroid_id"),
+            F.col("a.vec_id").alias("partner"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_T)
+    )
+    return (
+        pairs.groupBy("vec_id", "centroid_id")
+        .agg(
+            F.min("partner").alias("keeper"),
+            F.max("cos").alias("max_cos"),
+            F.count(F.lit(1)).alias("n_partners"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    from earcrawler_spark.queries_tokens import kmeans_cents_sql
+
+    chain, cents = kmeans_cents_sql(k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, len({x})+1), "
+            f"i -> {x}[i]*{y}[i]), 'sum')"
+        )
+
+    def cos(x: str, y: str) -> str:
+        return f"({dot(x, y)} / (sqrt({dot(x, x)}) * sqrt({dot(y, y)})))"
+
+    return f"""
+WITH {chain},
+raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assigned AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT raw.vec_id, raw.v, c.centroid_id AS cid,
+           row_number() OVER (PARTITION BY raw.vec_id
+             ORDER BY round({cos('raw.v', 'c.cv')}, 6) DESC, c.centroid_id) AS rn
+    FROM raw, {cents} c) WHERE rn = 1
+), pairs AS (
+  SELECT b.vec_id AS vec_id, b.centroid_id AS centroid_id,
+         a.vec_id AS partner, round({cos('a.v', 'b.v')}, 6) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round({cos('a.v', 'b.v')}, 6) >= {SEMDEDUP_T}
+)
+SELECT vec_id, centroid_id, min(partner) AS keeper,
+       max(cos) AS max_cos, CAST(count(*) AS BIGINT) AS n_partners
+FROM pairs GROUP BY vec_id, centroid_id
+ORDER BY vec_id
+"""
+
+
+# --- embedding_outliers -----------------------------------------------------
+OUTLIER_COS_T = -0.2
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-direction embedding outliers: vectors whose cosine to the
+    corpus mean direction is <= -0.2 (anti-aligned with the bulk — the
+    cheap first-pass filter for corrupt / off-distribution embeddings
+    before ANN indexing). The mean vector is a 64-float broadcast; the
+    corpus side streams once. Mean components are rounded to 6 dp before
+    the (ordered-fold, engine-exact) cosine so the hash is stable."""
+    from earcrawler_spark.operators.similarity import cosine
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mean_vec = (
+        e.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("mv")
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(mean_vec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("mv")), 6).alias("cos_mean"),
+        )
+        .filter(F.col("cos_mean") <= OUTLIER_COS_T)
+        .orderBy("vec_id")
+    )
+
+
+_SQL_EMBEDDING_OUTLIERS = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+), m AS (
+  SELECT list(m ORDER BY dim) AS mv
+  FROM (SELECT dim, round(avg(x), 6) AS m FROM dims GROUP BY dim)
+), scored AS (
+  SELECT vec_id, label,
+         round(list_aggregate(list_transform(range(1, len(v)+1), i -> v[i]*mv[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, len(mv)+1), i -> mv[i]*mv[i]), 'sum'))), 6)
+           AS cos_mean
+  FROM e CROSS JOIN m
+)
+SELECT vec_id, label, cos_mean FROM scored
+WHERE cos_mean <= {OUTLIER_COS_T}
+ORDER BY vec_id
+"""
+
+
+TRAINING_QUERIES.update(
+    {
+        "shard_packing": q_shard_packing,
+        "temperature_mix": q_temperature_mix,
+        "chunk_dedup": q_chunk_dedup,
+        "unigram_quality": q_unigram_quality,
+        "semdedup": q_semdedup,
+        "embedding_outliers": q_embedding_outliers,
+    }
+)
+
+TRAINING_ORACLES.update(
+    {
+        "shard_packing": _SQL_SHARD_PACKING,
+        "temperature_mix": _SQL_TEMPERATURE_MIX,
+        "chunk_dedup": _SQL_CHUNK_DEDUP,
+        "unigram_quality": _SQL_UNIGRAM_QUALITY,
+        "semdedup": _semdedup_sql(),
+        "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
+    }
+)

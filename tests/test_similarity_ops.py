@@ -219,3 +219,82 @@ def test_dedup_clusters_collapse_output_identical(spark):
     assert all(out[i]["cluster_size"] == 4 for i in (0, 1, 2, 3))
     # shingle-ineligible short dups stay out (uncollapsed parity)
     assert 5 not in out and 6 not in out
+
+
+def test_ann_ivf_search_query_semantics(spark, sf_small):
+    """ann_ivf_search: every hit must come from one of the query's
+    nprobe probed lists; in_exact_topk must equal membership in the
+    direct brute-force top-k; per-query recall stays above the floor
+    the operator-level test establishes."""
+    from earcrawler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        kmeans_train,
+    )
+    from earcrawler_spark.queries_tokens import (
+        IVF_ITERS,
+        IVF_K,
+        NPROBE,
+        SEARCH_K,
+        SEARCH_QUERY_IDS,
+        q_ann_ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    hits = q_ann_ivf_search(spark, sf_small).collect()
+    assert {r["query_id"] for r in hits} == set(SEARCH_QUERY_IDS)
+    per_q: dict = {}
+    for r in hits:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, len(rows) + 1)
+        )
+        assert len(rows) <= SEARCH_K
+        cs = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+
+    cents = kmeans_train(emb, k=IVF_K, iters=IVF_ITERS)
+    cid = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, cents).select("vec_id", "centroid_id").collect()
+    }
+    import math
+
+    cvs = {r["centroid_id"]: r["cv"] for r in cents.collect()}
+    qvs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(SEARCH_QUERY_IDS)).collect()
+    }
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            ),
+            6,
+        )
+
+    probed = {
+        q: {
+            c
+            for _, c in sorted(
+                ((-_cos(qv, cv), c) for c, cv in cvs.items())
+            )[:NPROBE]
+        }
+        for q, qv in qvs.items()
+    }
+    for r in hits:
+        assert cid[r["neighbor_id"]] in probed[r["query_id"]], r
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, SEARCH_QUERY_IDS, k=SEARCH_K).collect()
+    }
+    for r in hits:
+        assert r["in_exact_topk"] == ((r["query_id"], r["neighbor_id"]) in exact)
+    recall = sum(1 for r in hits if r["in_exact_topk"]) / len(exact)
+    assert recall >= 0.3, recall

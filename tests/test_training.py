@@ -1,0 +1,205 @@
+"""Training-data pipeline operators, part 2 (queries_training):
+shard packing, temperature-scaled mixing, C4-style chunk dedup,
+unigram-LM quality, SemDedup, embedding outliers.  Seeded-defect
+fixtures assert each check FIRES, not just that clean data passes."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def test_shard_packing_matches_prefix_sum_model(spark):
+    """Shard assignment must equal floor(prefix_before / budget) per
+    language, and per-lang shard_tokens must sum to the lang's total."""
+    from earcrawler_spark.queries_training import SHARD_BUDGET, q_shard_packing
+
+    out = q_shard_packing(spark, SF).collect()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .collect()
+    )
+    per_lang: dict = {}
+    for r in sorted(docs, key=lambda r: (r["lang"], r["doc_id"])):
+        per_lang.setdefault(r["lang"], []).append(r)
+    want: dict = {}
+    for lang, rows in per_lang.items():
+        prefix = 0
+        for r in rows:
+            shard = prefix // SHARD_BUDGET
+            key = (lang, shard)
+            want.setdefault(key, [0, 0])
+            want[key][0] += 1
+            want[key][1] += r["n"]
+            prefix += r["n"]
+    got = {(r["lang"], r["shard_no"]): (r["n_docs"], r["shard_tokens"]) for r in out}
+    assert got == {k: tuple(v) for k, v in want.items()}
+    for r in out:
+        assert r["first_doc"] <= r["last_doc"]
+        assert r["fill_ratio"] == round(r["shard_tokens"] / SHARD_BUDGET, 6)
+
+
+def test_shard_packing_shard_numbers_contiguous_per_lang(spark):
+    from earcrawler_spark.queries_training import q_shard_packing
+
+    per_lang: dict = {}
+    for r in q_shard_packing(spark, SF).collect():
+        per_lang.setdefault(r["lang"], []).append(r["shard_no"])
+    for shards in per_lang.values():
+        assert sorted(shards) == list(range(len(shards)))
+
+
+def test_temperature_mix_flattens_distribution(spark, tmp_path):
+    """alpha=0.5 must upweight the small source relative to its raw
+    token share and downweight the big one; weights sum to ~1."""
+    from earcrawler_spark.queries_training import q_temperature_mix
+
+    rows = [(i, "tok " * 100, "en", "big", 400) for i in range(16)]
+    rows += [(100, "tok " * 100, "en", "small", 400)]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["source"]: r for r in q_temperature_mix(spark, str(tmp_path)).collect()}
+    tot = out["big"]["tokens"] + out["small"]["tokens"]
+    raw_small = out["small"]["tokens"] / tot
+    assert out["small"]["mix_weight"] > raw_small          # upweighted
+    assert out["big"]["mix_weight"] < out["big"]["tokens"] / tot
+    # sqrt ratio: 16 docs vs 1 doc of equal length -> weight ratio 4:1
+    assert abs(out["big"]["mix_weight"] / out["small"]["mix_weight"] - 4.0) < 1e-3
+    assert abs(sum(r["mix_weight"] for r in out.values()) - 1.0) < 1e-5
+    # epochs = sampled/tokens
+    for r in out.values():
+        assert r["epochs"] == round(r["sampled_tokens"] / r["tokens"], 4)
+
+
+def test_chunk_dedup_flags_seeded_duplicate_span(spark, tmp_path):
+    """An 8-token chunk repeated verbatim in a later doc counts as a
+    duplicate there and not in the first occurrence."""
+    from earcrawler_spark.queries_training import q_chunk_dedup
+
+    span = "a1 a2 a3 a4 a5 a6 a7 a8"
+    rows = [
+        (1, span + " b1 b2 b3 b4 b5 b6 b7 b8", "en", "s", 40),
+        (2, span + " c1 c2 c3 c4 c5 c6 c7 c8", "en", "s", 40),  # dup of doc 1 chunk 0
+        (3, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12 d13 d14 d15 d16", "en", "s", 40),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_chunk_dedup(spark, str(tmp_path)).collect()}
+    assert out[1]["dup_chunks"] == 0
+    assert out[2]["dup_chunks"] == 1 and out[2]["n_chunks"] == 2
+    assert out[2]["dup_ratio"] == 0.5
+    assert out[3]["dup_chunks"] == 0
+
+
+def test_chunk_dedup_ignores_tail_chunks(spark, tmp_path):
+    """Partial tail chunks (<8 tokens) are not counted at all, so a
+    repeated 5-token tail cannot fire the duplicate rule."""
+    from earcrawler_spark.queries_training import q_chunk_dedup
+
+    tail = "t1 t2 t3 t4 t5"
+    rows = [
+        (1, "x1 x2 x3 x4 x5 x6 x7 x8 " + tail, "en", "s", 40),
+        (2, "y1 y2 y3 y4 y5 y6 y7 y8 " + tail, "en", "s", 40),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_chunk_dedup(spark, str(tmp_path)).collect()}
+    assert out[1]["n_chunks"] == 1 and out[2]["n_chunks"] == 1
+    assert out[2]["dup_chunks"] == 0
+
+
+def test_unigram_quality_hand_model(spark, tmp_path):
+    """Two-token vocab: doc of only the common token scores higher
+    (less negative) than the doc carrying the rare token, and avg_logp
+    matches the direct ln(count/total) model at micro-int precision."""
+    from earcrawler_spark.queries_training import q_unigram_quality
+
+    rows = [
+        (1, "w w w w", "en", "s", 8),
+        (2, "w w w rare", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_unigram_quality(spark, str(tmp_path)).collect()}
+    lp_w = round(math.log(7 / 8) * 1e6)
+    lp_rare = round(math.log(1 / 8) * 1e6)
+    assert out[1]["avg_logp"] == round(4 * lp_w / 4 / 1e6, 6)
+    assert out[2]["avg_logp"] == round((3 * lp_w + lp_rare) / 4 / 1e6, 6)
+    assert out[1]["avg_logp"] > out[2]["avg_logp"]
+
+
+def test_unigram_quality_bands_populated_on_corpus(spark):
+    from earcrawler_spark.queries_training import q_unigram_quality
+
+    bands = {
+        r["band"]
+        for r in q_unigram_quality(spark, SF).select("band").distinct().collect()
+    }
+    assert bands == {"high", "mid", "low"}
+
+
+def test_semdedup_removes_seeded_near_duplicate(spark, tmp_path):
+    """Identical vectors land in one cluster; the higher vec_id is
+    listed for removal with the lower one as keeper.  An orthogonal
+    vector survives."""
+    from earcrawler_spark.queries_training import q_semdedup
+
+    def basis(i: int) -> list[float]:
+        v = [0.0] * 64
+        v[i] = 1.0
+        return v
+
+    rows = []
+    # 12 spread vectors so k-means (k=10) has enough distinct points
+    for i in range(12):
+        rows.append((i, basis(i), 0))
+    rows.append((100, basis(0), 1))          # exact dup of vec 0
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["vec_id"]: r for r in q_semdedup(spark, str(tmp_path)).collect()}
+    assert 100 in out and out[100]["keeper"] == 0
+    assert out[100]["max_cos"] == 1.0
+    assert 0 not in out                       # keeper itself never removed
+
+
+def test_semdedup_pairs_confined_to_clusters(spark):
+    """Every (vec, keeper) pair must share a centroid under the same
+    trained quantizer — the whole point of the coarse-quantize step."""
+    from earcrawler_spark.operators.similarity import ivf_assign, kmeans_train
+    from earcrawler_spark.queries_training import (
+        SEMDEDUP_ITERS,
+        SEMDEDUP_K,
+        q_semdedup,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_train(emb, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+    cid = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, cents).select("vec_id", "centroid_id").collect()
+    }
+    rows = q_semdedup(spark, SF).collect()
+    assert rows, "corpus fixture should contain near-duplicates"
+    for r in rows:
+        assert cid[r["vec_id"]] == r["centroid_id"] == cid[r["keeper"]]
+        assert r["keeper"] < r["vec_id"]
+
+
+def test_embedding_outliers_flags_anti_aligned_vector(spark, tmp_path):
+    from earcrawler_spark.queries_training import q_embedding_outliers
+
+    base = [1.0] + [0.0] * 63
+    rows = [(i, base, 0) for i in range(5)]
+    rows.append((99, [-1.0] + [0.0] * 63, 7))   # anti-aligned with the mean
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = q_embedding_outliers(spark, str(tmp_path)).collect()
+    assert [r["vec_id"] for r in out] == [99]
+    assert out[0]["cos_mean"] == -1.0 and out[0]["label"] == 7
