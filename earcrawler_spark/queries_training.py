@@ -504,6 +504,136 @@ ORDER BY vec_id
 """
 
 
+# --- dsir_weights -----------------------------------------------------------
+DSIR_B = 256  # hashed feature buckets (first two sha256 hex digits)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): hashed n-gram features
+    (unigrams + bigrams -> 256 sha-derived buckets), bucket unigram LMs
+    for the target domain (the eval slice, doc_id % 37 == 0 — the same
+    slice `decontamination` protects) and the raw source pool, and a
+    per-document log importance weight
+    ``sum_f count(f) * (ln p_target(f) - ln p_source(f))`` with add-one
+    smoothing.  Docs banded target_like/source_like at the zero
+    crossing; downstream sampling keeps weight-proportional draws.
+
+    Scale shape: the bucket LM is a 256-row broadcast dim; the corpus
+    side streams once through explode -> join -> per-doc sum (one
+    shuffle on doc_id).  Per-bucket log-probs are fixed-point
+    micro-integers so the per-doc sum is exact on both engines."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 37 == 0).alias("is_target"),
+        tokens(F.col("text")).alias("ts"),
+    )
+    n1 = F.col("ts")
+    n2 = F.zip_with(
+        F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+        F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    occ = docs.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat(n1, n2)).alias("f"),
+    ).select(
+        "doc_id",
+        "is_target",
+        F.conv(F.substring(F.sha2(F.col("f"), 256), 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    stats = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_s"),
+    )
+    totals = stats.agg(
+        F.sum("c_t").alias("tot_t"), F.sum("c_s").alias("tot_s")
+    )
+
+    def lp(c: str, tot: str):  # noqa: ANN202
+        return F.round(
+            F.log(
+                (F.col(c) + 1).cast("double")
+                / (F.col(tot) + DSIR_B).cast("double")
+            )
+            * F.lit(1_000_000.0),
+            0,
+        ).cast("bigint")
+
+    lm = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket", (lp("c_t", "tot_t") - lp("c_s", "tot_s")).alias("d_micro")
+    )
+    ratio = F.col("s").cast("double") / F.lit(1_000_000.0)
+    return (
+        occ.filter(~F.col("is_target"))
+        .join(F.broadcast(lm), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("d_micro").alias("s"))
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(ratio, 6).alias("log_ratio"),
+            F.when(F.round(ratio, 6) > 0, "target_like")
+            .otherwise("source_like")
+            .alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_BUCKET = (
+    "(16 * (strpos('0123456789abcdef', substr(sha, 1, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(sha, 2, 1)) - 1))"
+)
+
+_SQL_DSIR = f"""
+WITH base AS (
+  SELECT doc_id, (doc_id % 37 = 0) AS is_target, {_TOKENS_SQL} AS ts
+  FROM documents
+), feats AS (
+  SELECT doc_id, is_target, unnest(ts) AS f FROM base
+  UNION ALL
+  SELECT doc_id, is_target,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS f
+  FROM base
+), occ AS (
+  SELECT doc_id, is_target,
+         CAST({_DSIR_BUCKET} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, is_target, sha256(f) AS sha FROM feats)
+), stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS c_s
+  FROM occ GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS tot_t, CAST(sum(c_s) AS BIGINT) AS tot_s
+  FROM stats
+), lm AS (
+  SELECT bucket,
+         CAST(round(ln(CAST(c_t + 1 AS DOUBLE) / CAST(tot_t + {DSIR_B} AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE), 0) AS BIGINT)
+         - CAST(round(ln(CAST(c_s + 1 AS DOUBLE) / CAST(tot_s + {DSIR_B} AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS d_micro
+  FROM stats CROSS JOIN tot
+), scored AS (
+  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(lm.d_micro) AS BIGINT) AS s
+  FROM occ o JOIN lm ON o.bucket = lm.bucket
+  WHERE NOT o.is_target
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_feats,
+       round(CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS log_ratio,
+       CASE WHEN round(CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) > 0
+            THEN 'target_like' ELSE 'source_like' END AS band
+FROM scored
+ORDER BY doc_id
+"""
+
+
 TRAINING_QUERIES.update(
     {
         "shard_packing": q_shard_packing,
@@ -512,6 +642,7 @@ TRAINING_QUERIES.update(
         "unigram_quality": q_unigram_quality,
         "semdedup": q_semdedup,
         "embedding_outliers": q_embedding_outliers,
+        "dsir_weights": q_dsir_weights,
     }
 )
 
@@ -523,5 +654,6 @@ TRAINING_ORACLES.update(
         "unigram_quality": _SQL_UNIGRAM_QUALITY,
         "semdedup": _semdedup_sql(),
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
+        "dsir_weights": _SQL_DSIR,
     }
 )

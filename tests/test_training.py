@@ -203,3 +203,70 @@ def test_embedding_outliers_flags_anti_aligned_vector(spark, tmp_path):
     out = q_embedding_outliers(spark, str(tmp_path)).collect()
     assert [r["vec_id"] for r in out] == [99]
     assert out[0]["cos_mean"] == -1.0 and out[0]["label"] == 7
+
+
+def test_dsir_weights_pure_python_model(spark, tmp_path):
+    """dsir_weights must equal a direct hashlib/math replication of the
+    hashed-ngram importance weights; a source doc sharing the target
+    slice's vocabulary bands target_like, a disjoint doc source_like."""
+    import hashlib
+
+    from earcrawler_spark.queries_training import DSIR_B, q_dsir_weights
+
+    rows = [
+        (0, "quantum flux capacitor resonance", "en", "t", 30),    # target (0 % 37 == 0)
+        (37, "quantum entanglement flux drive", "en", "t", 30),    # target
+        (1, "quantum flux capacitor lab notes", "en", "s", 30),    # shares target vocab
+        (2, "cheap viagra casino pills now", "en", "s", 28),       # disjoint
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_dsir_weights(spark, str(tmp_path)).collect()}
+
+    def feats(text):
+        ts = text.lower().split()
+        return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bucket(f):
+        return int(hashlib.sha256(f.encode()).hexdigest()[:2], 16)
+
+    occ = []  # (doc_id, is_target, bucket)
+    for doc_id, text, *_ in rows:
+        for f in feats(text):
+            occ.append((doc_id, doc_id % 37 == 0, bucket(f)))
+    c_t: dict = {}
+    c_s: dict = {}
+    for _, is_t, b in occ:
+        (c_t if is_t else c_s)[b] = (c_t if is_t else c_s).get(b, 0) + 1
+    buckets = set(c_t) | set(c_s)
+    tot_t, tot_s = sum(c_t.values()), sum(c_s.values())
+    d_micro = {
+        b: round(math.log((c_t.get(b, 0) + 1) / (tot_t + DSIR_B)) * 1e6)
+        - round(math.log((c_s.get(b, 0) + 1) / (tot_s + DSIR_B)) * 1e6)
+        for b in buckets
+    }
+    want: dict = {}
+    for doc_id, is_t, b in occ:
+        if is_t:
+            continue
+        n, s = want.get(doc_id, (0, 0))
+        want[doc_id] = (n + 1, s + d_micro[b])
+    assert set(out) == set(want) == {1, 2}
+    for doc_id, (n, s) in want.items():
+        assert out[doc_id]["n_feats"] == n
+        assert out[doc_id]["log_ratio"] == round(s / 1e6, 6)
+    # the vocab-sharing doc must outrank the disjoint doc (the DSIR
+    # selection property); absolute zero-crossing bands are corpus-sized
+    assert out[1]["log_ratio"] > out[2]["log_ratio"]
+    assert out[2]["band"] == "source_like"
+    for r in out.values():
+        assert r["band"] == (
+            "target_like" if r["log_ratio"] > 0 else "source_like"
+        )
+
+
+def test_dsir_weights_excludes_target_slice(spark):
+    from earcrawler_spark.queries_training import q_dsir_weights
+
+    for r in q_dsir_weights(spark, SF).select("doc_id").collect():
+        assert r["doc_id"] % 37 != 0
