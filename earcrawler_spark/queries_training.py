@@ -504,6 +504,116 @@ ORDER BY vec_id
 """
 
 
+# --- bpe_merges -------------------------------------------------------------
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    the first 8 merge rules over the corpus word-count table.  Words are
+    represented as bracket-wrapped symbol strings ``(c)(h)(a)(r)(</w>)``
+    so non-overlapping left-to-right ``replace`` of ``(l)(r)`` with
+    ``(lr)`` is EXACTLY BPE's greedy merge application (no shared
+    boundary chars between adjacent matches, no cross-symbol substring
+    collisions — symbols never contain parens because words are
+    pre-filtered to ``[a-z0-9]+``).
+
+    Scale shape: classic distributed BPE trains on the DISTINCT-word
+    count table (vocab-sized, not corpus-sized — the corpus is touched
+    once to build it); each round is one partial-aggregated pair count
+    plus a 1-row argmax collected to the driver (the merge rule is a
+    scalar, same contract as k-means centroids), then a codegen'd
+    string replace over the vocab.  localCheckpoint per round keeps
+    lineage flat.  Emits the ordered merge table."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = wc.select(
+        F.expr(
+            "concat(array_join(transform(sequence(1, length(w)), "
+            "i -> concat('(', substr(w, i, 1), ')')), ''), '(</w>)')"
+        ).alias("repr"),
+        "cnt",
+    ).localCheckpoint()
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        syms = F.split(F.expr("substring(repr, 2, length(repr)-2)"), r"\)\(")
+        n_pairs = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(syms, 1, n_pairs),
+            F.slice(syms, 2, n_pairs),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        top = (
+            words.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # vocab fully merged — mirrors the oracle's empty best_r
+            break
+        (best,) = top
+        l, r = best["l"], best["r"]
+        merges.append((rank, l, r, l + r, best["total"]))
+        words = words.select(
+            F.replace(
+                F.col("repr"), F.lit(f"({l})({r})"), F.lit(f"({l + r})")
+            ).alias("repr"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    """bpe_merges oracle: the merge rounds unrolled as CTEs — each round
+    recomputes pair totals from the current vocab, picks the
+    (total DESC, l, r) argmax, and applies the bracket-replace."""
+    head = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+), wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks
+  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), words0 AS (
+  SELECT array_to_string(list_transform(range(1, len(w)+1),
+           i -> '(' || substr(w, i, 1) || ')'), '') || '(</w>)' AS repr, cnt
+  FROM wc
+)"""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        prev = f"words{r - 1}"
+        rounds.append(f""", syms{r} AS (
+  SELECT string_split(substr(repr, 2, len(repr) - 2), ')(') AS syms, cnt
+  FROM {prev}
+), pairs{r} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS total
+  FROM syms{r}, unnest(range(1, len(syms))) AS t(i)
+  GROUP BY syms[i], syms[i+1]
+), best{r} AS (
+  SELECT l, r, total FROM pairs{r} ORDER BY total DESC, l, r LIMIT 1
+), words{r} AS (
+  SELECT replace(w.repr, '(' || b.l || ')(' || b.r || ')',
+                 '(' || b.l || b.r || ')') AS repr, w.cnt
+  FROM {prev} w CROSS JOIN best{r} b
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, total AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return head + "".join(rounds) + "\n" + union + "\nORDER BY merge_rank"
+
+
 # --- dsir_weights -----------------------------------------------------------
 DSIR_B = 256  # hashed feature buckets (first two sha256 hex digits)
 
@@ -643,6 +753,7 @@ TRAINING_QUERIES.update(
         "semdedup": q_semdedup,
         "embedding_outliers": q_embedding_outliers,
         "dsir_weights": q_dsir_weights,
+        "bpe_merges": q_bpe_merges,
     }
 )
 
@@ -655,5 +766,6 @@ TRAINING_ORACLES.update(
         "semdedup": _semdedup_sql(),
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "dsir_weights": _SQL_DSIR,
+        "bpe_merges": _bpe_sql(),
     }
 )

@@ -270,3 +270,79 @@ def test_dsir_weights_excludes_target_slice(spark):
 
     for r in q_dsir_weights(spark, SF).select("doc_id").collect():
         assert r["doc_id"] % 37 != 0
+
+
+def _bpe_reference(word_counts: dict, n_merges: int):
+    """Textbook BPE (Sennrich et al. 2016): greedy pair merge over the
+    word-count table, ties broken (count desc, left asc, right asc)."""
+    vocab = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), total = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, total))
+        new_vocab: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_matches_reference_model(spark, tmp_path):
+    """The distributed trainer must reproduce the sequential reference
+    implementation merge-for-merge, including the repeated-symbol
+    greedy-left case (aaaa) and cross-word count pooling."""
+    from earcrawler_spark.queries_training import q_bpe_merges
+
+    rows = [
+        (1, "the cat sat on the mat the cat", "en", "s", 30),
+        (2, "the hat and the cat and the bat", "en", "s", 31),
+        (3, "aaaa aaaa aa Mixed-CASE! tokens", "en", "s", 30),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in q_bpe_merges(spark, str(tmp_path)).collect()
+    ]
+    wc: dict = {}
+    for _, text, *_ in rows:
+        for w in text.lower().split():
+            if w.isascii() and w.isalnum():
+                wc[w] = wc.get(w, 0) + 1
+    assert got == _bpe_reference(wc, 8)
+    # the classic corpus learns real subwords: 'the' must assemble
+    assert any(m[3] == "the</w>" for m in got)
+
+
+def test_bpe_merges_repeated_symbol_greedy_left(spark, tmp_path):
+    """'aaaa' must count pair (a,a) 3 times pre-merge but merge only
+    non-overlapping occurrences left-to-right: (aa)(aa), not 3 merges."""
+    from earcrawler_spark.queries_training import q_bpe_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa", "en", "s", 9)], DOC_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = q_bpe_merges(spark, str(tmp_path)).collect()
+    # greedy-left: 3 overlapping (a,a) pair occurrences counted, but the
+    # merge collapses aaaa -> (aa)(aa), so the pair survives one round
+    assert (out[0]["left_sym"], out[0]["right_sym"], out[0]["pair_count"]) == ("a", "a", 6)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in out
+    ]
+    assert got == _bpe_reference({"aaaa": 2}, 8)
+    # the single word fully merges before 8 rounds: trainer stops early
+    assert len(out) < 8
