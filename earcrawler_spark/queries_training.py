@@ -525,6 +525,30 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar, same contract as k-means centroids), then a codegen'd
     string replace over the vocab.  localCheckpoint per round keeps
     lineage flat.  Emits the ordered merge table."""
+    merges, _ = _train_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+_BPE_CACHE: dict = {}
+
+def _bpe_syms():  # lazy: F.expr needs an active SparkContext
+    return F.split(F.expr("substring(repr, 2, length(repr)-2)"), r"\)\(")
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str):
+    """Run the merge-learning loop once per (session, sf_dir); both
+    bpe_merges and bpe_segment serve off the result.  Returns
+    (merge list, final vocab DataFrame (w, repr, cnt))."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key]
+    from earcrawler_spark.session import bound_materialization_cache
+
+    bound_materialization_cache(_BPE_CACHE, key)
     docs = _docs(spark, sf_dir)
     wc = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -533,6 +557,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     words = wc.select(
+        "w",
         F.expr(
             "concat(array_join(transform(sequence(1, length(w)), "
             "i -> concat('(', substr(w, i, 1), ')')), ''), '(</w>)')"
@@ -541,7 +566,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     merges = []
     for rank in range(1, BPE_MERGES + 1):
-        syms = F.split(F.expr("substring(repr, 2, length(repr)-2)"), r"\)\(")
+        syms = _bpe_syms()
         n_pairs = F.greatest(F.size(syms) - 1, F.lit(0))
         pairs = F.zip_with(
             F.slice(syms, 1, n_pairs),
@@ -562,30 +587,69 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         l, r = best["l"], best["r"]
         merges.append((rank, l, r, l + r, best["total"]))
         words = words.select(
+            "w",
             F.replace(
                 F.col("repr"), F.lit(f"({l})({r})"), F.lit(f"({l + r})")
             ).alias("repr"),
             "cnt",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, "
-        "merged string, pair_count long",
-    ).orderBy("merge_rank")
+    _BPE_CACHE[key] = (merges, words)
+    return _BPE_CACHE[key]
 
 
-def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
-    """bpe_merges oracle: the merge rounds unrolled as CTEs — each round
-    recomputes pair totals from the current vocab, picks the
-    (total DESC, l, r) argmax, and applies the bracket-replace."""
-    head = f"""
-WITH toks AS (
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation under the trained tokenizer: apply the learned
+    merges (shared with bpe_merges off one training pass) and emit
+    per-document subword statistics — alnum word count, subword count
+    (incl. the ``</w>`` marker when unmerged, the standard BPE
+    end-of-word convention), chars-per-subword compression.  Scale
+    shape: the segmented vocab is a broadcast dim (distinct words);
+    the corpus side explodes once and aggregates by doc_id."""
+    _, words = _train_bpe(spark, sf_dir)
+    word_sub = words.select("w", F.size(_bpe_syms()).alias("n_sub"))
+    tk = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+    )
+    ratio_sub = F.col("n_subwords").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    ratio_cmp = F.col("n_chars").cast("double") / F.col("n_subwords").cast(
+        "double"
+    )
+    return (
+        tk.join(F.broadcast(word_sub), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subwords",
+            "n_chars",
+            F.round(ratio_sub, 6).alias("subwords_per_word"),
+            F.round(ratio_cmp, 6).alias("chars_per_subword"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_chain_sql(n_merges: int = BPE_MERGES) -> str:
+    """The merge rounds unrolled as CTEs (shared by the bpe_merges and
+    bpe_segment oracles) — each round recomputes pair totals from the
+    current vocab, picks the (total DESC, l, r) argmax, and applies the
+    bracket-replace.  Ends with words{n_merges} = (w, repr, cnt)."""
+    head = f"""toks AS (
   SELECT unnest({_TOKENS_SQL}) AS w FROM documents
 ), wc AS (
   SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks
   WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
 ), words0 AS (
-  SELECT array_to_string(list_transform(range(1, len(w)+1),
+  SELECT w, array_to_string(list_transform(range(1, len(w)+1),
            i -> '(' || substr(w, i, 1) || ')'), '') || '(</w>)' AS repr, cnt
   FROM wc
 )"""
@@ -602,16 +666,50 @@ WITH toks AS (
 ), best{r} AS (
   SELECT l, r, total FROM pairs{r} ORDER BY total DESC, l, r LIMIT 1
 ), words{r} AS (
-  SELECT replace(w.repr, '(' || b.l || ')(' || b.r || ')',
-                 '(' || b.l || b.r || ')') AS repr, w.cnt
-  FROM {prev} w CROSS JOIN best{r} b
+  SELECT v.w, replace(v.repr, '(' || b.l || ')(' || b.r || ')',
+                 '(' || b.l || b.r || ')') AS repr, v.cnt
+  FROM {prev} v CROSS JOIN best{r} b
 )""")
+    return head + "".join(rounds)
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_rank, l AS left_sym, r AS right_sym, "
         f"l || r AS merged, total AS pair_count FROM best{r}"
         for r in range(1, n_merges + 1)
     )
-    return head + "".join(rounds) + "\n" + union + "\nORDER BY merge_rank"
+    return (
+        "\nWITH " + _bpe_chain_sql(n_merges) + "\n" + union
+        + "\nORDER BY merge_rank"
+    )
+
+
+def _bpe_segment_sql(n_merges: int = BPE_MERGES) -> str:
+    return f"""
+WITH {_bpe_chain_sql(n_merges)},
+word_sub AS (
+  SELECT w, CAST(len(string_split(substr(repr, 2, len(repr) - 2), ')(')) AS INT)
+           AS n_sub
+  FROM words{n_merges}
+), tk AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+), agg AS (
+  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(ws.n_sub) AS BIGINT) AS n_subwords,
+         CAST(sum(len(tk.w)) AS BIGINT) AS n_chars
+  FROM tk JOIN word_sub ws ON tk.w = ws.w
+  WHERE regexp_matches(tk.w, '^[a-z0-9]+$')
+  GROUP BY tk.doc_id
+)
+SELECT doc_id, n_words, n_subwords, n_chars,
+       round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         AS subwords_per_word,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE), 6)
+         AS chars_per_subword
+FROM agg
+ORDER BY doc_id
+"""
 
 
 # --- dsir_weights -----------------------------------------------------------
@@ -754,6 +852,7 @@ TRAINING_QUERIES.update(
         "embedding_outliers": q_embedding_outliers,
         "dsir_weights": q_dsir_weights,
         "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
     }
 )
 
@@ -767,5 +866,6 @@ TRAINING_ORACLES.update(
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "dsir_weights": _SQL_DSIR,
         "bpe_merges": _bpe_sql(),
+        "bpe_segment": _bpe_segment_sql(),
     }
 )

@@ -346,3 +346,56 @@ def test_bpe_merges_repeated_symbol_greedy_left(spark, tmp_path):
     assert got == _bpe_reference({"aaaa": 2}, 8)
     # the single word fully merges before 8 rounds: trainer stops early
     assert len(out) < 8
+
+
+def test_bpe_segment_matches_reference_segmentation(spark, tmp_path):
+    """Per-doc subword counts must equal segmenting each word with the
+    sequential reference's merge sequence; both queries share ONE
+    training pass per (session, sf_dir)."""
+    from earcrawler_spark import queries_training as qt
+
+    rows = [
+        (1, "the cat sat on the mat the cat", "en", "s", 30),
+        (2, "the hat and the cat and the bat", "en", "s", 31),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    wc: dict = {}
+    for _, text, *_ in rows:
+        for w in text.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    merges = _bpe_reference(wc, qt.BPE_MERGES)
+
+    def segment(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for _, l, r, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    qt._BPE_CACHE.clear()
+    out = {r["doc_id"]: r for r in qt.q_bpe_segment(spark, str(tmp_path)).collect()}
+    assert len(qt._BPE_CACHE) == 1           # training ran, cached
+    for doc_id, text, *_ in rows:
+        words = text.lower().split()
+        assert out[doc_id]["n_words"] == len(words)
+        assert out[doc_id]["n_subwords"] == sum(segment(w) for w in words)
+        assert out[doc_id]["n_chars"] == sum(len(w) for w in words)
+        assert out[doc_id]["subwords_per_word"] == round(
+            out[doc_id]["n_subwords"] / out[doc_id]["n_words"], 6
+        )
+    # bpe_merges serves off the same cached pass (no retrain)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in qt.q_bpe_merges(spark, str(tmp_path)).collect()
+    ]
+    assert got == merges
+    assert len(qt._BPE_CACHE) == 1
