@@ -93,6 +93,26 @@ ORDER BY doc_id
 IVF_K = 10
 IVF_ITERS = 4
 
+_CENTS_CACHE: dict = {}
+
+
+def trained_centroids(spark: SparkSession, sf_dir: str,
+                      k: int = IVF_K, iters: int = IVF_ITERS) -> DataFrame:
+    """The (k=10, iters=4) quantizer trained once per (session, sf_dir)
+    and shared by ann_ivf_lists, ann_ivf_search and semdedup — the three
+    queries run the IDENTICAL deterministic Lloyd loop, so the sweep
+    paid for it three times.  kmeans_train already ends in a
+    localCheckpoint, so the cached frame is materialized k-row data."""
+    from earcrawler_spark.operators.similarity import kmeans_train
+    from earcrawler_spark.session import bound_materialization_cache
+
+    key = (spark.sparkContext.applicationId, f"{sf_dir}#k{k}i{iters}")
+    if key not in _CENTS_CACHE:
+        bound_materialization_cache(_CENTS_CACHE, key)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _CENTS_CACHE[key] = kmeans_train(emb, k=k, iters=iters)
+    return _CENTS_CACHE[key]
+
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN with TRAINED coarse quantizer: deterministic
@@ -102,11 +122,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest lists. Emits list sizes + assignment quality. Rows-only
     check; recall vs brute force (trained >= untrained) is
     pytest-verified."""
-    from earcrawler_spark.operators.similarity import ivf_assign, kmeans_train
+    from earcrawler_spark.operators.similarity import ivf_assign
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = kmeans_train(emb, k=IVF_K, iters=IVF_ITERS)
-    assigned = ivf_assign(emb, centroids)
+    assigned = ivf_assign(emb, trained_centroids(spark, sf_dir))
     return (
         assigned.groupBy("centroid_id")
         .agg(
@@ -183,11 +202,10 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine,
         cosine_topk,
         ivf_assign,
-        kmeans_train,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_train(emb, k=IVF_K, iters=IVF_ITERS)
+    cents = trained_centroids(spark, sf_dir)
     assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

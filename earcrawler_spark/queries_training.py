@@ -365,18 +365,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal list with its best keeper. At 100 TB the within-cluster join
     co-locates on centroid_id (one shuffle) and per-cluster pair counts
     replace the corpus-wide O(n^2)."""
-    from earcrawler_spark.operators.similarity import (
-        cosine,
-        ivf_assign,
-        kmeans_train,
-    )
+    from earcrawler_spark.operators.similarity import dot, ivf_assign
+    from earcrawler_spark.queries_tokens import trained_centroids
 
     emb = _emb(spark, sf_dir)
-    cents = kmeans_train(emb, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+    cents = trained_centroids(spark, sf_dir, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
     assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    # per-vector norm computed ONCE (sqrt(dot(v,v)) is deterministic per
+    # vector, so dot/(a.nrm*b.nrm) is float-identical to the inline
+    # cosine the oracle uses, at a third of the per-pair fold work)
     e = (
         _emb(spark, sf_dir)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .join(assigned, "vec_id")
     )
     a, b = e.alias("a"), e.alias("b")
@@ -390,7 +391,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_id"),
             F.col("b.centroid_id").alias("centroid_id"),
             F.col("a.vec_id").alias("partner"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= SEMDEDUP_T)
     )
@@ -440,6 +445,94 @@ SELECT vec_id, centroid_id, min(partner) AS keeper,
        max(cos) AS max_cos, CAST(count(*) AS BIGINT) AS n_partners
 FROM pairs GROUP BY vec_id, centroid_id
 ORDER BY vec_id
+"""
+
+
+# --- semantic_decontamination ----------------------------------------------
+SEM_DECON_T = 0.35
+
+
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic twin of
+    the n-gram `decontamination` query: flag pool vectors whose cosine
+    to ANY eval-slice vector (vec_id % 37 == 0, the slice the n-gram
+    check protects) reaches 0.35, with the closest eval item and hit
+    count.  Catches paraphrased leakage that shingle overlap misses.
+
+    Scale shape: the eval side is the benchmark suite — bounded and
+    small by construction — so it broadcasts and the pool streams once
+    (knn_bruteforce's plan shape); per-vector norms are precomputed so
+    each pair costs one fold."""
+    from earcrawler_spark.operators.similarity import dot
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    ev = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        F.col("nrm").alias("enrm"),
+    )
+    pool = e.filter(F.col("vec_id") % 37 != 0)
+    hits = (
+        pool.crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            F.round(
+                dot(F.col("v"), F.col("ev"))
+                / (F.col("nrm") * F.col("enrm")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEM_DECON_T)
+    )
+    return (
+        hits.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos").alias("max_cos"),
+            F.min(
+                F.struct((-F.col("cos")).alias("negcos"), "eval_id")
+            ).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "n_eval_hits",
+            "max_cos",
+            F.col("best.eval_id").alias("closest_eval"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sem_decon_sql() -> str:
+    d = ("list_aggregate(list_transform(range(1, len({a})+1), "
+         "i -> {a}[i]*{b}[i]), 'sum')")
+    cos = (f"round({d.format(a='p.v', b='q.v')} / "
+           f"(sqrt({d.format(a='p.v', b='p.v')}) * "
+           f"sqrt({d.format(a='q.v', b='q.v')})), 6)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), hits AS (
+  SELECT p.vec_id, q.vec_id AS eval_id, {cos} AS cos
+  FROM e p JOIN e q
+    ON p.vec_id % 37 <> 0 AND q.vec_id % 37 = 0
+  WHERE {cos} >= {SEM_DECON_T}
+), ranked AS (
+  SELECT vec_id, eval_id,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, eval_id) AS rn
+  FROM hits
+), agg AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+         max(cos) AS max_cos
+  FROM hits GROUP BY vec_id
+)
+SELECT a.vec_id, a.n_eval_hits, a.max_cos, r.eval_id AS closest_eval
+FROM agg a JOIN ranked r ON r.vec_id = a.vec_id AND r.rn = 1
+ORDER BY a.vec_id
 """
 
 
@@ -849,6 +942,7 @@ TRAINING_QUERIES.update(
         "chunk_dedup": q_chunk_dedup,
         "unigram_quality": q_unigram_quality,
         "semdedup": q_semdedup,
+        "semantic_decontamination": q_semantic_decontamination,
         "embedding_outliers": q_embedding_outliers,
         "dsir_weights": q_dsir_weights,
         "bpe_merges": q_bpe_merges,
@@ -863,6 +957,7 @@ TRAINING_ORACLES.update(
         "chunk_dedup": _SQL_CHUNK_DEDUP,
         "unigram_quality": _SQL_UNIGRAM_QUALITY,
         "semdedup": _semdedup_sql(),
+        "semantic_decontamination": _sem_decon_sql(),
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "dsir_weights": _SQL_DSIR,
         "bpe_merges": _bpe_sql(),

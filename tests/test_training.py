@@ -399,3 +399,43 @@ def test_bpe_segment_matches_reference_segmentation(spark, tmp_path):
     ]
     assert got == merges
     assert len(qt._BPE_CACHE) == 1
+
+
+def test_semantic_decontamination_flags_seeded_paraphrase(spark, tmp_path):
+    """A pool vector aligned with an eval-slice vector must be flagged
+    with that eval item as closest; orthogonal pool vectors must not.
+    Eval-slice vectors themselves are never reported."""
+    from earcrawler_spark.queries_training import (
+        SEM_DECON_T,
+        q_semantic_decontamination,
+    )
+
+    def basis(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    rows = [
+        (0, basis(0), 0),            # eval (0 % 37 == 0)
+        (37, basis(1), 0),           # eval
+        (1, basis(0, 2.0), 1),       # parallel to eval 0 -> cos 1.0
+        (2, basis(5), 1),            # orthogonal to both eval vectors
+        (3, [x + y for x, y in zip(basis(0), basis(1))], 1),  # cos .7071 to both
+    ]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["vec_id"]: r for r in q_semantic_decontamination(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["closest_eval"] == 0 and out[1]["max_cos"] == 1.0
+    assert out[1]["n_eval_hits"] == 1
+    # vec 3 ties between eval 0 and 37 at cos 0.707107 -> lower id wins
+    assert out[3]["n_eval_hits"] == 2 and out[3]["closest_eval"] == 0
+    assert out[3]["max_cos"] == round(2 ** -0.5, 6)
+    assert all(r["max_cos"] >= SEM_DECON_T for r in out.values())
+
+
+def test_semantic_decontamination_never_reports_eval_vectors(spark):
+    from earcrawler_spark.queries_training import q_semantic_decontamination
+
+    for r in q_semantic_decontamination(spark, SF).collect():
+        assert r["vec_id"] % 37 != 0
