@@ -448,6 +448,146 @@ ORDER BY vec_id
 """
 
 
+# --- curriculum_order -------------------------------------------------------
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule over the packed shards: score each
+    (lang, shard) by its token-weighted unigram-LM log-prob (the
+    unigram_quality signal — higher = more typical = easier), rank
+    shards easiest-first WITHIN each language, and band into
+    easy/medium/hard terciles — the standard easy-to-hard data
+    curriculum, derived entirely from corpus statistics.
+
+    Scale shape: reuses shard_packing's per-lang prefix-sum window and
+    unigram_quality's broadcast vocab LM; the per-shard rollup is one
+    small aggregate and the rank window is partitioned by lang."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(
+        "lang", "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    vocab = tk.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("total"))
+            * F.lit(1_000_000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    per_doc = (
+        tk.join(F.broadcast(lm), "t")
+        .groupBy("lang", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("lp_micro").alias("s"))
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = per_doc.select(
+        "lang",
+        "n_tok",
+        "s",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")).cast("double")
+            / F.lit(SHARD_BUDGET).cast("double")
+        )
+        .cast("bigint")
+        .alias("shard_no"),
+    )
+    avg_lp = (
+        F.col("s_sum").cast("double")
+        / F.col("tok_sum").cast("double")
+        / F.lit(1_000_000.0)
+    )
+    shards = packed.groupBy("lang", "shard_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tok_sum"),
+        F.sum("s").alias("s_sum"),
+    )
+    rank_w = W.partitionBy("lang").orderBy(
+        F.desc(F.round(avg_lp, 6)), "shard_no"
+    )
+    n_w = W.partitionBy("lang")
+    ranked = shards.select(
+        "lang",
+        "shard_no",
+        "n_docs",
+        F.col("tok_sum").alias("shard_tokens"),
+        F.round(avg_lp, 6).alias("avg_logp"),
+        F.row_number().over(rank_w).alias("curriculum_rank"),
+        F.count(F.lit(1)).over(n_w).alias("n_shards"),
+    )
+    phase = (
+        F.when(
+            F.col("curriculum_rank") * 3 <= F.col("n_shards"), "easy"
+        )
+        .when(F.col("curriculum_rank") * 3 <= F.col("n_shards") * 2, "medium")
+        .otherwise("hard")
+    )
+    return (
+        ranked.select(
+            "lang",
+            "shard_no",
+            "n_docs",
+            "shard_tokens",
+            "avg_logp",
+            "curriculum_rank",
+            phase.alias("phase"),
+        )
+        .orderBy("lang", "curriculum_rank")
+    )
+
+
+_SQL_CURRICULUM = f"""
+WITH tk AS (
+  SELECT lang, doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
+), vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY t
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab
+), lm AS (
+  SELECT t, CAST(round(ln(CAST(c AS DOUBLE) / total) * CAST(1000000 AS DOUBLE), 0) AS BIGINT)
+           AS lp_micro
+  FROM vocab CROSS JOIN tot
+), per_doc AS (
+  SELECT tk.lang, tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(lm.lp_micro) AS BIGINT) AS s
+  FROM tk JOIN lm ON tk.t = lm.t
+  GROUP BY tk.lang, tk.doc_id
+), packed AS (
+  SELECT lang, n_tok, s,
+         CAST(floor(CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS DOUBLE)
+              / CAST({SHARD_BUDGET} AS DOUBLE)) AS BIGINT) AS shard_no
+  FROM per_doc
+), shards AS (
+  SELECT lang, shard_no, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS tok_sum, CAST(sum(s) AS BIGINT) AS s_sum
+  FROM packed GROUP BY lang, shard_no
+), ranked AS (
+  SELECT lang, shard_no, n_docs, tok_sum AS shard_tokens,
+         round(CAST(s_sum AS DOUBLE) / CAST(tok_sum AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+           AS avg_logp,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY round(CAST(s_sum AS DOUBLE) / CAST(tok_sum AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) DESC,
+                    shard_no) AS curriculum_rank,
+         count(*) OVER (PARTITION BY lang) AS n_shards
+  FROM shards
+)
+SELECT lang, shard_no, n_docs, shard_tokens, avg_logp, curriculum_rank,
+       CASE WHEN curriculum_rank * 3 <= n_shards THEN 'easy'
+            WHEN curriculum_rank * 3 <= n_shards * 2 THEN 'medium'
+            ELSE 'hard' END AS phase
+FROM ranked
+ORDER BY lang, curriculum_rank
+"""
+
+
 # --- semantic_decontamination ----------------------------------------------
 SEM_DECON_T = 0.35
 
@@ -943,6 +1083,7 @@ TRAINING_QUERIES.update(
         "unigram_quality": q_unigram_quality,
         "semdedup": q_semdedup,
         "semantic_decontamination": q_semantic_decontamination,
+        "curriculum_order": q_curriculum_order,
         "embedding_outliers": q_embedding_outliers,
         "dsir_weights": q_dsir_weights,
         "bpe_merges": q_bpe_merges,
@@ -958,6 +1099,7 @@ TRAINING_ORACLES.update(
         "unigram_quality": _SQL_UNIGRAM_QUALITY,
         "semdedup": _semdedup_sql(),
         "semantic_decontamination": _sem_decon_sql(),
+        "curriculum_order": _SQL_CURRICULUM,
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "dsir_weights": _SQL_DSIR,
         "bpe_merges": _bpe_sql(),

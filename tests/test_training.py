@@ -439,3 +439,34 @@ def test_semantic_decontamination_never_reports_eval_vectors(spark):
 
     for r in q_semantic_decontamination(spark, SF).collect():
         assert r["vec_id"] % 37 != 0
+
+
+def test_curriculum_order_ranks_and_phases(spark):
+    """Ranks are a per-lang permutation ordered easiest-first (avg_logp
+    descending, shard_no tie-break); terciles cover each language; shard
+    identities and doc counts agree with shard_packing."""
+    from earcrawler_spark.queries_training import (
+        q_curriculum_order,
+        q_shard_packing,
+    )
+
+    out = q_curriculum_order(spark, SF).collect()
+    per_lang: dict = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in per_lang.items():
+        rows = sorted(rows, key=lambda r: r["curriculum_rank"])
+        assert [r["curriculum_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r["avg_logp"], r["shard_no"]) for r in rows]
+        assert keys == sorted(keys)
+        n = len(rows)
+        for r in rows:
+            want = ("easy" if r["curriculum_rank"] * 3 <= n
+                    else "medium" if r["curriculum_rank"] * 3 <= 2 * n
+                    else "hard")
+            assert r["phase"] == want
+    packing = {(r["lang"], r["shard_no"]): r for r in q_shard_packing(spark, SF).collect()}
+    assert {(r["lang"], r["shard_no"]) for r in out} == set(packing)
+    for r in out:
+        assert r["n_docs"] == packing[(r["lang"], r["shard_no"])]["n_docs"]
+        assert r["shard_tokens"] == packing[(r["lang"], r["shard_no"])]["shard_tokens"]
