@@ -286,45 +286,52 @@ def _sql_norm(v: str) -> str:
             f"ELSE {v} END")
 
 
-def kmeans_cents_sql(k: int, iters: int) -> tuple[str, str]:
+def kmeans_cents_sql(
+    k: int,
+    iters: int,
+    vec_expr: str = "CAST(embedding AS DOUBLE[])",
+    prefix: str = "",
+) -> tuple[str, str]:
     """The deterministic spherical k-means rounds UNROLLED as DuckDB
     CTEs (init = k smallest vec_ids, per-round argmin on round(cos, 6)
     + centroid-id tie-break, per-dim means, renormalize, empty clusters
     keep the previous centroid) — mirrors operators/similarity.
-    kmeans_train exactly. Returns (cte_chain, final_cents_name) so both
-    the ann_ivf_lists and semdedup oracles share one trained-quantizer
-    definition."""
+    kmeans_train exactly. Returns (cte_chain, final_cents_name) so the
+    ann_ivf_lists / ann_ivf_search / semdedup oracles share one
+    trained-quantizer definition.  ``vec_expr``/``prefix`` let pq_codes
+    train one chain per subvector slice without CTE-name collisions."""
     cos, norm = _sql_cos, _sql_norm
+    p = prefix
     rounds = []
     for r in range(1, iters + 1):
-        prev = f"cents{r - 1}"
-        rounds.append(f"""best{r} AS (
+        prev = f"{p}cents{r - 1}"
+        rounds.append(f"""{p}best{r} AS (
   SELECT vid, v, cid FROM (
     SELECT e.vid, e.v, c.centroid_id AS cid,
            row_number() OVER (PARTITION BY e.vid
              ORDER BY round({cos('e.v', 'c.cv')}, 6) DESC, c.centroid_id) AS rn
-    FROM e, {prev} c) WHERE rn = 1
-), cvec{r} AS (
+    FROM {p}e e, {prev} c) WHERE rn = 1
+), {p}cvec{r} AS (
   SELECT centroid_id, list(m ORDER BY dim) AS cv_raw FROM (
     SELECT cid AS centroid_id, dim, avg(x) AS m
     FROM (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x
-          FROM best{r})
+          FROM {p}best{r})
     GROUP BY cid, dim)
   GROUP BY centroid_id
-), cents{r} AS (
+), {p}cents{r} AS (
   SELECT p.centroid_id, coalesce({norm('n.cv_raw')}, p.cv) AS cv
-  FROM {prev} p LEFT JOIN cvec{r} n ON p.centroid_id = n.centroid_id
+  FROM {prev} p LEFT JOIN {p}cvec{r} n ON p.centroid_id = n.centroid_id
 )""")
     rounds_sql = ",\n".join(rounds)
-    chain = f"""e0 AS (
-  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), e AS (
-  SELECT vid, {norm('v')} AS v FROM e0
-), cents0 AS (
-  SELECT vid AS centroid_id, v AS cv FROM e ORDER BY vid LIMIT {k}
+    chain = f"""{p}e0 AS (
+  SELECT vec_id AS vid, {vec_expr} AS v FROM embeddings
+), {p}e AS (
+  SELECT vid, {norm('v')} AS v FROM {p}e0
+), {p}cents0 AS (
+  SELECT vid AS centroid_id, v AS cv FROM {p}e ORDER BY vid LIMIT {k}
 ),
 {rounds_sql}"""
-    return chain, f"cents{iters}"
+    return chain, f"{p}cents{iters}"
 
 
 def _ivf_sql(k: int = IVF_K, iters: int = IVF_ITERS) -> str:
@@ -417,3 +424,75 @@ TOKEN_ORACLES = {
     "ann_ivf_search": _ivf_search_sql(),
     "cosine_neardup": _SQL_COSINE_NEARDUP,
 }
+
+
+PQ_M = 8        # subspaces (64-dim vectors -> 8 dims each)
+PQ_K = 4        # centroids per subspace -> 2-bit codes
+PQ_ITERS = 2
+PQ_SUBDIM = 8
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, spherical variant):
+    split each 64-dim embedding into 8 subvectors, train an independent
+    k=4 quantizer per subspace (same deterministic Lloyd loop as the IVF
+    family), and emit each vector's (subspace, code, sim) assignments —
+    the 8x2-bit compressed representation an ANN index stores instead
+    of raw floats.  Code labels are the quantizer's centroid ids.
+
+    Scale shape: 8 independent small trainings (each a vocab-sized
+    Lloyd loop over one slice); per-subspace assignment is a broadcast
+    of 4 centroids over one corpus scan; the union is 8 parallel
+    branches of the same shape."""
+    from earcrawler_spark.operators.similarity import ivf_assign, kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    parts = []
+    for s in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"),
+                s * PQ_SUBDIM + 1,
+                PQ_SUBDIM,
+            ).alias("sub"),
+        )
+        cents = kmeans_train(sub, k=PQ_K, iters=PQ_ITERS, vec_col="sub")
+        parts.append(
+            ivf_assign(sub, cents, vec_col="sub").select(
+                "vec_id",
+                F.lit(s).alias("subspace"),
+                F.col("centroid_id").alias("code"),
+                "sim",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("vec_id", "subspace")
+
+
+def _pq_sql() -> str:
+    cos = _sql_cos
+    chains, branches = [], []
+    for s in range(PQ_M):
+        vec = (f"list_slice(CAST(embedding AS DOUBLE[]), "
+               f"{s * PQ_SUBDIM + 1}, {(s + 1) * PQ_SUBDIM})")
+        chain, cents = kmeans_cents_sql(
+            PQ_K, PQ_ITERS, vec_expr=vec, prefix=f"s{s}_"
+        )
+        chains.append(chain)
+        branches.append(f"""SELECT vec_id, {s} AS subspace, cid AS code, sim FROM (
+  SELECT r.vec_id, c.centroid_id AS cid, round({cos('r.v', 'c.cv')}, 6) AS sim,
+         row_number() OVER (PARTITION BY r.vec_id
+           ORDER BY round({cos('r.v', 'c.cv')}, 6) DESC, c.centroid_id) AS rn
+  FROM (SELECT vec_id, {vec} AS v FROM embeddings) r, {cents} c) WHERE rn = 1""")
+    return (
+        "\nWITH " + ",\n".join(chains) + "\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\nORDER BY vec_id, subspace"
+    )
+
+
+TOKEN_QUERIES["pq_codes"] = q_pq_codes
+TOKEN_ORACLES["pq_codes"] = _pq_sql()

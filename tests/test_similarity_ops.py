@@ -298,3 +298,58 @@ def test_ann_ivf_search_query_semantics(spark, sf_small):
         assert r["in_exact_topk"] == ((r["query_id"], r["neighbor_id"]) in exact)
     recall = sum(1 for r in hits if r["in_exact_topk"]) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_pq_codes_structure_and_argmax(spark, sf_small):
+    """Every vector gets exactly one code per subspace, codes come from
+    that subspace's own k=4 quantizer, and each assignment is the
+    argmax-cosine centroid of the vector's subvector slice."""
+    import math
+
+    from earcrawler_spark.operators.similarity import kmeans_train
+    from earcrawler_spark.queries_tokens import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        q_pq_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    n_vec = emb.count()
+    rows = q_pq_codes(spark, sf_small).collect()
+    assert len(rows) == n_vec * PQ_M
+    per_sub: dict = {}
+    for r in rows:
+        per_sub.setdefault(r["subspace"], []).append(r)
+    assert set(per_sub) == set(range(PQ_M))
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    for s, srows in per_sub.items():
+        assert len(srows) == n_vec          # one code per vector
+        codes = {r["code"] for r in srows}
+        sub = emb.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"),
+                s * PQ_SUBDIM + 1,
+                PQ_SUBDIM,
+            ).alias("sub"),
+        )
+        cents = {
+            r["centroid_id"]: r["cv"]
+            for r in kmeans_train(sub, k=PQ_K, iters=PQ_ITERS, vec_col="sub").collect()
+        }
+        assert codes <= set(cents)
+        # argmax check on the first 25 vectors of this subspace
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return round(d / (math.sqrt(sum(x * x for x in a))
+                              * math.sqrt(sum(y * y for y in b))), 6)
+        for r in sorted(srows, key=lambda r: r["vec_id"])[:25]:
+            sv = vecs[r["vec_id"]][s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]
+            best = min(((-cos(sv, cv), cid) for cid, cv in cents.items()))
+            assert r["code"] == best[1]
+            assert r["sim"] == -best[0]
