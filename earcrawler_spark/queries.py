@@ -1155,6 +1155,10 @@ def _late_oracles() -> None:
 
     QUERIES.update(TRAINING_QUERIES)
     ORACLES.update(TRAINING_ORACLES)
+    from earcrawler_spark.queries_mining import MINING_ORACLES, MINING_QUERIES
+
+    QUERIES.update(MINING_QUERIES)
+    ORACLES.update(MINING_ORACLES)
     _reorder_for_gate()
 
 
