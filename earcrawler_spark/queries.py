@@ -1159,6 +1159,13 @@ def _late_oracles() -> None:
 
     QUERIES.update(MINING_QUERIES)
     ORACLES.update(MINING_ORACLES)
+    from earcrawler_spark.queries_graph import GRAPH_ORACLES, GRAPH_QUERIES
+    from earcrawler_spark.queries_sketches import SKETCH_ORACLES, SKETCH_QUERIES
+
+    QUERIES.update(GRAPH_QUERIES)
+    ORACLES.update(GRAPH_ORACLES)
+    QUERIES.update(SKETCH_QUERIES)
+    ORACLES.update(SKETCH_ORACLES)
     _reorder_for_gate()
 
 
