@@ -67,6 +67,12 @@ def _nodes_edges(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("dst") != F.col("src"))
         .distinct()
+        # materialize ONCE (IVF-Lloyd precedent, operators/similarity.py):
+        # without this the unrolled rounds re-derive the edge table —
+        # and re-pay its distinct shuffle — once per iteration; at scale
+        # the edge list is the big input and must be computed exactly
+        # once.  localCheckpoint blocks are freed with the RDD's GC.
+        .localCheckpoint()
     )
     return nodes, edges
 
