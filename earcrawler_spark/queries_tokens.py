@@ -440,36 +440,46 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8x2-bit compressed representation an ANN index stores instead
     of raw floats.  Code labels are the quantizer's centroid ids.
 
-    Scale shape: 8 independent small trainings (each a vocab-sized
-    Lloyd loop over one slice); per-subspace assignment is a broadcast
-    of 4 centroids over one corpus scan; the union is 8 parallel
-    branches of the same shape."""
-    from earcrawler_spark.operators.similarity import ivf_assign, kmeans_train
+    Scale shape: the 8 sub-quantizers train JOINTLY in one lineage
+    (kmeans_train_grouped, subspace as the grouping key) — one
+    vector-slice explode, then per Lloyd round ONE broadcast-32-
+    centroid assignment and ONE (subspace, cid, dim) partial-avg
+    shuffle covering all subspaces, instead of 8 sequential per-slice
+    trainings; assignment is the same grouped broadcast argmax."""
+    from earcrawler_spark.operators.similarity import (
+        ivf_assign_grouped,
+        kmeans_train_grouped,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    parts = []
-    for s in range(PQ_M):
-        sub = emb.select(
-            "vec_id",
-            F.slice(
-                F.col("embedding").cast("array<double>"),
-                s * PQ_SUBDIM + 1,
-                PQ_SUBDIM,
-            ).alias("sub"),
-        )
-        cents = kmeans_train(sub, k=PQ_K, iters=PQ_ITERS, vec_col="sub")
-        parts.append(
-            ivf_assign(sub, cents, vec_col="sub").select(
-                "vec_id",
-                F.lit(s).alias("subspace"),
-                F.col("centroid_id").alias("code"),
-                "sim",
+    vec = F.col("embedding").cast("array<double>")
+    sub_all = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice(vec, s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+                    )
+                    for s in range(PQ_M)
+                ]
             )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.subspace").alias("subspace"), F.col("p.sub").alias("sub"))
+    cents = kmeans_train_grouped(
+        sub_all, k=PQ_K, iters=PQ_ITERS, group_col="subspace", vec_col="sub"
+    )
+    return (
+        ivf_assign_grouped(sub_all, cents, group_col="subspace", vec_col="sub")
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("centroid_id").alias("code"),
+            "sim",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("vec_id", "subspace")
+        .orderBy("vec_id", "subspace")
+    )
 
 
 def _pq_sql() -> str:
