@@ -160,6 +160,64 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
     assert a == b
 
 
+def test_kmeans_grouped_equals_per_group_loop(spark, sf_small):
+    """kmeans_train_grouped over subspace slices must produce the same
+    centroids per group as looping kmeans_train per slice (same init /
+    argmin / empty-cluster rules), and the grouped assignment must
+    equal the per-group ivf_assign — the equivalence pq_codes'
+    one-lineage rewrite rests on."""
+    from earcrawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_grouped,
+        kmeans_train,
+        kmeans_train_grouped,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    vec = F.col("embedding").cast("array<double>")
+    n_groups, subdim, k, iters = 4, 16, 3, 2
+    sub_all = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("grp_id"),
+                        F.slice(vec, s * subdim + 1, subdim).alias("sub"),
+                    )
+                    for s in range(n_groups)
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.grp_id").alias("grp_id"), F.col("p.sub").alias("sub"))
+    cents_g = kmeans_train_grouped(
+        sub_all, k=k, iters=iters, group_col="grp_id", vec_col="sub"
+    )
+    got_c = {
+        (r["grp_id"], r["centroid_id"]): tuple(round(x, 9) for x in r["cv"])
+        for r in cents_g.collect()
+    }
+    asg_g = ivf_assign_grouped(sub_all, cents_g, group_col="grp_id", vec_col="sub")
+    got_a = {
+        (r["grp_id"], r["vec_id"]): (r["centroid_id"], round(r["sim"], 6))
+        for r in asg_g.collect()
+    }
+    for s in range(n_groups):
+        sub = emb.select(
+            "vec_id", F.slice(vec, s * subdim + 1, subdim).alias("sub")
+        )
+        cents = kmeans_train(sub, k=k, iters=iters, vec_col="sub")
+        for r in cents.collect():
+            assert got_c[(s, r["centroid_id"])] == tuple(
+                round(x, 9) for x in r["cv"]
+            )
+        for r in ivf_assign(sub, cents, vec_col="sub").collect():
+            assert got_a[(s, r["vec_id"])] == (
+                r["centroid_id"],
+                round(r["sim"], 6),
+            )
+
+
 def test_dedup_clusters_exact_dup_hot_bucket(spark):
     """Adversarial fixture: 1000 byte-identical docs would put C(1000,2)
     ≈ 500k pairs through one LSH band bucket; the exact-dup pre-collapse
