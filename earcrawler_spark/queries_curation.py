@@ -394,6 +394,91 @@ ORDER BY source
 """
 
 
+WS_K = 8  # weighted sample size per source stratum
+
+
+def _hex_int_sql(sha: str, digits: int) -> str:
+    """DuckDB mirror of Spark conv(substr(sha,1,digits),16,10): the
+    hex prefix as an integer via per-digit strpos arithmetic."""
+    terms = [
+        f"{16 ** (digits - i)} * (strpos('0123456789abcdef', substr({sha}, {i}, 1)) - 1)"
+        for i in range(1, digits + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample (Efraimidis–Spirakis A-ES, the
+    one-pass distributed weighted-sampling scheme): per source keep
+    the top-8 documents by priority u^(1/w) — realized as
+    ln(u)/w with u a sha-derived uniform and w the document's token
+    count, so longer documents are proportionally likelier while
+    selection stays a pure function of (doc_id, text).  This is the
+    quality-weighted sampler a training-data mixer runs instead of
+    uniform sampling; the per-stratum top-k is a partitioned
+    row_number (no global sort), one corpus scan.
+
+    Determinism: u = (hex32(sha256(doc_id||':ws')) + 1) / 2^32 is an
+    exact-integer division; ln(u) is micro-rounded to a BIGINT so a
+    1-ulp libm-vs-JVM difference cannot change it; the ordering key is
+    one IEEE division of two exact integers (l_micro / w) — bit-stable
+    across engines, with a doc_id tie-break."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u32 = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32 + 1).cast("double") / F.lit(4294967296).cast("double")
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.greatest(F.size(tokens(F.col("text"))), F.lit(1))
+        .cast("bigint")
+        .alias("w"),
+        F.round(F.log(u) * 1_000_000, 0).cast("bigint").alias("l_micro"),
+    ).withColumn(
+        "priority", F.col("l_micro").cast("double") / F.col("w")
+    )
+    win = W.partitionBy("source").orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        base.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= WS_K)
+        .select("source", "sample_rank", "doc_id", "w", "priority")
+        .orderBy("source", "sample_rank")
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(greatest(len({_TOKENS_SQL}), 1) AS BIGINT) AS w,
+         CAST(round(ln(CAST({_hex_int_sql("sha", 8)} + 1 AS DOUBLE)
+                       / CAST(4294967296 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+             AS l_micro
+  FROM (SELECT source, doc_id, text,
+               sha256(CAST(doc_id AS VARCHAR) || ':ws') AS sha
+        FROM documents)
+), keyed AS (
+  SELECT source, doc_id, w,
+         CAST(l_micro AS DOUBLE) / w AS priority
+  FROM base
+), ranked AS (
+  SELECT source, doc_id, w, priority,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY priority DESC, doc_id) AS sample_rank
+  FROM keyed
+)
+SELECT source, CAST(sample_rank AS INTEGER) AS sample_rank, doc_id, w, priority
+FROM ranked WHERE sample_rank <= {WS_K}
+ORDER BY source, sample_rank
+"""
+
+
 CURATION_QUERIES.update(
     {
         "dataset_split": q_dataset_split,
@@ -401,6 +486,7 @@ CURATION_QUERIES.update(
         "repetition_quality": q_repetition_quality,
         "stratified_sample": q_stratified_sample,
         "source_mix": q_source_mix,
+        "weighted_sample": q_weighted_sample,
     }
 )
 CURATION_ORACLES.update(
@@ -410,5 +496,6 @@ CURATION_ORACLES.update(
         "repetition_quality": _SQL_REPETITION,
         "stratified_sample": _SQL_STRATIFIED,
         "source_mix": _SQL_SOURCE_MIX,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
     }
 )

@@ -116,6 +116,33 @@ def test_cms_estimates_match_model_and_overestimate(spark):
     assert got == [(c, t) for c, t in want[: len(rows)]]
 
 
+def test_weighted_sample_matches_es_model(spark, tmp_path):
+    """The per-source top-8 must equal the sequential Efraimidis-
+    Spirakis model (same sha-derived uniform, micro-rounded ln,
+    l_micro/w ordering), and a heavyweight doc must beat lightweights
+    into the sample."""
+    from earcrawler_spark.queries_curation import WS_K, q_weighted_sample
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(5)), "en", "s0", 0) for i in range(20)]
+    rows.append((99, " ".join(f"h{j}" for j in range(2000)), "en", "s0", 0))
+    out = q_weighted_sample(spark, _write_docs(spark, tmp_path, rows)).collect()
+
+    def prio(doc_id, w):
+        u32 = int(hashlib.sha256(f"{doc_id}:ws".encode()).hexdigest()[:8], 16)
+        l_micro = round(math.log((u32 + 1) / 4294967296) * 1_000_000)
+        return l_micro / w
+
+    model = sorted(
+        ((prio(d, w), d, w) for d, w in [(i, 5) for i in range(20)] + [(99, 2000)]),
+        key=lambda t: (-t[0], t[1]),
+    )[:WS_K]
+    assert [(r["doc_id"], r["w"], r["priority"]) for r in out] == [
+        (d, w, p) for p, d, w in model
+    ]
+    assert [r["sample_rank"] for r in out] == list(range(1, WS_K + 1))
+    assert any(r["doc_id"] == 99 for r in out), "heavyweight doc missed the sample"
+
+
 def test_histogram_quantiles_bound_and_exact_rank(spark):
     """The estimate must sit on a bin lower edge at most one bin below
     the exact k-th order statistic, and the exact column must equal the
