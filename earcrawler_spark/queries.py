@@ -1166,6 +1166,10 @@ def _late_oracles() -> None:
     ORACLES.update(GRAPH_ORACLES)
     QUERIES.update(SKETCH_QUERIES)
     ORACLES.update(SKETCH_ORACLES)
+    from earcrawler_spark.queries_webcur import WEBCUR_ORACLES, WEBCUR_QUERIES
+
+    QUERIES.update(WEBCUR_QUERIES)
+    ORACLES.update(WEBCUR_ORACLES)
     _reorder_for_gate()
 
 
@@ -1210,6 +1214,25 @@ _GATED_R1_R3: frozenset[str] = frozenset(
 # unchanged since).
 _GATE_DEPRIORITIZED: frozenset[str] = frozenset({"media_features"})
 
+# The never-certified set outgrew the driver's 50-slot window in round 5
+# (51+ uncertified oracled queries).  A slot can't be minted, so the
+# overflow is an EXPLICIT choice, not registration-order luck: queries
+# listed here sort after every other never-certified query and wait for
+# the round-6 window.  Pick the lowest-risk deferrals — strict-local
+# green AND pattern-certified by a sibling (histogram_quantiles is the
+# same window-rank/width-bucket surface the driver already certified
+# via segment_stats and sliding_window); the queries_webcur batch was
+# added after the window filled, knowing it waits for round 6.
+_GATE_OVERFLOW: frozenset[str] = frozenset(
+    {
+        "histogram_quantiles",
+        "gopher_rules",
+        "domain_quota",
+        "hits_scores",
+        "span_integrity",
+    }
+)
+
 # Queries fully green in CORRECTNESS_r04.json whose impl AND oracle are
 # unchanged since (modified-since-certification counts as never
 # certified, so the round-5 diffs removed: dedup_clusters — pre-collapse
@@ -1241,8 +1264,11 @@ def _reorder_for_gate() -> None:
     order = [
         k
         for k in QUERIES
-        if k not in certified and k not in _GATE_DEPRIORITIZED
+        if k not in certified
+        and k not in _GATE_DEPRIORITIZED
+        and k not in _GATE_OVERFLOW
     ]
+    order += [k for k in QUERIES if k in _GATE_OVERFLOW]
     order += [k for k in QUERIES if k in _GATE_DEPRIORITIZED]
     order += [k for k in QUERIES if k in _GATED_R4 and k not in _GATED_R1_R3]
     order += [k for k in QUERIES if k in _GATED_R1_R3]
