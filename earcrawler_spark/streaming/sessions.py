@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` — the Structured Streaming twin of the batch
+``sessionization`` query (queries_windows.py), kept row-for-row equal to
+it (tests/test_streaming_sessions.py).
+
+Semantics: events are grouped by ``user_id``; a new session starts when
+the gap to the user's previous event exceeds ``SESSION_GAP_MIN`` minutes
+(strictly greater, matching the batch lag+cumsum sessionizer).  Open
+sessions live in the operator state; a session is emitted when
+
+- a later event of the same user opens the NEXT session (gap observed
+  inside the data), or
+- a flush sentinel row (``event_type == FLUSH_EVENT``) arrives for the
+  user — the control-tuple protocol the crawl checkpoint store uses to
+  finalize a wave deterministically without depending on wall-clock or
+  watermark-timeout firing order.
+
+Scale notes (1000-executor Structured Streaming):
+- State per key is one open session (5 scalars) — O(active users), not
+  O(events); the shuffle is the groupBy(user_id) hash exchange and the
+  per-batch work is Arrow-vectorized pandas.
+- This operator assumes per-user in-order arrival across micro-batches
+  (the checkpointed frontier replays wave files in order; an unordered
+  feed needs a watermark re-order buffer in front, which is exactly
+  what ``monitor.hourly_rollup`` shows with ``withWatermark``).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from earcrawler_spark.queries_windows import SESSION_GAP_MIN
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+FLUSH_EVENT = "__flush__"
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_no bigint, n_events bigint, session_value double"
+)
+# (session_no, n_events, value_sum, last_epoch) of the one open session
+STATE_SCHEMA = "session_no bigint, n_events bigint, value_sum double, last_epoch double"
+
+
+def _sessionize_fn(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        session_no, n_events, value_sum, last_epoch = state.get
+    else:
+        session_no, n_events, value_sum, last_epoch = 0, 0, 0.0, None
+
+    closed: list[tuple] = []
+    flushed = False
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        epochs = pdf["ts"].astype("int64").to_numpy() / 1e9
+        values = pdf["value"].to_numpy()
+        kinds = pdf["event_type"].to_numpy()
+        for ep, val, kind in zip(epochs, values, kinds):
+            if kind == FLUSH_EVENT:
+                if n_events:
+                    closed.append(
+                        (user_id, session_no, n_events, round(value_sum, 4))
+                    )
+                    n_events, value_sum = 0, 0.0
+                flushed = True
+                continue
+            gap_min = None if last_epoch is None else (ep - last_epoch) / 60.0
+            if n_events and (gap_min is None or gap_min > SESSION_GAP_MIN):
+                closed.append(
+                    (user_id, session_no, n_events, round(value_sum, 4))
+                )
+                n_events, value_sum = 0, 0.0
+            if not n_events:
+                session_no += 1
+            n_events += 1
+            value_sum += float(val)
+            last_epoch = ep
+
+    if flushed and not n_events:
+        state.remove()
+    else:
+        state.update((session_no, n_events, value_sum, last_epoch))
+    if closed:
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_no", "n_events", "session_value"]
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming sessionizer over an events stream with columns
+    (event_id, ts, user_id, event_type, value).  Emits one row per
+    CLOSED session: (user_id, session_no, n_events, session_value) —
+    the same contract as the batch ``sessionization`` query."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
