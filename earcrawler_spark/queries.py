@@ -1170,6 +1170,13 @@ def _late_oracles() -> None:
 
     QUERIES.update(WEBCUR_QUERIES)
     ORACLES.update(WEBCUR_ORACLES)
+    from earcrawler_spark.queries_crawlstats import (
+        CRAWLSTATS_ORACLES,
+        CRAWLSTATS_QUERIES,
+    )
+
+    QUERIES.update(CRAWLSTATS_QUERIES)
+    ORACLES.update(CRAWLSTATS_ORACLES)
     _reorder_for_gate()
 
 
@@ -1230,6 +1237,12 @@ _GATE_OVERFLOW: frozenset[str] = frozenset(
         "domain_quota",
         "hits_scores",
         "span_integrity",
+        # queries_crawlstats batch — added after the round-5 window
+        # filled; strict-local green, waits for the round-6 rotation.
+        "url_canonicalize",
+        "anchor_text_agg",
+        "recrawl_priority",
+        "frontier_shard_skew",
     }
 )
 

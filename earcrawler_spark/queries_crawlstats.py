@@ -1,0 +1,412 @@
+"""Query batch — crawl-frontier analytics (crawl-tier, beyond-reference).
+
+Four operators a web-scale crawler runs over its own state — the query
+form of the frontier machinery in crawler/ (north rule: canonicalized
+URL-hash seen set, per-host politeness, host-hash partitioning with hot
+domains bis.doc.gov / federalregister.gov):
+
+- ``url_canonicalize``  — the seen-set key path itself: deterministic
+  URL variants (case, default port, fragment, utm params, duplicate
+  slashes, param order) collapse through the REAL crawler canonicalizer
+  (crawler/canonicalize.py, one vectorized Arrow UDF — the north rule's
+  "canonicalization through pandas/Arrow UDFs, no per-row Python") to
+  one canonical URL + sha256 seen-set key per (doc, scheme).  Reference
+  keys its cache by sha256(url‖sorted params) but never canonicalizes
+  (earCrawler/utils/http_cache.py:65-84); at web scale canonicalization
+  IS the dedup key.
+- ``anchor_text_agg``   — per-target anchor-text aggregation over the
+  deterministic doc_id link graph shared with link_pagerank /
+  hits_scores: in-degree, distinct anchor terms, most-frequent anchor
+  (tie-break lexical) — the classic web-scale signal an indexer folds
+  into ranking and a crawler folds into URL prioritization.
+- ``recrawl_priority``  — freshness-driven recrawl scheduling (Cho &
+  Garcia-Molina): per page a Poisson change-rate estimate
+  λ̂ = changes / observed-span from the event history, staleness since
+  the last observation, and priority = λ̂ · staleness.  Pure BIGINT
+  micro-arithmetic (Spark ``div`` == DuckDB ``//``) — bit-stable
+  across engines and partitionings.
+- ``frontier_shard_skew`` — the host-hash shard-load audit behind the
+  north rule's "explicit repartition-by-host-hash and skew salting":
+  every URL of a host lands in sha256(host)-derived shard (16 shards),
+  and the query reports per-shard URL/host counts, the largest
+  single-host share (the salting trigger), and the shard's load vs the
+  uniform ideal — with bis.doc.gov / federalregister.gov synthesized
+  hot exactly like a real EAR crawl's frontier.
+
+Scale notes (10^10-URL frontier / 1000 executors):
+- url_canonicalize is scan → one Arrow-batched projection → hash-agg;
+  the canonical sha is the partitioner key of the real seen-set shards
+  (crawler/runner.py), so the groupBy here is the same shuffle the
+  frontier itself pays — no extra passes.
+- anchor_text_agg is two partial-agg-friendly aggregations over the
+  edge join; anchor strings are bounded (first token), so the
+  collect_set stays small; a mega-in-degree page (the skew case) is
+  bounded by the same per-host quota the frontier applies upstream.
+- recrawl_priority is one groupBy(page) plus a broadcast 1-row global
+  max — the per-page history is the natural partitioning.
+- frontier_shard_skew aggregates (shard, host) then shard — both
+  partial-agg shapes; the hot-host share it emits is precisely the
+  statistic the runner uses to decide salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+CRAWLSTATS_QUERIES: dict = {}
+CRAWLSTATS_ORACLES: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _host_col():
+    """Deterministic host per doc, hot-domain skewed like a real EAR
+    crawl (north rule names bis.doc.gov / federalregister.gov hot)."""
+    return (
+        F.when(F.col("doc_id") % 10 < 4, F.lit("bis.doc.gov"))
+        .when(F.col("doc_id") % 10 < 7, F.lit("federalregister.gov"))
+        .otherwise(F.concat(F.lower(F.col("source")), F.lit(".example.org")))
+    )
+
+
+_HOST_SQL = """CASE WHEN doc_id % 10 < 4 THEN 'bis.doc.gov'
+         WHEN doc_id % 10 < 7 THEN 'federalregister.gov'
+         ELSE lower(source) || '.example.org' END"""
+
+
+# --- url_canonicalize ----------------------------------------------------
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-set key derivation: four messy variants per doc (upper-case
+    scheme+host + default port + fragment + unsorted params; utm_
+    tracking param; duplicate slashes; https) run through the real
+    crawler canonicalizer (crawler/canonicalize.py — ONE ArrowEvalPython
+    stage) and collapse to 2 canonical URLs per doc: the three http
+    variants merge (n_variants=3), https stays distinct (n_variants=1).
+    url_sha = sha256(canonical) is the frontier's seen-set key."""
+    from earcrawler_spark.crawler.canonicalize import canonical_url, url_hash_col
+
+    docs = _t(spark, sf_dir, "documents")
+    h = _host_col()
+    path = F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"))
+    variants = docs.select(
+        F.col("doc_id"),
+        h.alias("host"),
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("HTTP://"), F.upper(h), F.lit(":80"), path,
+                    F.lit("?b=2&a=1#frag"),
+                ),
+                F.concat(
+                    F.lit("http://"), h, path, F.lit("?utm_source=x&a=1&b=2")
+                ),
+                F.concat(
+                    F.lit("http://"), h, F.lit("//docs//"),
+                    F.col("doc_id").cast("string"), F.lit("?a=1&b=2"),
+                ),
+                F.concat(F.lit("https://"), h, F.lit(":443"), path),
+            )
+        ).alias("raw_url"),
+    )
+    canon = variants.withColumn("canonical_url", canonical_url(F.col("raw_url")))
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("host").alias("host"),
+        )
+        .withColumn("url_sha", url_hash_col(F.col("canonical_url")))
+        .select("canonical_url", "host", "n_variants", "url_sha")
+        .orderBy("canonical_url")
+    )
+
+
+_SQL_URL_CANONICALIZE = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_HOST_SQL} AS host
+  FROM documents
+), canon AS (
+  SELECT host,
+         'http://' || host || '/docs/' || CAST(doc_id AS VARCHAR)
+           || '?a=1&b=2' AS canonical_url,
+         CAST(3 AS BIGINT) AS n_variants
+  FROM base
+  UNION ALL
+  SELECT host,
+         'https://' || host || '/docs/' || CAST(doc_id AS VARCHAR) AS canonical_url,
+         CAST(1 AS BIGINT) AS n_variants
+  FROM base
+)
+SELECT canonical_url, host, n_variants, sha256(canonical_url) AS url_sha
+FROM canon
+ORDER BY canonical_url
+"""
+
+CRAWLSTATS_QUERIES["url_canonicalize"] = q_url_canonicalize
+CRAWLSTATS_ORACLES["url_canonicalize"] = _SQL_URL_CANONICALIZE
+
+
+# --- anchor_text_agg ------------------------------------------------------
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation over the doc_id link graph
+    (shared with link_pagerank, queries_graph._nodes_edges): each edge
+    carries the source doc's first token as its anchor term; per target
+    the in-degree, distinct-anchor count, sorted anchor list and the
+    most-frequent anchor (count DESC, term ASC tie-break)."""
+    from earcrawler_spark.queries_graph import _nodes_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    nodes, edges = _nodes_edges(spark, sf_dir)
+    anchors = docs.select(
+        F.col("doc_id").alias("src"),
+        F.regexp_extract(F.lower(F.col("text")), "[a-z0-9]+", 0).alias("anchor"),
+    )
+    ea = edges.join(anchors, "src")
+    per_anchor = ea.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("anchor").asc())
+    top = (
+        per_anchor.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "dst",
+            F.col("anchor").alias("top_anchor"),
+            F.col("cnt").cast("bigint").alias("top_anchor_n"),
+        )
+    )
+    agg = ea.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_deg"),
+        F.count_distinct("anchor").cast("bigint").alias("n_anchors"),
+        F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias("anchors"),
+    )
+    return (
+        agg.join(top, "dst")
+        .select(
+            F.col("dst").alias("node"), "in_deg", "n_anchors",
+            "top_anchor", "top_anchor_n", "anchors",
+        )
+        .orderBy("node")
+    )
+
+
+def _anchor_sql() -> str:
+    from earcrawler_spark.queries_graph import PR_FANOUT, _STRIDE
+
+    return f"""
+WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT node AS src, ({_STRIDE} * node + 11 * j) % n AS dst
+    FROM nodes CROSS JOIN nd,
+         unnest([{", ".join(str(j) for j in range(1, PR_FANOUT + 1))}]) AS u(j))
+  WHERE dst <> src
+), anchors AS (
+  SELECT doc_id AS src, regexp_extract(lower(text), '[a-z0-9]+', 0) AS anchor
+  FROM documents
+), ea AS (
+  SELECT e.dst, a.anchor FROM edges e JOIN anchors a ON e.src = a.src
+), per_anchor AS (
+  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt
+  FROM ea GROUP BY dst, anchor
+), top AS (
+  SELECT dst, anchor AS top_anchor, cnt AS top_anchor_n
+  FROM (SELECT dst, anchor, cnt,
+               ROW_NUMBER() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, anchor ASC) AS rk
+        FROM per_anchor)
+  WHERE rk = 1
+), dedup AS (
+  SELECT DISTINCT dst, anchor FROM ea
+), agg AS (
+  SELECT e.dst,
+         CAST(count(*) AS BIGINT) AS in_deg
+  FROM ea e GROUP BY e.dst
+), da AS (
+  SELECT dst,
+         CAST(count(*) AS BIGINT) AS n_anchors,
+         string_agg(anchor, '|' ORDER BY anchor) AS anchors
+  FROM dedup GROUP BY dst
+)
+SELECT a.dst AS node, a.in_deg, d.n_anchors, t.top_anchor, t.top_anchor_n,
+       d.anchors
+FROM agg a JOIN da d ON a.dst = d.dst JOIN top t ON a.dst = t.dst
+ORDER BY node
+"""
+
+
+CRAWLSTATS_QUERIES["anchor_text_agg"] = q_anchor_text_agg
+CRAWLSTATS_ORACLES["anchor_text_agg"] = _anchor_sql()
+
+
+# --- recrawl_priority -----------------------------------------------------
+
+N_PAGES = 200  # event_id % N_PAGES → page identity
+_MICRO = 1_000_000
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina change-
+    rate estimation): pages observe events (page = event_id % 200;
+    'click'/'purchase' mark a detected content change); per page
+    λ̂_micro = changes·3600·10^6 div observed-span-seconds (changes per
+    hour), staleness = global-max ts − page's last observation, and
+    priority_micro = λ̂_micro · staleness div 3600 — the expected number
+    of missed changes, the canonical recrawl-ordering key.  Exact BIGINT
+    arithmetic end to end; the global max is a broadcast 1-row agg."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("event_id") % N_PAGES).cast("bigint").alias("page_id"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.when(F.col("event_type").isin("click", "purchase"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    per_page = obs.groupBy("page_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("chg").cast("bigint").alias("n_changes"),
+        F.min("epoch_s").alias("first_s"),
+        F.max("epoch_s").alias("last_s"),
+    )
+    gmax = obs.agg(F.max("epoch_s").alias("gmax_s"))
+    lam = F.when(
+        F.col("last_s") > F.col("first_s"),
+        F.expr(f"(n_changes * 3600 * {_MICRO}) div (last_s - first_s)"),
+    ).otherwise(F.lit(0))
+    return (
+        per_page.crossJoin(F.broadcast(gmax))
+        .select(
+            "page_id", "n_obs", "n_changes",
+            lam.cast("bigint").alias("lambda_micro"),
+            (F.col("gmax_s") - F.col("last_s")).cast("bigint").alias("staleness_s"),
+        )
+        .withColumn(
+            "priority_micro",
+            F.expr("(lambda_micro * staleness_s) div 3600").cast("bigint"),
+        )
+        .orderBy(F.desc("priority_micro"), "page_id")
+    )
+
+
+_SQL_RECRAWL_PRIORITY = f"""
+WITH obs AS (
+  SELECT CAST(event_id % {N_PAGES} AS BIGINT) AS page_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+         CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS chg
+  FROM events
+), per_page AS (
+  SELECT page_id,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(chg) AS BIGINT) AS n_changes,
+         min(epoch_s) AS first_s,
+         max(epoch_s) AS last_s
+  FROM obs GROUP BY page_id
+), gmax AS (SELECT max(epoch_s) AS gmax_s FROM obs)
+SELECT page_id, n_obs, n_changes,
+       CAST(CASE WHEN last_s > first_s
+                 THEN (n_changes * 3600 * {_MICRO}) // (last_s - first_s)
+                 ELSE 0 END AS BIGINT) AS lambda_micro,
+       CAST(g.gmax_s - last_s AS BIGINT) AS staleness_s,
+       CAST((CASE WHEN last_s > first_s
+                  THEN (n_changes * 3600 * {_MICRO}) // (last_s - first_s)
+                  ELSE 0 END * (g.gmax_s - last_s)) // 3600 AS BIGINT)
+         AS priority_micro
+FROM per_page CROSS JOIN gmax g
+ORDER BY priority_micro DESC, page_id
+"""
+
+CRAWLSTATS_QUERIES["recrawl_priority"] = q_recrawl_priority
+CRAWLSTATS_ORACLES["recrawl_priority"] = _SQL_RECRAWL_PRIORITY
+
+
+# --- frontier_shard_skew --------------------------------------------------
+
+N_SHARDS = 16
+
+
+def q_frontier_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-hash shard-load audit: one frontier URL per doc, sharded by
+    sha256(host) (hex-prefix integer % 16 — the crawler's repartition-
+    by-host-hash key, so every URL of a host colocates); per shard the
+    URL/host counts, the largest single-host share (the statistic that
+    triggers skew salting for bis.doc.gov / federalregister.gov) and
+    the shard's load vs the uniform ideal.  Micro-integer shares."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        _host_col().alias("host"),
+        F.concat(
+            F.lit("http://"), _host_col(), F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    shard = (
+        F.conv(F.substring(F.sha2(F.col("host"), 256), 1, 4), 16, 10)
+        .cast("bigint") % N_SHARDS
+    )
+    per_host = urls.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+    sharded = per_host.select(
+        shard.alias("shard"), "host", "n_urls"
+    )
+    total = urls.agg(F.count(F.lit(1)).cast("bigint").alias("total_urls"))
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.sum("n_urls").cast("bigint").alias("shard_urls"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+            F.max("n_urls").cast("bigint").alias("max_host_urls"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard", "shard_urls", "n_hosts",
+            F.expr(f"(max_host_urls * {_MICRO}) div shard_urls")
+            .cast("bigint")
+            .alias("max_host_share_micro"),
+            F.expr(f"(shard_urls * {N_SHARDS} * {_MICRO}) div total_urls")
+            .cast("bigint")
+            .alias("load_vs_uniform_micro"),
+        )
+        .orderBy(F.desc("shard_urls"), "shard")
+    )
+
+
+def _shard_hex_sql() -> str:
+    terms = [
+        f"{16 ** (4 - i)} * (strpos('0123456789abcdef', substr(sha256(host), {i}, 1)) - 1)"
+        for i in range(1, 5)
+    ]
+    return "(" + " + ".join(terms) + f") % {N_SHARDS}"
+
+
+_SQL_FRONTIER_SHARD_SKEW = f"""
+WITH urls AS (
+  SELECT {_HOST_SQL} AS host FROM documents
+), per_host AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls
+  FROM urls GROUP BY host
+), sharded AS (
+  SELECT CAST({_shard_hex_sql()} AS BIGINT) AS shard, host, n_urls
+  FROM per_host
+), total AS (SELECT CAST(count(*) AS BIGINT) AS total_urls FROM urls)
+SELECT shard,
+       CAST(sum(n_urls) AS BIGINT) AS shard_urls,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST((max(n_urls) * {_MICRO}) // sum(n_urls) AS BIGINT)
+         AS max_host_share_micro,
+       CAST((sum(n_urls) * {N_SHARDS} * {_MICRO}) // t.total_urls AS BIGINT)
+         AS load_vs_uniform_micro
+FROM sharded CROSS JOIN total t
+GROUP BY shard, t.total_urls
+ORDER BY shard_urls DESC, shard
+"""
+
+CRAWLSTATS_QUERIES["frontier_shard_skew"] = q_frontier_shard_skew
+CRAWLSTATS_ORACLES["frontier_shard_skew"] = _SQL_FRONTIER_SHARD_SKEW

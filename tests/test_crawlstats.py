@@ -1,0 +1,176 @@
+"""Crawl-frontier analytics batch (queries_crawlstats): semantic
+invariants + plan guards.  Strict engine↔oracle parity is covered by
+the oracle sweep (test_queries_oracle / scripts/check_oracles.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# --- url_canonicalize -----------------------------------------------------
+
+
+def test_url_canonicalize_collapses_variants(spark):
+    from earcrawler_spark.queries_crawlstats import q_url_canonicalize
+
+    rows = q_url_canonicalize(spark, SF).collect()
+    # 2 canonical URLs per doc: 3 http variants collapse, https distinct
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == 2 * n_docs
+    by_scheme = {}
+    for r in rows:
+        by_scheme.setdefault(r.canonical_url.split(":")[0], []).append(r)
+    assert {r.n_variants for r in by_scheme["http"]} == {3}
+    assert {r.n_variants for r in by_scheme["https"]} == {1}
+    # canonical form carries no fragment / port / utm / double slash
+    for r in rows:
+        assert "#" not in r.canonical_url
+        assert ":80" not in r.canonical_url and ":443" not in r.canonical_url
+        assert "utm_" not in r.canonical_url
+        assert "//docs" not in r.canonical_url
+        assert len(r.url_sha) == 64
+
+
+def test_url_canonicalize_single_arrow_stage(spark):
+    """North rule: canonicalization crosses the Python boundary ONCE,
+    vectorized (ArrowEvalPython) — never per-row (BatchEvalPython)."""
+    from earcrawler_spark.queries_crawlstats import q_url_canonicalize
+
+    p = _plan(q_url_canonicalize(spark, SF))
+    # formatted explain prints each node twice (tree + detail section)
+    assert p.count("ArrowEvalPython (") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_url_sha_matches_crawler_seen_set_key(spark):
+    """The query's url_sha is the SAME key the frontier's seen set
+    uses: sha256 of crawler/canonicalize.py's canonical form."""
+    import hashlib
+
+    from earcrawler_spark.crawler.canonicalize import canonicalize_one
+    from earcrawler_spark.queries_crawlstats import q_url_canonicalize
+
+    r = q_url_canonicalize(spark, SF).limit(5).collect()
+    for row in r:
+        assert canonicalize_one(row.canonical_url) == row.canonical_url
+        assert hashlib.sha256(row.canonical_url.encode()).hexdigest() == row.url_sha
+
+
+# --- anchor_text_agg ------------------------------------------------------
+
+
+def test_anchor_text_agg_model(spark):
+    """Exact match against a pure-Python model over the same
+    deterministic link graph + first-token anchors."""
+    import re
+    from collections import Counter, defaultdict
+
+    from earcrawler_spark.queries_crawlstats import q_anchor_text_agg
+    from earcrawler_spark.queries_graph import PR_FANOUT, _STRIDE
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n = len(docs)
+    anchor = {
+        d: (re.search(r"[a-z0-9]+", t.lower()).group(0) if re.search(r"[a-z0-9]+", t.lower()) else "")
+        for d, t in docs.items()
+    }
+    edges = set()
+    for d in docs:
+        for j in range(1, PR_FANOUT + 1):
+            dst = (d * _STRIDE + 11 * j) % n
+            if dst != d:
+                edges.add((d, dst))
+    per_dst = defaultdict(list)
+    for s, t in edges:
+        per_dst[t].append(anchor[s])
+    rows = q_anchor_text_agg(spark, SF).collect()
+    assert len(rows) == len(per_dst)
+    for r in rows:
+        anchors = per_dst[r.node]
+        cnt = Counter(anchors)
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r.in_deg == len(anchors)
+        assert r.n_anchors == len(set(anchors))
+        assert (r.top_anchor, r.top_anchor_n) == top
+        assert r.anchors == "|".join(sorted(set(anchors)))
+
+
+# --- recrawl_priority -----------------------------------------------------
+
+
+def test_recrawl_priority_arithmetic_and_order(spark):
+    from earcrawler_spark.queries_crawlstats import q_recrawl_priority
+
+    rows = q_recrawl_priority(spark, SF).collect()
+    assert rows, "no pages"
+    for r in rows:
+        assert r.priority_micro == (r.lambda_micro * r.staleness_s) // 3600
+        assert 0 <= r.n_changes <= r.n_obs
+        assert r.staleness_s >= 0
+    # output is the recrawl order: priority desc, page_id tie-break
+    keys = [(-r.priority_micro, r.page_id) for r in rows]
+    assert keys == sorted(keys)
+    # at least one page has an estimated change rate
+    assert any(r.lambda_micro > 0 for r in rows)
+
+
+def test_recrawl_priority_jvm_side(spark):
+    from earcrawler_spark.queries_crawlstats import q_recrawl_priority
+
+    p = _plan(q_recrawl_priority(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# --- frontier_shard_skew --------------------------------------------------
+
+
+def test_frontier_shard_skew_conservation(spark):
+    from earcrawler_spark.queries_crawlstats import q_frontier_shard_skew
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    rows = q_frontier_shard_skew(spark, SF).collect()
+    assert sum(r.shard_urls for r in rows) == n_docs
+    assert all(0 <= r.shard < 16 for r in rows)
+    # the hot-domain skew is visible: the busiest shard carries the
+    # bis.doc.gov mass (40% of URLs) → load well above uniform
+    hot = rows[0]
+    assert hot.load_vs_uniform_micro > 3_000_000  # >3x uniform share
+    assert hot.max_host_share_micro <= 1_000_000
+
+
+def test_frontier_shard_colocates_hosts(spark):
+    """Host-hash sharding: every URL of a host lands in ONE shard —
+    the property repartition-by-host-hash relies on."""
+    import hashlib
+
+    from earcrawler_spark.queries_crawlstats import (
+        N_SHARDS,
+        q_frontier_shard_skew,
+    )
+
+    rows = q_frontier_shard_skew(spark, SF).collect()
+    # recompute the expected shard of the two named hot hosts and check
+    # the shard holding them reports max_host_urls consistent with the
+    # 40% / 30% synth split (documents at this sf: 500 docs)
+    def shard_of(host: str) -> int:
+        return int(hashlib.sha256(host.encode()).hexdigest()[:4], 16) % N_SHARDS
+
+    by_shard = {r.shard: r for r in rows}
+    bis = by_shard[shard_of("bis.doc.gov")]
+    assert bis.shard_urls >= 200  # 40% of 500
