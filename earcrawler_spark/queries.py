@@ -1243,6 +1243,8 @@ _GATE_OVERFLOW: frozenset[str] = frozenset(
         "anchor_text_agg",
         "recrawl_priority",
         "frontier_shard_skew",
+        "inverted_index",
+        "robots_compliance",
     }
 )
 

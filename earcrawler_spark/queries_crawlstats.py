@@ -1,6 +1,6 @@
 """Query batch — crawl-frontier analytics (crawl-tier, beyond-reference).
 
-Four operators a web-scale crawler runs over its own state — the query
+Operators a web-scale crawler runs over its own state — the query
 form of the frontier machinery in crawler/ (north rule: canonicalized
 URL-hash seen set, per-host politeness, host-hash partitioning with hot
 domains bis.doc.gov / federalregister.gov):
@@ -25,6 +25,12 @@ domains bis.doc.gov / federalregister.gov):
   the last observation, and priority = λ̂ · staleness.  Pure BIGINT
   micro-arithmetic (Spark ``div`` == DuckDB ``//``) — bit-stable
   across engines and partitionings.
+- ``inverted_index``    — impact-ordered posting lists (df/cf + top-5
+  tf-ranked postings per term over the capped vocabulary) — the
+  indexer op immediately downstream of a crawl.
+- ``robots_compliance`` — the robots.txt audit as a broadcast
+  longest-prefix-wins rule join (allow beats disallow on ties —
+  crawler/robots.py's matcher as a set-oriented plan).
 - ``frontier_shard_skew`` — the host-hash shard-load audit behind the
   north rule's "explicit repartition-by-host-hash and skew salting":
   every URL of a host lands in sha256(host)-derived shard (16 shards),
@@ -410,3 +416,239 @@ ORDER BY shard_urls DESC, shard
 
 CRAWLSTATS_QUERIES["frontier_shard_skew"] = q_frontier_shard_skew
 CRAWLSTATS_ORACLES["frontier_shard_skew"] = _SQL_FRONTIER_SHARD_SKEW
+
+
+# --- inverted_index -------------------------------------------------------
+
+IDX_TERMS = 200   # vocab cap (top_terms / term_cooccurrence precedent)
+IDX_TOPK = 5      # postings kept per term
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered inverted index — the indexer op downstream of a
+    crawl: per term the document frequency, collection frequency and
+    the top-5 postings by term frequency (tf DESC, doc_id ASC) as a
+    'doc:tf' string, over the top-200 vocabulary (df DESC, term ASC —
+    the registry's standard skew cap).
+
+    Scale: (term, doc) tf is one explode + partial hash agg; the vocab
+    cap is a bounded TakeOrderedAndProject broadcast back onto the tf
+    table (no global window), and the per-term top-k is a window
+    PARTITIONED by term — the classic impact-ordering shuffle."""
+    from earcrawler_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    vocab = stats.orderBy(F.desc("df"), "term").limit(IDX_TERMS)
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    postings = (
+        tf.join(F.broadcast(vocab.select("term")), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= IDX_TOPK)
+        .withColumn(
+            "s",
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("tf").cast("string"),
+            ),
+        )
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "s"))),
+                    lambda x: x["s"],
+                ),
+                "|",
+            ).alias("top_postings")
+        )
+    )
+    return (
+        vocab.join(postings, "term")
+        .select("term", "df", "cf", "top_postings")
+        .orderBy(F.desc("df"), "term")
+    )
+
+
+def _inverted_index_sql() -> str:
+    from earcrawler_spark.queries_webcur import _TOKENS_SQL
+
+    return f"""
+WITH tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)
+  GROUP BY term, doc_id
+), stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+), vocab AS (
+  SELECT term, df, cf FROM stats ORDER BY df DESC, term LIMIT {IDX_TERMS}
+), ranked AS (
+  SELECT t.term, t.doc_id, t.tf,
+         ROW_NUMBER() OVER (PARTITION BY t.term
+                            ORDER BY t.tf DESC, t.doc_id ASC) AS rk
+  FROM tf t JOIN vocab v ON t.term = v.term
+), postings AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                    '|' ORDER BY rk) AS top_postings
+  FROM ranked WHERE rk <= {IDX_TOPK} GROUP BY term
+)
+SELECT v.term, v.df, v.cf, p.top_postings
+FROM vocab v JOIN postings p ON v.term = p.term
+ORDER BY v.df DESC, v.term
+"""
+
+
+CRAWLSTATS_QUERIES["inverted_index"] = q_inverted_index
+CRAWLSTATS_ORACLES["inverted_index"] = _inverted_index_sql()
+
+
+# --- robots_compliance ----------------------------------------------------
+
+# (host, path_prefix, allow) — '*' matches every host.  Longest-prefix
+# wins; on equal length allow wins (Google robots.txt precedence; the
+# engine twin of crawler/robots.py's matcher).
+ROBOTS_RULES: list[tuple[str, str, bool]] = [
+    ("*", "/private/", False),
+    ("federalregister.gov", "/docs/", False),
+    ("federalregister.gov", "/docs/4", True),
+    ("bis.doc.gov", "/docs/13", False),
+]
+
+
+def q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-rule compliance audit over the frontier: every URL joins
+    the (broadcast) robots rule table on host + path-prefix, the most
+    specific rule wins (length DESC, allow DESC tie-break, default
+    allow), and the audit reports per host the allowed/blocked split
+    and the dominant blocking rule.  This is the at-scale shape of
+    robots matching: rules are a broadcast dim (small — per-host
+    robots.txt), URLs never shuffle for the match itself."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        _host_col().alias("host"),
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/")).otherwise(
+                F.lit("/docs/")
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        ROBOTS_RULES, "r_host string, r_path string, r_allow boolean"
+    )
+    cond = (
+        (F.col("r_host") == F.lit("*")) | (F.col("r_host") == F.col("host"))
+    ) & F.col("path").startswith(F.col("r_path"))
+    w = Window.partitionBy("host", "path").orderBy(
+        F.length("r_path").desc(), F.col("r_allow").desc()
+    )
+    decided = (
+        urls.join(F.broadcast(rules), cond, "left")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "host", "path",
+            F.coalesce(F.col("r_allow"), F.lit(True)).alias("allowed"),
+            F.when(~F.coalesce(F.col("r_allow"), F.lit(True)), F.col("r_path"))
+            .otherwise(F.lit(""))
+            .alias("block_rule"),
+        )
+    )
+    blocked = F.when(~F.col("allowed"), F.lit(1)).otherwise(F.lit(0))
+    per_rule = decided.filter(~F.col("allowed")).groupBy("host", "block_rule").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("block_rule").asc()
+    )
+    top_rule = (
+        per_rule.withColumn("rr", F.row_number().over(wr))
+        .filter(F.col("rr") == 1)
+        .select("host", F.col("block_rule").alias("top_block_rule"))
+    )
+    return (
+        decided.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.sum(blocked).cast("bigint").alias("n_blocked"),
+            (F.count(F.lit(1)) - F.sum(blocked)).cast("bigint").alias("n_allowed"),
+        )
+        .join(top_rule, "host", "left")
+        .select(
+            "host", "n_urls", "n_allowed", "n_blocked",
+            F.expr(f"(n_blocked * {_MICRO}) div n_urls")
+            .cast("bigint")
+            .alias("blocked_share_micro"),
+            F.coalesce(F.col("top_block_rule"), F.lit("")).alias("top_block_rule"),
+        )
+        .orderBy("host")
+    )
+
+
+def _robots_rules_values() -> str:
+    return ", ".join(
+        f"('{h}', '{p}', {str(a).upper()})" for h, p, a in ROBOTS_RULES
+    )
+
+
+_SQL_ROBOTS_COMPLIANCE = f"""
+WITH urls AS (
+  SELECT {_HOST_SQL} AS host,
+         (CASE WHEN doc_id % 5 = 0 THEN '/private/' ELSE '/docs/' END)
+           || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+), rules(r_host, r_path, r_allow) AS (
+  VALUES {_robots_rules_values()}
+), matched AS (
+  SELECT u.host, u.path, r.r_path, r.r_allow,
+         ROW_NUMBER() OVER (PARTITION BY u.host, u.path
+                            ORDER BY length(r.r_path) DESC,
+                                     r.r_allow DESC) AS rk
+  FROM urls u LEFT JOIN rules r
+    ON (r.r_host = '*' OR r.r_host = u.host)
+   AND starts_with(u.path, r.r_path)
+), decided AS (
+  SELECT host, path,
+         coalesce(r_allow, TRUE) AS allowed,
+         CASE WHEN NOT coalesce(r_allow, TRUE) THEN r_path ELSE '' END
+           AS block_rule
+  FROM matched WHERE rk = 1
+), per_rule AS (
+  SELECT host, block_rule, CAST(count(*) AS BIGINT) AS n
+  FROM decided WHERE NOT allowed GROUP BY host, block_rule
+), top_rule AS (
+  SELECT host, block_rule AS top_block_rule
+  FROM (SELECT host, block_rule, n,
+               ROW_NUMBER() OVER (PARTITION BY host
+                                  ORDER BY n DESC, block_rule ASC) AS rr
+        FROM per_rule)
+  WHERE rr = 1
+), agg AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked,
+         CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+  FROM decided GROUP BY host
+)
+SELECT a.host, a.n_urls, a.n_allowed, a.n_blocked,
+       CAST((a.n_blocked * {_MICRO}) // a.n_urls AS BIGINT)
+         AS blocked_share_micro,
+       coalesce(t.top_block_rule, '') AS top_block_rule
+FROM agg a LEFT JOIN top_rule t ON a.host = t.host
+ORDER BY a.host
+"""
+
+CRAWLSTATS_QUERIES["robots_compliance"] = q_robots_compliance
+CRAWLSTATS_ORACLES["robots_compliance"] = _SQL_ROBOTS_COMPLIANCE

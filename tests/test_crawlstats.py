@@ -174,3 +174,103 @@ def test_frontier_shard_colocates_hosts(spark):
     by_shard = {r.shard: r for r in rows}
     bis = by_shard[shard_of("bis.doc.gov")]
     assert bis.shard_urls >= 200  # 40% of 500
+
+
+# --- inverted_index -------------------------------------------------------
+
+
+def test_inverted_index_model(spark):
+    """Exact match against a pure-Python model: whitespace tokens,
+    top-200 vocab by (df desc, term), top-5 postings by (tf desc,
+    doc_id)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from earcrawler_spark.queries_crawlstats import (
+        IDX_TERMS,
+        IDX_TOPK,
+        q_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    tf: dict = defaultdict(Counter)
+    for r in docs:
+        for t in re.split(r"\s+", r.text.lower()):
+            if t:
+                tf[t][r.doc_id] += 1
+    stats = sorted(
+        ((term, len(c), sum(c.values())) for term, c in tf.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:IDX_TERMS]
+    rows = q_inverted_index(spark, SF).collect()
+    assert len(rows) == len(stats)
+    for r, (term, df, cf) in zip(rows, stats):
+        assert (r.term, r.df, r.cf) == (term, df, cf)
+        top = sorted(tf[term].items(), key=lambda kv: (-kv[1], kv[0]))[:IDX_TOPK]
+        assert r.top_postings == "|".join(f"{d}:{n}" for d, n in top)
+
+
+# --- robots_compliance ----------------------------------------------------
+
+
+def _robots_decide(host: str, path: str):
+    from earcrawler_spark.queries_crawlstats import ROBOTS_RULES
+
+    matches = [
+        (p, allow)
+        for h, p, allow in ROBOTS_RULES
+        if (h == "*" or h == host) and path.startswith(p)
+    ]
+    if not matches:
+        return True, ""
+    p, allow = sorted(matches, key=lambda m: (-len(m[0]), not m[1]))[0]
+    return allow, ("" if allow else p)
+
+
+def test_robots_compliance_model(spark):
+    from collections import Counter, defaultdict
+
+    from earcrawler_spark.queries_crawlstats import q_robots_compliance
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per_host: dict = defaultdict(lambda: [0, 0, Counter()])  # urls, blocked, rules
+    for r in docs:
+        host = (
+            "bis.doc.gov"
+            if r.doc_id % 10 < 4
+            else "federalregister.gov"
+            if r.doc_id % 10 < 7
+            else f"{r.source.lower()}.example.org"
+        )
+        path = ("/private/" if r.doc_id % 5 == 0 else "/docs/") + str(r.doc_id)
+        allow, rule = _robots_decide(host, path)
+        st = per_host[host]
+        st[0] += 1
+        if not allow:
+            st[1] += 1
+            st[2][rule] += 1
+    rows = q_robots_compliance(spark, SF).collect()
+    assert len(rows) == len(per_host)
+    for r in rows:
+        urls, blocked, rules = per_host[r.host]
+        assert (r.n_urls, r.n_blocked, r.n_allowed) == (urls, blocked, urls - blocked)
+        assert r.blocked_share_micro == blocked * 1_000_000 // urls
+        top = (
+            sorted(rules.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            if rules
+            else ""
+        )
+        assert r.top_block_rule == top
+    # the allow-override rule actually fires: federalregister /docs/4xx
+    # paths stay allowed while other /docs/ paths are blocked
+    fr = next(r for r in rows if r.host == "federalregister.gov")
+    assert 0 < fr.n_blocked < fr.n_urls
+
+
+def test_robots_rules_broadcast(spark):
+    """The rule table must broadcast — URLs never shuffle for the match."""
+    from earcrawler_spark.queries_crawlstats import q_robots_compliance
+
+    p = _plan(q_robots_compliance(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
