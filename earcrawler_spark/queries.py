@@ -1245,6 +1245,7 @@ _GATE_OVERFLOW: frozenset[str] = frozenset(
         "frontier_shard_skew",
         "inverted_index",
         "robots_compliance",
+        "frontier_dequeue",
     }
 )
 

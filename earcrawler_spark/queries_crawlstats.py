@@ -31,6 +31,9 @@ domains bis.doc.gov / federalregister.gov):
 - ``robots_compliance`` — the robots.txt audit as a broadcast
   longest-prefix-wins rule join (allow beats disallow on ties —
   crawler/robots.py's matcher as a set-oriented plan).
+- ``frontier_dequeue``  — the salted priority-queue dequeue schedule
+  itself: per-host priority ranks are politeness waves (≤1 URL per
+  host per wave), summarized per wave.
 - ``frontier_shard_skew`` — the host-hash shard-load audit behind the
   north rule's "explicit repartition-by-host-hash and skew salting":
   every URL of a host lands in sha256(host)-derived shard (16 shards),
@@ -652,3 +655,85 @@ ORDER BY a.host
 
 CRAWLSTATS_QUERIES["robots_compliance"] = q_robots_compliance
 CRAWLSTATS_ORACLES["robots_compliance"] = _SQL_ROBOTS_COMPLIANCE
+
+
+# --- frontier_dequeue -----------------------------------------------------
+
+
+def q_frontier_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The priority-frontier dequeue schedule as a relational plan (the
+    query twin of crawler/runner.py's salted politeness waves): every
+    URL gets a deterministic sha-derived priority, ranks within its
+    host (priority DESC, url ASC) — that rank IS the politeness wave,
+    since a polite crawler takes at most one URL per host per interval
+    — and the output is the per-wave schedule summary the scheduler
+    executes: URLs/hosts served, the priority band, and the hot hosts
+    still pending after the wave.
+
+    Scale: one window partitioned BY HOST (the frontier's native
+    partitioning — no shuffle beyond the one the seen-set already
+    pays) + one wave-keyed aggregation.  n_urls == n_hosts per wave by
+    construction (politeness invariant; asserted in tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        _host_col().alias("host"),
+        F.concat(
+            F.lit("http://"), _host_col(), F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    ).withColumn(
+        "prio_micro",
+        (
+            F.conv(F.substring(F.sha2(F.col("url"), 256), 1, 8), 16, 10)
+            .cast("bigint") % _MICRO
+        ),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("prio_micro").desc(), "url")
+    waved = urls.withColumn("wave", F.row_number().over(w).cast("bigint"))
+    return (
+        waved.groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.count_distinct("host").cast("bigint").alias("n_hosts"),
+            F.max("prio_micro").cast("bigint").alias("max_prio_micro"),
+            F.min("prio_micro").cast("bigint").alias("min_prio_micro"),
+        )
+        .orderBy("wave")
+    )
+
+
+def _prio_hex_sql() -> str:
+    terms = [
+        f"{16 ** (8 - i)} * (strpos('0123456789abcdef', substr(sha256(url), {i}, 1)) - 1)"
+        for i in range(1, 9)
+    ]
+    return "((" + " + ".join(terms) + f") % {_MICRO})"
+
+
+_SQL_FRONTIER_DEQUEUE = f"""
+WITH urls AS (
+  SELECT host,
+         'http://' || host || '/docs/' || CAST(doc_id AS VARCHAR) AS url
+  FROM (SELECT doc_id, {_HOST_SQL} AS host FROM documents)
+), prio AS (
+  SELECT host, url, CAST({_prio_hex_sql()} AS BIGINT) AS prio_micro
+  FROM urls
+), waved AS (
+  SELECT host, url, prio_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                 ORDER BY prio_micro DESC, url ASC)
+              AS BIGINT) AS wave
+  FROM prio
+)
+SELECT wave,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(max(prio_micro) AS BIGINT) AS max_prio_micro,
+       CAST(min(prio_micro) AS BIGINT) AS min_prio_micro
+FROM waved
+GROUP BY wave
+ORDER BY wave
+"""
+
+CRAWLSTATS_QUERIES["frontier_dequeue"] = q_frontier_dequeue
+CRAWLSTATS_ORACLES["frontier_dequeue"] = _SQL_FRONTIER_DEQUEUE

@@ -267,6 +267,57 @@ def test_robots_compliance_model(spark):
     assert 0 < fr.n_blocked < fr.n_urls
 
 
+def test_frontier_dequeue_politeness_invariant(spark):
+    """Each wave serves at most one URL per host (n_urls == n_hosts),
+    waves shrink monotonically in host count, and the total equals the
+    frontier size."""
+    from earcrawler_spark.queries_crawlstats import q_frontier_dequeue
+
+    rows = q_frontier_dequeue(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_urls for r in rows) == n_docs
+    assert all(r.n_urls == r.n_hosts for r in rows)
+    counts = [r.n_urls for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # wave 1 serves every live host; deep waves are the hot-host tail
+    assert rows[0].n_hosts == 8
+    assert rows[-1].n_hosts <= 2
+
+
+def test_frontier_dequeue_matches_model(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from earcrawler_spark.queries_crawlstats import q_frontier_dequeue
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per_host = defaultdict(list)
+    for r in docs:
+        host = (
+            "bis.doc.gov"
+            if r.doc_id % 10 < 4
+            else "federalregister.gov"
+            if r.doc_id % 10 < 7
+            else f"{r.source.lower()}.example.org"
+        )
+        url = f"http://{host}/docs/{r.doc_id}"
+        prio = int(hashlib.sha256(url.encode()).hexdigest()[:8], 16) % 1_000_000
+        per_host[host].append((prio, url))
+    waves = defaultdict(list)
+    for host, items in per_host.items():
+        for i, (prio, url) in enumerate(
+            sorted(items, key=lambda x: (-x[0], x[1])), start=1
+        ):
+            waves[i].append(prio)
+    rows = q_frontier_dequeue(spark, SF).collect()
+    assert len(rows) == len(waves)
+    for r in rows:
+        ps = waves[r.wave]
+        assert (r.n_urls, r.max_prio_micro, r.min_prio_micro) == (
+            len(ps), max(ps), min(ps),
+        )
+
+
 def test_robots_rules_broadcast(spark):
     """The rule table must broadcast — URLs never shuffle for the match."""
     from earcrawler_spark.queries_crawlstats import q_robots_compliance
