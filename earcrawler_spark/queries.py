@@ -1246,6 +1246,8 @@ _GATE_OVERFLOW: frozenset[str] = frozenset(
         "inverted_index",
         "robots_compliance",
         "frontier_dequeue",
+        "url_templates",
+        "sitemap_parse",
     }
 )
 

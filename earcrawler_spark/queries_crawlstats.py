@@ -34,6 +34,10 @@ domains bis.doc.gov / federalregister.gov):
 - ``frontier_dequeue``  — the salted priority-queue dequeue schedule
   itself: per-host priority ranks are politeness waves (≤1 URL per
   host per wave), summarized per wave.
+- ``url_templates``     — URL-template mining (digit runs → '{n}')
+  for crawl-trap detection over synthetic calendar URL spaces.
+- ``sitemap_parse``     — sitemap <loc> extraction + new-URL
+  discovery via anti-join against the known frontier.
 - ``frontier_shard_skew`` — the host-hash shard-load audit behind the
   north rule's "explicit repartition-by-host-hash and skew salting":
   every URL of a host lands in sha256(host)-derived shard (16 shards),
@@ -737,3 +741,171 @@ ORDER BY wave
 
 CRAWLSTATS_QUERIES["frontier_dequeue"] = q_frontier_dequeue
 CRAWLSTATS_ORACLES["frontier_dequeue"] = _SQL_FRONTIER_DEQUEUE
+
+
+# --- url_templates --------------------------------------------------------
+
+TRAP_MIN_URLS = 50  # a template this hot on one host marks a URL-space trap
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template mining / crawl-trap detection: paths collapse to
+    templates (digit runs → '{n}'), and per (host, template) the query
+    reports the URL count, the host share and the trap flag — the
+    statistic a crawler uses to stop descending into calendar/session
+    URL spaces (every doc_id%5==0 page here sits in a synthetic /cal/
+    date space, the classic trap shape).  Pure regexp projection +
+    one partial-agg groupBy; no joins until the broadcast host total."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        _host_col().alias("host"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("/cal/2024-01-"),
+                (F.col("doc_id") % 28 + 1).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("/docs/"), F.col("doc_id").cast("string")))
+        .alias("path"),
+    )
+    tpl = urls.select(
+        "host", F.regexp_replace("path", "[0-9]+", "{n}").alias("template")
+    )
+    per_host = tpl.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("host_urls")
+    )
+    return (
+        tpl.groupBy("host", "template")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+        .join(F.broadcast(per_host), "host")
+        .select(
+            "host", "template", "n_urls",
+            F.expr(f"(n_urls * {_MICRO}) div host_urls")
+            .cast("bigint")
+            .alias("host_share_micro"),
+            (F.col("n_urls") >= TRAP_MIN_URLS).alias("is_trap"),
+        )
+        .orderBy(F.desc("n_urls"), "host", "template")
+    )
+
+
+_SQL_URL_TEMPLATES = f"""
+WITH urls AS (
+  SELECT {_HOST_SQL} AS host,
+         CASE WHEN doc_id % 5 = 0
+              THEN '/cal/2024-01-' || CAST(doc_id % 28 + 1 AS VARCHAR)
+              ELSE '/docs/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+), tpl AS (
+  SELECT host, regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template
+  FROM urls
+), per_host AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS host_urls FROM tpl GROUP BY host
+), agg AS (
+  SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls
+  FROM tpl GROUP BY host, template
+)
+SELECT a.host, a.template, a.n_urls,
+       CAST((a.n_urls * {_MICRO}) // p.host_urls AS BIGINT) AS host_share_micro,
+       a.n_urls >= {TRAP_MIN_URLS} AS is_trap
+FROM agg a JOIN per_host p ON a.host = p.host
+ORDER BY a.n_urls DESC, a.host, a.template
+"""
+
+CRAWLSTATS_QUERIES["url_templates"] = q_url_templates
+CRAWLSTATS_ORACLES["url_templates"] = _SQL_URL_TEMPLATES
+
+
+# --- sitemap_parse --------------------------------------------------------
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery: per host a sitemap XML document (the host's
+    known /docs/ URLs plus two sitemap-only /extra/ URLs) is parsed
+    with regexp_extract_all('<loc>…</loc>') — the real extraction a
+    crawler runs on fetched sitemap bytes — and the extracted URLs
+    anti-join the frontier's known set to count NEW discoveries.
+    Per host: locs parsed, already-known, newly discovered.
+
+    Scale: sitemaps are one row per host (bounded — real sitemaps cap
+    at 50k locs), so the explode fans back out to URL cardinality and
+    the anti-join is the same seen-set shuffle the frontier pays."""
+    docs = _t(spark, sf_dir, "documents")
+    known = docs.select(
+        _host_col().alias("host"),
+        F.concat(
+            F.lit("http://"), _host_col(), F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    sitemap = known.groupBy("host").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(F.lit("<loc>"), F.col("url"), F.lit("</loc>"))
+                    )
+                ),
+                "",
+            ),
+            F.lit("<loc>http://"), F.col("host"), F.lit("/extra/1</loc>"),
+            F.lit("<loc>http://"), F.col("host"), F.lit("/extra/2</loc>"),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    locs = sitemap.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(F.col("xml"), F.lit("<loc>([^<]+)</loc>"), 1)
+        ).alias("loc"),
+    )
+    new = locs.join(known, locs["loc"] == known["url"], "left_anti")
+    n_new = new.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    return (
+        locs.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_locs"))
+        .join(n_new, "host")
+        .select(
+            "host", "n_locs",
+            (F.col("n_locs") - F.col("n_new")).cast("bigint").alias("n_known"),
+            "n_new",
+        )
+        .orderBy("host")
+    )
+
+
+_SQL_SITEMAP_PARSE = f"""
+WITH known AS (
+  SELECT host, 'http://' || host || '/docs/' || CAST(doc_id AS VARCHAR) AS url
+  FROM (SELECT doc_id, {_HOST_SQL} AS host FROM documents)
+), sitemap AS (
+  SELECT host,
+         '<urlset>'
+           || string_agg('<loc>' || url || '</loc>', '' ORDER BY url)
+           || '<loc>http://' || host || '/extra/1</loc>'
+           || '<loc>http://' || host || '/extra/2</loc>'
+           || '</urlset>' AS xml
+  FROM known GROUP BY host
+), locs AS (
+  SELECT host, unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS loc
+  FROM sitemap
+), new AS (
+  SELECT l.host, CAST(count(*) AS BIGINT) AS n_new
+  FROM locs l LEFT JOIN known k ON l.loc = k.url
+  WHERE k.url IS NULL GROUP BY l.host
+)
+SELECT l.host,
+       CAST(count(*) AS BIGINT) AS n_locs,
+       CAST(count(*) - n.n_new AS BIGINT) AS n_known,
+       n.n_new
+FROM locs l JOIN new n ON l.host = n.host
+GROUP BY l.host, n.n_new
+ORDER BY l.host
+"""
+
+CRAWLSTATS_QUERIES["sitemap_parse"] = q_sitemap_parse
+CRAWLSTATS_ORACLES["sitemap_parse"] = _SQL_SITEMAP_PARSE

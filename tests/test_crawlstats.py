@@ -318,6 +318,49 @@ def test_frontier_dequeue_matches_model(spark):
         )
 
 
+def test_url_templates_trap_detection(spark):
+    from collections import Counter
+
+    from earcrawler_spark.queries_crawlstats import q_url_templates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    model: Counter = Counter()
+    host_totals: Counter = Counter()
+    for r in docs:
+        host = (
+            "bis.doc.gov"
+            if r.doc_id % 10 < 4
+            else "federalregister.gov"
+            if r.doc_id % 10 < 7
+            else f"{r.source.lower()}.example.org"
+        )
+        tpl = "/cal/{n}-{n}-{n}" if r.doc_id % 5 == 0 else "/docs/{n}"
+        model[(host, tpl)] += 1
+        host_totals[host] += 1
+    rows = q_url_templates(spark, SF).collect()
+    assert len(rows) == len(model)
+    for r in rows:
+        n = model[(r.host, r.template)]
+        assert r.n_urls == n
+        assert r.host_share_micro == n * 1_000_000 // host_totals[r.host]
+        assert r.is_trap == (n >= 50)
+    # the synthetic calendar space on the hot host IS flagged
+    assert any(r.is_trap and "/cal/" in r.template for r in rows)
+    # and small tail hosts are not
+    assert any(not r.is_trap for r in rows)
+
+
+def test_sitemap_parse_discovers_only_extras(spark):
+    from earcrawler_spark.queries_crawlstats import q_sitemap_parse
+
+    rows = q_sitemap_parse(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_known for r in rows) == n_docs
+    # exactly the two sitemap-only /extra/ locs are new per host
+    assert all(r.n_new == 2 for r in rows)
+    assert all(r.n_locs == r.n_known + r.n_new for r in rows)
+
+
 def test_robots_rules_broadcast(spark):
     """The rule table must broadcast — URLs never shuffle for the match."""
     from earcrawler_spark.queries_crawlstats import q_robots_compliance
