@@ -196,10 +196,14 @@ def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("top_anchor_n"),
         )
     )
-    agg = ea.groupBy("dst").agg(
-        F.count(F.lit(1)).cast("bigint").alias("in_deg"),
-        F.count_distinct("anchor").cast("bigint").alias("n_anchors"),
-        F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias("anchors"),
+    # derive everything from the already-reduced (dst, anchor, cnt)
+    # table — re-aggregating the raw edge join would pay a second full
+    # shuffle over the biggest intermediate for values per_anchor
+    # already determines ((dst, anchor) rows are unique here).
+    agg = per_anchor.groupBy("dst").agg(
+        F.sum("cnt").cast("bigint").alias("in_deg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.array_join(F.array_sort(F.collect_list("anchor")), "|").alias("anchors"),
     )
     return (
         agg.join(top, "dst")

@@ -19,6 +19,15 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _host(doc_id: int, source: str) -> str:
+    """Python twin of queries_crawlstats._host_col / _HOST_SQL."""
+    if doc_id % 10 < 4:
+        return "bis.doc.gov"
+    if doc_id % 10 < 7:
+        return "federalregister.gov"
+    return f"{source.lower()}.example.org"
+
+
 # --- url_canonicalize -----------------------------------------------------
 
 
@@ -235,13 +244,7 @@ def test_robots_compliance_model(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
     per_host: dict = defaultdict(lambda: [0, 0, Counter()])  # urls, blocked, rules
     for r in docs:
-        host = (
-            "bis.doc.gov"
-            if r.doc_id % 10 < 4
-            else "federalregister.gov"
-            if r.doc_id % 10 < 7
-            else f"{r.source.lower()}.example.org"
-        )
+        host = _host(r.doc_id, r.source)
         path = ("/private/" if r.doc_id % 5 == 0 else "/docs/") + str(r.doc_id)
         allow, rule = _robots_decide(host, path)
         st = per_host[host]
@@ -293,13 +296,7 @@ def test_frontier_dequeue_matches_model(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
     per_host = defaultdict(list)
     for r in docs:
-        host = (
-            "bis.doc.gov"
-            if r.doc_id % 10 < 4
-            else "federalregister.gov"
-            if r.doc_id % 10 < 7
-            else f"{r.source.lower()}.example.org"
-        )
+        host = _host(r.doc_id, r.source)
         url = f"http://{host}/docs/{r.doc_id}"
         prio = int(hashlib.sha256(url.encode()).hexdigest()[:8], 16) % 1_000_000
         per_host[host].append((prio, url))
@@ -327,13 +324,7 @@ def test_url_templates_trap_detection(spark):
     model: Counter = Counter()
     host_totals: Counter = Counter()
     for r in docs:
-        host = (
-            "bis.doc.gov"
-            if r.doc_id % 10 < 4
-            else "federalregister.gov"
-            if r.doc_id % 10 < 7
-            else f"{r.source.lower()}.example.org"
-        )
+        host = _host(r.doc_id, r.source)
         tpl = "/cal/{n}-{n}-{n}" if r.doc_id % 5 == 0 else "/docs/{n}"
         model[(host, tpl)] += 1
         host_totals[host] += 1
