@@ -354,11 +354,21 @@ def score_pairs_v2(pairs_with_attrs: DataFrame) -> DataFrame:
     out = d
     for k, v in feats.items():
         out = out.withColumn(k, F.round(v, 6))
-    score = None
+    # Exact integer score: each 6-dp feature re-expressed in micro units
+    # (its double is within 1 ulp of an integer multiple of 1e-6, so the
+    # round-to-integer is unambiguous), weighted by centi-weights, summed
+    # as BIGINT, divided ONCE.  A float fold here differed from the
+    # oracle's by 1 ulp at sf0.1 (sum association), flipping round(.,6)
+    # across a .5 boundary — integer arithmetic makes the score
+    # bit-stable across engines, partitionings and scales.
+    score_micro = None
     for k, w in RECONCILE_WEIGHTS.items():
-        term = F.col(k) * F.lit(w)
-        score = term if score is None else score + term
-    return out.withColumn("score", F.round(score, 6))
+        w_centi = int(round(w * 100))
+        term = F.round(F.col(k) * 1_000_000, 0).cast("bigint") * F.lit(w_centi)
+        score_micro = term if score_micro is None else score_micro + term
+    return out.withColumn(
+        "score", score_micro.cast("double") / F.lit(100_000_000).cast("double")
+    )
 
 
 def decide_pairs_v2(

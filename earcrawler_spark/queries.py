@@ -1248,6 +1248,10 @@ _GATE_OVERFLOW: frozenset[str] = frozenset(
         "frontier_dequeue",
         "url_templates",
         "sitemap_parse",
+        # de-certified by the round-5 integer-score rewrite (see the
+        # _GATED_R4 note); re-queued behind the never-certified set.
+        "reconcile_v2",
+        "reconcile_summary",
     }
 )
 
@@ -1262,9 +1266,14 @@ _GATE_OVERFLOW: frozenset[str] = frozenset(
 _GATED_R4: frozenset[str] = frozenset(
     {
         "retrieval_compare", "token_stats_bpe", "rolling_fingerprint",
+        # reconcile_v2 + reconcile_summary left this set in round 5:
+        # the score fold was rewritten to exact integer micro-arithmetic
+        # (a 1-ulp float-sum divergence flipped round(.,6) at sf0.1) and
+        # the summary oracle derives from the v2 SQL — modified since
+        # certification counts as never certified.
         "cosine_neardup", "chunking_sections", "entity_extraction",
-        "date_normalization", "text_mining", "reconcile_v2",
-        "reconcile_summary", "record_merge_full", "iri_minting",
+        "date_normalization", "text_mining",
+        "record_merge_full", "iri_minting",
         "part_mining", "provenance_upsert", "part_anchors", "rrf_hybrid",
         "label_inference", "citation_metrics", "temporal_requests",
         "knn_l2_bucket", "bm25_tokenized", "citation_boost", "rag_context",

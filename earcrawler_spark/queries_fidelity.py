@@ -461,7 +461,9 @@ WITH ents AS (
     round({bonus.format(s='source_a')} + {bonus.format(s='source_b')}, 6) AS source_bonus
   FROM enriched
 ), scored AS (
-  SELECT *, round({' + '.join(f'{k} * {w}' for k, w in weights.items())}, 6) AS score
+  -- exact integer score (engine twin in score_pairs_v2): 6-dp features
+  -- to micro-int, centi-weights, one final division — bit-stable
+  SELECT *, CAST({' + '.join(f'CAST(round({k} * 1000000, 0) AS BIGINT) * {int(round(w * 100))}' for k, w in weights.items())} AS DOUBLE) / CAST(100000000 AS DOUBLE) AS score
   FROM feats
 ), ov AS (
   SELECT * FROM (VALUES {wl}, {bl}) AS v(id_a, id_b, ov_reason, ov)
