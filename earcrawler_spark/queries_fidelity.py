@@ -1012,14 +1012,29 @@ def q_reconcile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per session/sf even when reconcile_v2 also runs in the same bench
     decided = _decided_pairs(spark, sf_dir)
     feats = sorted(RECONCILE_WEIGHTS)
+
+    # Exact-integer mean: a float avg() accumulates in partition order,
+    # so its low bits are association-dependent (the class the score fix
+    # removed).  The 6-dp features are within 1 ulp of micro-int
+    # multiples, so sum BIGINT micros and divide once — bit-stable
+    # across engines, partitionings and runs.
+    def _avg_exact(f: str):
+        sum_micro = F.sum(F.round(F.col(f) * 1_000_000, 0).cast("bigint"))
+        return F.round(
+            sum_micro.cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1_000_000).cast("double"),
+            6,
+        ).alias(f"avg_{f}")
+
     per_decision = decided.groupBy("decision").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        *[F.round(F.avg(f), 6).alias(f"avg_{f}") for f in feats],
+        *[_avg_exact(f) for f in feats],
     )
     overall = decided.agg(
         F.lit("ALL").alias("decision"),
         F.count(F.lit(1)).alias("n_pairs"),
-        *[F.round(F.avg(f), 6).alias(f"avg_{f}") for f in feats],
+        *[_avg_exact(f) for f in feats],
     )
     stats = (
         _synth_entities(_t(spark, sf_dir, "part"))
@@ -1074,7 +1089,12 @@ def _reconcile_summary_sql() -> str:
     from earcrawler_spark.operators.reconcile import RECONCILE_WEIGHTS
 
     feats = sorted(RECONCILE_WEIGHTS)
-    avgs = ", ".join(f"round(avg({f}), 6) AS avg_{f}" for f in feats)
+    # exact-integer mean (engine twin in q_reconcile_summary)
+    avgs = ", ".join(
+        f"round(CAST(sum(CAST(round({f} * 1000000, 0) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS avg_{f}"
+        for f in feats
+    )
     return f"""
 WITH decided AS ({_reconcile_v2_sql()}),
 stats AS (
