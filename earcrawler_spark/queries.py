@@ -1248,6 +1248,7 @@ _GATE_OVERFLOW: frozenset[str] = frozenset(
         "frontier_dequeue",
         "url_templates",
         "sitemap_parse",
+        "bloom_fp_audit",
         # de-certified by the round-5 integer-score rewrite (see the
         # _GATED_R4 note); re-queued behind the never-certified set.
         "reconcile_v2",

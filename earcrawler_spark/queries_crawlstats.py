@@ -38,6 +38,9 @@ domains bis.doc.gov / federalregister.gov):
   for crawl-trap detection over synthetic calendar URL spaces.
 - ``sitemap_parse``     — sitemap <loc> extraction + new-URL
   discovery via anti-join against the known frontier.
+- ``bloom_fp_audit``    — measured false-positive rate of the
+  seen-set bloom pre-filter (crawler/bloom.py) on a disjoint probe
+  set, exact micro-integers.
 - ``frontier_shard_skew`` — the host-hash shard-load audit behind the
   north rule's "explicit repartition-by-host-hash and skew salting":
   every URL of a host lands in sha256(host)-derived shard (16 shards),
@@ -913,3 +916,135 @@ ORDER BY l.host
 
 CRAWLSTATS_QUERIES["sitemap_parse"] = q_sitemap_parse
 CRAWLSTATS_ORACLES["sitemap_parse"] = _SQL_SITEMAP_PARSE
+
+
+# --- bloom_fp_audit -------------------------------------------------------
+
+BLOOM_M = 1 << 16   # filter positions
+BLOOM_K = 4         # hashes per key
+
+
+def _bloom_positions(url_col, engine: str):
+    """k=4 sha256-derived positions per key: 4 disjoint 4-hex-digit
+    slices of the digest, each mod m.  Same derivation both engines."""
+    if engine == "spark":
+        sha = F.sha2(url_col, 256)
+        return F.array(
+            *[
+                (
+                    F.conv(F.substring(sha, 1 + 4 * i, 4), 16, 10).cast("bigint")
+                    % BLOOM_M
+                )
+                for i in range(BLOOM_K)
+            ]
+        )
+    terms = []
+    for i in range(BLOOM_K):
+        start = 1 + 4 * i
+        digits = " + ".join(
+            f"{16 ** (3 - j)} * (strpos('0123456789abcdef', "
+            f"substr(sha256({url_col}), {start + j}, 1)) - 1)"
+            for j in range(4)
+        )
+        terms.append(f"CAST(({digits}) % {BLOOM_M} AS BIGINT)")
+    return "[" + ", ".join(terms) + "]"
+
+
+def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-set bloom false-positive audit (the query form of the
+    frontier's bloom pre-filter, crawler/bloom.py): the filter is the
+    distinct position set of the known URLs (k=4 sha-derived positions,
+    m=65536); a disjoint probe set (one /probe/ URL per doc) tests it —
+    a probe whose k positions are ALL set is a false positive.  Emits
+    the measured fill ratio and FP rate as exact micro-integers — the
+    statistic that validates the frontier's bits-per-URL budget.
+    No libm: the theoretical (1-e^{-kn/m})^k stays in the docs; the
+    measured rate is the audit.
+
+    Scale: known→positions is an explode + distinct (the filter build
+    the crawler already pays per shard); the probe is one join on
+    position and one count-per-URL — both partial-agg shapes."""
+    docs = _t(spark, sf_dir, "documents")
+    known = docs.select(
+        F.concat(
+            F.lit("http://"), _host_col(), F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    probes = docs.select(
+        F.concat(
+            F.lit("http://"), _host_col(), F.lit("/probe/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    bits = (
+        known.select(F.explode(_bloom_positions(F.col("url"), "spark")).alias("pos"))
+        .distinct()
+    )
+    probe_pos = probes.select(
+        "url", F.explode(_bloom_positions(F.col("url"), "spark")).alias("pos")
+    )
+    hits = (
+        probe_pos.join(bits, "pos")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("set_positions"))
+        .filter(F.col("set_positions") == BLOOM_K)
+        .agg(F.count(F.lit(1)).alias("fp"))
+    )
+    counts = known.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_known")
+    ).crossJoin(F.broadcast(probes.agg(F.count(F.lit(1)).alias("n_probes"))))
+    nbits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    return (
+        counts.crossJoin(F.broadcast(nbits))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_known",
+            F.lit(BLOOM_M).cast("bigint").alias("m_bits"),
+            F.lit(BLOOM_K).cast("bigint").alias("k_hashes"),
+            F.col("bits_set").cast("bigint").alias("bits_set"),
+            F.expr(f"(bits_set * {_MICRO}) div {BLOOM_M}")
+            .cast("bigint")
+            .alias("fill_micro"),
+            F.col("n_probes").cast("bigint").alias("n_probes"),
+            F.coalesce(F.col("fp"), F.lit(0)).cast("bigint").alias("fp_count"),
+            F.expr(f"(coalesce(fp, 0) * {_MICRO}) div n_probes")
+            .cast("bigint")
+            .alias("fp_rate_micro"),
+        )
+    )
+
+
+_SQL_BLOOM_FP_AUDIT = f"""
+WITH known AS (
+  SELECT 'http://' || {_HOST_SQL} || '/docs/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), probes AS (
+  SELECT 'http://' || {_HOST_SQL} || '/probe/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), bits AS (
+  SELECT DISTINCT unnest({_bloom_positions('url', 'duckdb')}) AS pos FROM known
+), probe_pos AS (
+  SELECT url, unnest({_bloom_positions('url', 'duckdb')}) AS pos FROM probes
+), hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS fp FROM (
+    SELECT p.url FROM probe_pos p JOIN bits b ON p.pos = b.pos
+    GROUP BY p.url HAVING count(*) = {BLOOM_K})
+), counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM known) AS n_known,
+         (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+         (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set
+)
+SELECT n_known,
+       CAST({BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+       bits_set,
+       CAST((bits_set * {_MICRO}) // {BLOOM_M} AS BIGINT) AS fill_micro,
+       n_probes,
+       h.fp AS fp_count,
+       CAST((h.fp * {_MICRO}) // n_probes AS BIGINT) AS fp_rate_micro
+FROM counts, hits h
+"""
+
+CRAWLSTATS_QUERIES["bloom_fp_audit"] = q_bloom_fp_audit
+CRAWLSTATS_ORACLES["bloom_fp_audit"] = _SQL_BLOOM_FP_AUDIT

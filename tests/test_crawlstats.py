@@ -352,6 +352,43 @@ def test_sitemap_parse_discovers_only_extras(spark):
     assert all(r.n_locs == r.n_known + r.n_new for r in rows)
 
 
+def test_bloom_fp_audit_model(spark):
+    """Exact match against a pure-Python bloom: same sha slices, same
+    positions, same FP decision — and the measured rate sits in the
+    theoretical band for the observed fill."""
+    import hashlib
+
+    from earcrawler_spark.queries_crawlstats import (
+        BLOOM_K,
+        BLOOM_M,
+        q_bloom_fp_audit,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+
+    def positions(url: str):
+        h = hashlib.sha256(url.encode()).hexdigest()
+        return [int(h[4 * i : 4 * i + 4], 16) % BLOOM_M for i in range(BLOOM_K)]
+
+    bits, fp = set(), 0
+    urls = [
+        (f"http://{_host(r.doc_id, r.source)}/docs/{r.doc_id}",
+         f"http://{_host(r.doc_id, r.source)}/probe/{r.doc_id}")
+        for r in docs
+    ]
+    for known, _ in urls:
+        bits.update(positions(known))
+    for _, probe in urls:
+        if all(p in bits for p in positions(probe)):
+            fp += 1
+    row = q_bloom_fp_audit(spark, SF).collect()[0]
+    assert (row.n_known, row.bits_set, row.fp_count) == (len(urls), len(bits), fp)
+    assert row.fill_micro == len(bits) * 1_000_000 // BLOOM_M
+    assert row.fp_rate_micro == fp * 1_000_000 // len(urls)
+    # measured rate can't exceed the fill ratio (a 1-hash filter's rate)
+    assert row.fp_rate_micro <= row.fill_micro
+
+
 def test_robots_rules_broadcast(spark):
     """The rule table must broadcast — URLs never shuffle for the match."""
     from earcrawler_spark.queries_crawlstats import q_robots_compliance
