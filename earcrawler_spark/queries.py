@@ -1217,44 +1217,21 @@ _GATED_R1_R3: frozenset[str] = frozenset(
 # Rows-only queries whose current impl already has a driver rows-check
 # from an earlier round: re-running them adds no evidence, so when the
 # never-certified set exceeds the 50-slot gate window they yield their
-# slot to oracled queries (round 5: media_features, rows-only r4, impl
-# unchanged since).
-_GATE_DEPRIORITIZED: frozenset[str] = frozenset({"media_features"})
+# slot to oracled queries.  Empty since round 6: media_features (the
+# registry's last rows-only query) gained a header-math oracle — the
+# Spark side decodes the real PPM/WAV/PPMV payloads, DuckDB derives the
+# same metadata from the generative contract — so it competes for a
+# window slot like any other uncertified oracled query.
+_GATE_DEPRIORITIZED: frozenset[str] = frozenset()
 
 # The never-certified set outgrew the driver's 50-slot window in round 5
-# (51+ uncertified oracled queries).  A slot can't be minted, so the
-# overflow is an EXPLICIT choice, not registration-order luck: queries
-# listed here sort after every other never-certified query and wait for
-# the round-6 window.  Pick the lowest-risk deferrals — strict-local
-# green AND pattern-certified by a sibling (histogram_quantiles is the
-# same window-rank/width-bucket surface the driver already certified
-# via segment_stats and sliding_window); the queries_webcur batch was
-# added after the window filled, knowing it waits for round 6.
-_GATE_OVERFLOW: frozenset[str] = frozenset(
-    {
-        "histogram_quantiles",
-        "gopher_rules",
-        "domain_quota",
-        "hits_scores",
-        "span_integrity",
-        # queries_crawlstats batch — added after the round-5 window
-        # filled; strict-local green, waits for the round-6 rotation.
-        "url_canonicalize",
-        "anchor_text_agg",
-        "recrawl_priority",
-        "frontier_shard_skew",
-        "inverted_index",
-        "robots_compliance",
-        "frontier_dequeue",
-        "url_templates",
-        "sitemap_parse",
-        "bloom_fp_audit",
-        # de-certified by the round-5 integer-score rewrite (see the
-        # _GATED_R4 note); re-queued behind the never-certified set.
-        "reconcile_v2",
-        "reconcile_summary",
-    }
-)
+# (51+ uncertified oracled queries); 17 explicit deferrals waited here.
+# Round 6 drained the queue: the 41 round-5 greens rotated into
+# _GATED_R5, freeing enough slots for every deferral plus the 9 re-fixed
+# HUGEINT reds and eval_report (its oracle embeds the red queries' SQL,
+# so the round-6 BIGINT casts modified it — re-certifying).  Empty until
+# the uncertified set outgrows 50 again.
+_GATE_OVERFLOW: frozenset[str] = frozenset()
 
 # Queries fully green in CORRECTNESS_r04.json whose impl AND oracle are
 # unchanged since (modified-since-certification counts as never
@@ -1286,9 +1263,35 @@ _GATED_R4: frozenset[str] = frozenset(
 )
 
 
+# Queries fully green in CORRECTNESS_r05.json whose impl AND oracle are
+# unchanged since.  Round-6 exclusion: eval_report — green in r5, but
+# its oracle embeds the four red gate queries' SQL, so the round-6
+# CAST(... AS BIGINT) edits modified it (modified-since-certification
+# counts as never-certified); it re-enters the window alongside the 9
+# re-fixed reds as the family's regression canary.  These sort ahead of
+# _GATED_R4 when filling spare window slots: most-recently-certified
+# greens are the highest-value re-certification canaries.
+_GATED_R5: frozenset[str] = frozenset(
+    {
+        "ann_ivf_lists", "ann_ivf_search", "answer_scoring", "bpe_merges",
+        "bpe_segment", "canary_eval", "chunk_dedup", "cms_heavy_hitters",
+        "cross_source_overlap", "curation_verdict", "curriculum_order",
+        "dataset_split", "decontamination", "dedup_clusters", "dsir_weights",
+        "dup_span_coverage", "embedding_outliers", "hitl_summary",
+        "id_consistency", "index_binding", "link_pagerank",
+        "llm_output_violations", "media_manifest", "minhash_lsh_pairs",
+        "ngram_novelty", "pq_codes", "repetition_quality",
+        "seen_set_cardinality", "semantic_decontamination", "semdedup",
+        "shard_packing", "source_mix", "stratified_sample",
+        "temperature_mix", "tfidf_topk", "trace_validation",
+        "unigram_quality", "upstream_status", "weighted_sample", "zipf_fit",
+    }
+)
+
+
 def _reorder_for_gate() -> None:
     """Put never-driver-certified queries first in registry iteration order."""
-    certified = _GATED_R1_R3 | _GATED_R4
+    certified = _GATED_R1_R3 | _GATED_R4 | _GATED_R5
     order = [
         k
         for k in QUERIES
@@ -1298,6 +1301,9 @@ def _reorder_for_gate() -> None:
     ]
     order += [k for k in QUERIES if k in _GATE_OVERFLOW]
     order += [k for k in QUERIES if k in _GATE_DEPRIORITIZED]
+    order += [
+        k for k in QUERIES if k in _GATED_R5 and k not in _GATED_R1_R3 | _GATED_R4
+    ]
     order += [k for k in QUERIES if k in _GATED_R4 and k not in _GATED_R1_R3]
     order += [k for k in QUERIES if k in _GATED_R1_R3]
     snap = dict(QUERIES)

@@ -398,7 +398,8 @@ WITH corpus AS (
 ), per_secs AS (
   SELECT item_id,
          string_agg(norm_sec, '|' ORDER BY pos0) AS ear_sections,
-         sum(coalesce(n_records, 0)) AS n_resolved_records
+         -- BIGINT cast: DuckDB integer sum() widens to HUGEINT (r5 red)
+         CAST(sum(coalesce(n_records, 0)) AS BIGINT) AS n_resolved_records
   FROM sec_joined GROUP BY item_id
 ), missing_secs AS (
   SELECT item_id, string_agg(raw_sec, '|' ORDER BY raw_sec) AS missing_sections
@@ -708,8 +709,11 @@ WITH corpus AS (
   SELECT dataset_id,
          count(DISTINCT item_id) AS num_items,
          count(*) AS expected_sections,
-         sum(CASE WHEN missing_corpus THEN 1 ELSE 0 END) AS missing_in_corpus,
-         sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS missing_in_retrieval,
+         -- BIGINT casts: DuckDB integer sum() widens to HUGEINT (r5 red)
+         CAST(sum(CASE WHEN missing_corpus THEN 1 ELSE 0 END) AS BIGINT)
+           AS missing_in_corpus,
+         CAST(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS missing_in_retrieval,
          CAST(round(CAST(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                     / count(*), 6) AS DOUBLE) AS missing_in_retrieval_rate
   FROM ranked GROUP BY dataset_id
@@ -732,8 +736,10 @@ WITH corpus AS (
 ), overall0 AS (
   SELECT count(DISTINCT item_id) AS num_items,
          count(*) AS expected_sections,
-         sum(CASE WHEN missing_corpus THEN 1 ELSE 0 END) AS missing_in_corpus,
-         sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS missing_in_retrieval,
+         CAST(sum(CASE WHEN missing_corpus THEN 1 ELSE 0 END) AS BIGINT)
+           AS missing_in_corpus,
+         CAST(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS missing_in_retrieval,
          CAST(round(CAST(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                     / count(*), 6) AS DOUBLE) AS missing_in_retrieval_rate
   FROM ranked
@@ -1141,21 +1147,26 @@ WITH items AS (
          CASE WHEN n_claims - n_supported > 0 THEN 1 ELSE 0 END AS has_over
   FROM per_item
 ), g AS (
+  -- CAST(sum AS BIGINT): DuckDB widens integer sum() to HUGEINT/INT128,
+  -- which the driver's Arrow hash canonicalizes differently from Spark's
+  -- int64 (round-5 root cause; count(*) stays BIGINT and needs no cast).
   SELECT dataset_id, count(*) AS num_items,
-         sum(has_cit) AS items_with_citations,
-         sum(n_cit) AS total_citations,
-         sum(n_valid) AS valid_citations,
-         sum(u_tot) AS unanswerable_total,
-         sum(u_ok) AS unanswerable_correct,
-         sum(n_claims) AS total_claims,
-         sum(n_supported) AS supported_claims,
-         sum(n_over) AS overclaim_count,
-         sum(has_over) AS items_overclaim
+         CAST(sum(has_cit) AS BIGINT) AS items_with_citations,
+         CAST(sum(n_cit) AS BIGINT) AS total_citations,
+         CAST(sum(n_valid) AS BIGINT) AS valid_citations,
+         CAST(sum(u_tot) AS BIGINT) AS unanswerable_total,
+         CAST(sum(u_ok) AS BIGINT) AS unanswerable_correct,
+         CAST(sum(n_claims) AS BIGINT) AS total_claims,
+         CAST(sum(n_supported) AS BIGINT) AS supported_claims,
+         CAST(sum(n_over) AS BIGINT) AS overclaim_count,
+         CAST(sum(has_over) AS BIGINT) AS items_overclaim
   FROM pre_g GROUP BY dataset_id
   UNION ALL
-  SELECT 'ALL', count(*), sum(has_cit), sum(n_cit), sum(n_valid),
-         sum(u_tot), sum(u_ok), sum(n_claims), sum(n_supported),
-         sum(n_over), sum(has_over)
+  SELECT 'ALL', count(*), CAST(sum(has_cit) AS BIGINT),
+         CAST(sum(n_cit) AS BIGINT), CAST(sum(n_valid) AS BIGINT),
+         CAST(sum(u_tot) AS BIGINT), CAST(sum(u_ok) AS BIGINT),
+         CAST(sum(n_claims) AS BIGINT), CAST(sum(n_supported) AS BIGINT),
+         CAST(sum(n_over) AS BIGINT), CAST(sum(has_over) AS BIGINT)
   FROM pre_g
 ), rates AS (
   SELECT *,
@@ -1501,17 +1512,20 @@ WITH items AS (
     tp, np, kb
   FROM per_item
 ), g AS (
+  -- BIGINT casts: DuckDB integer sum() widens to HUGEINT (r5 red)
   SELECT dataset_id, count(*) AS num_items,
-         sum(u_tot) AS unanswerable_total,
-         sum(u_ok) AS unanswerable_correct,
-         sum(g_pass) AS grounding_pass,
-         sum(tp) AS citation_tp,
-         sum(np) AS citation_pred,
-         sum(kb) AS known_bad_citations_count
+         CAST(sum(u_tot) AS BIGINT) AS unanswerable_total,
+         CAST(sum(u_ok) AS BIGINT) AS unanswerable_correct,
+         CAST(sum(g_pass) AS BIGINT) AS grounding_pass,
+         CAST(sum(tp) AS BIGINT) AS citation_tp,
+         CAST(sum(np) AS BIGINT) AS citation_pred,
+         CAST(sum(kb) AS BIGINT) AS known_bad_citations_count
   FROM flags GROUP BY dataset_id
   UNION ALL
-  SELECT 'ALL', count(*), sum(u_tot), sum(u_ok), sum(g_pass),
-         sum(tp), sum(np), sum(kb)
+  SELECT 'ALL', count(*), CAST(sum(u_tot) AS BIGINT),
+         CAST(sum(u_ok) AS BIGINT), CAST(sum(g_pass) AS BIGINT),
+         CAST(sum(tp) AS BIGINT), CAST(sum(np) AS BIGINT),
+         CAST(sum(kb) AS BIGINT)
   FROM flags
 ), rates AS (
   SELECT *,
@@ -1811,7 +1825,9 @@ WITH items AS (
 SELECT * FROM (
   SELECT dataset_id, reason, n FROM base
   UNION ALL
-  SELECT 'ALL', reason, sum(n) FROM base GROUP BY reason
+  -- BIGINT cast: sum(n) over BIGINT widens to HUGEINT and the UNION
+  -- widens the whole column with it (r5 red root cause)
+  SELECT 'ALL', reason, CAST(sum(n) AS BIGINT) FROM base GROUP BY reason
 ) ORDER BY dataset_id, reason
 """
 
@@ -2048,23 +2064,32 @@ WITH corpus AS (
       CASE WHEN doc_id % 23 = 0 THEN 'EAR-999.99' END
     ]) AS raw FROM documents) WHERE raw IS NOT NULL
 ), invalid_item AS (
-  SELECT item_id, sum(CASE WHEN norm IS NULL THEN 1 ELSE 0 END) AS invalid_cnt
+  -- BIGINT casts on every sum(): DuckDB widens integer sum() to HUGEINT,
+  -- which leaks into the final tp/fp/fn columns (r5 red root cause)
+  SELECT item_id,
+         CAST(sum(CASE WHEN norm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS invalid_cnt
   FROM pred_raw GROUP BY item_id
 ), pred_set AS (
   SELECT DISTINCT item_id, norm AS psec FROM pred_raw WHERE norm IS NOT NULL
 ), pred_stats AS (
   SELECT p.item_id, count(*) AS np,
-         sum(CASE WHEN g.gsec IS NOT NULL THEN 1 ELSE 0 END) AS tp,
-         sum(CASE WHEN p.psec IN ({reserved}) THEN 1 ELSE 0 END) AS reserved_cnt,
-         sum(CASE WHEN c.ref_sec IS NULL THEN 1 ELSE 0 END) AS notref_cnt
+         CAST(sum(CASE WHEN g.gsec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(sum(CASE WHEN p.psec IN ({reserved}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS reserved_cnt,
+         CAST(sum(CASE WHEN c.ref_sec IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS notref_cnt
   FROM pred_set p
   LEFT JOIN gt_rows g ON g.item_id = p.item_id AND g.gsec = p.psec
   LEFT JOIN corpus c ON c.ref_sec = p.psec
   GROUP BY p.item_id
 ), gt_stats AS (
   SELECT g.item_id, count(*) AS ngt,
-         sum(CASE WHEN p.psec IS NULL THEN 1 ELSE 0 END) AS fn,
-         sum(CASE WHEN r.rsec IS NULL THEN 1 ELSE 0 END) AS miss_cnt
+         CAST(sum(CASE WHEN p.psec IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS fn,
+         CAST(sum(CASE WHEN r.rsec IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS miss_cnt
   FROM gt_rows g
   LEFT JOIN pred_set p ON p.item_id = g.item_id AND p.psec = g.gsec
   LEFT JOIN retr_rows r ON r.item_id = g.item_id AND r.rsec = g.gsec

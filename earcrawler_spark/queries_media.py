@@ -1,10 +1,12 @@
-"""Multimodal media pipeline as a first-class registered query.
+"""Multimodal media pipeline as first-class registered queries.
 
-Rows-only by construction: the PPM/WAV/PPMV byte decoding inside the
-mapInPandas stages is not DuckDB-expressible, so the driver records the
-weaker rows-only check. Correctness of the codecs and batch shapes is
-pinned by tests/test_multimodal.py; determinism of this query is pinned
-by test_media_features_query.
+Fully oracled since round 6: the byte decoding inside the mapInPandas
+stages is not DuckDB-expressible, but every emitted column is decode
+METADATA (dimensions, durations, frame counts) that DuckDB re-derives
+independently from the generative header contract — so a decode
+regression goes red at the gate. Feature-vector values (channel stats /
+RMS / ZCR) are pinned by tests/test_multimodal.py against hand-built
+arrays; query determinism by test_media_features_query.
 """
 
 from __future__ import annotations
@@ -70,32 +72,97 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal.py:179-228) → feature extraction (resize / RMS-ZCR /
     frame-sample, :274-343) → per-kind rollup. Scale shape: one decode
     per distinct asset regardless of fan-in; features ride Arrow
-    batches; the rollup is a tiny groupBy."""
+    batches; the rollup is a tiny groupBy.
+
+    Oracled since round 6 (was the registry's one rows-only query):
+    every output column is decode METADATA the Spark side obtains by
+    actually parsing the binary payloads — image dimensions from the
+    PPM header, sample counts/duration from the RIFF chunk, frame
+    counts from the PPMV container — while the DuckDB oracle derives
+    the same values independently from the generative contract
+    (h = int(sha256(ref)[:8], 16) header math, multimodal.py:154-176).
+    A decoder/encoder that disagrees on any header field goes red.
+    The float feature VECTORS (channel stats / RMS / ZCR) remain
+    pytest-pinned against hand-built arrays (tests/test_multimodal.py)
+    — checksum-style literals for them would just re-run this code.
+    feat_dims proves the feature stage really ran per asset (fixed
+    8-wide contract, FEATURE_SCHEMA)."""
     from earcrawler_spark.multimodal import extract_features, media_table_from_spans
 
     docs = _span_docs(_t(spark, sf_dir, "documents"))
     media = media_table_from_spans(docs)
     feats = extract_features(media)
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("feature"), F.lit(0.0), lambda a, x: a + x * x
-        )
-    )
+    meta = media.select("media_id", "width", "height", "sample_rate", "duration_ms")
     return (
-        feats.withColumn("feat_norm", norm)
+        feats.join(meta, "media_id")
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
-            F.round(F.avg("feat_norm"), 6).alias("avg_feat_norm"),
-            F.sum("n_frames_sampled").alias("total_frames_sampled"),
+            F.sum("n_frames_sampled").cast("long").alias("total_frames_sampled"),
             F.round(F.avg("thumb_w"), 2).alias("avg_thumb_w"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+            F.round(F.avg("height"), 2).alias("avg_height"),
+            F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+            F.min(F.size("feature")).cast("long").alias("feat_dims"),
         )
         .orderBy("kind")
     )
 
 
+def _media_features_sql() -> str:
+    # h = int(sha256(media_ref)[:8], 16) as BIGINT from hex digits; all
+    # header fields below are pure functions of h (multimodal.py:154-176)
+    digit = "(strpos('0123456789abcdef', substr(sha, {i}, 1)) - 1)"
+    hexpr = " + ".join(
+        f"{digit.format(i=i)} * {16 ** (8 - i)}" for i in range(1, 9)
+    )
+    return f"""
+WITH spans AS (
+  SELECT 'https://bis.doc.gov/media/' || CAST(doc_id % 120 AS VARCHAR)
+         || '.bin' AS media_ref
+  FROM documents WHERE doc_id % 4 <> 3
+  UNION ALL
+  SELECT 'https://bis.doc.gov/media/' || CAST(doc_id % 40 + 200 AS VARCHAR)
+         || '.bin'
+  FROM documents WHERE doc_id % 8 = 0
+), refs AS (
+  SELECT DISTINCT media_ref FROM spans
+), hashed AS (
+  SELECT media_ref, sha256(media_ref) AS sha FROM refs
+), hs AS (
+  SELECT media_ref, CAST({hexpr} AS BIGINT) AS h FROM hashed
+), assets AS (
+  SELECT media_ref, h,
+    CASE h % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    -- image: PPM header w/h; video: fixed 8x8 frames (multimodal.py:161,169)
+    CASE WHEN h % 3 = 0 THEN 8 + h % 9
+         WHEN h % 3 = 2 THEN 8 END AS width,
+    CASE WHEN h % 3 = 0 THEN 8 + (h // 16) % 9
+         WHEN h % 3 = 2 THEN 8 END AS height,
+    -- audio: 160 + h % 160 PCM16 samples at 16 kHz; trunc(n*1000/16000)
+    CASE WHEN h % 3 = 1 THEN (160 + h % 160) * 1000 // 16000
+         WHEN h % 3 = 2 THEN (2 + h % 6) * 1000 END AS duration_ms,
+    -- frame-sample stage: images 1, audio 0, video all frames (stride 1)
+    CASE h % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 2 + h % 6 END AS n_frames,
+    CASE WHEN h % 3 = 1 THEN NULL ELSE 32 END AS thumb_w
+  FROM hs
+)
+SELECT kind,
+       count(*) AS n_assets,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames_sampled,
+       round(CAST(sum(thumb_w) AS DOUBLE) / count(thumb_w), 2) AS avg_thumb_w,
+       round(CAST(sum(width) AS DOUBLE) / count(width), 2) AS avg_width,
+       round(CAST(sum(height) AS DOUBLE) / count(height), 2) AS avg_height,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(8 AS BIGINT) AS feat_dims
+FROM assets
+GROUP BY kind
+ORDER BY kind
+"""
+
+
 MEDIA_QUERIES["media_features"] = q_media_features
-# no oracle: binary codec stages are not SQL-expressible (rows-only)
+MEDIA_ORACLES["media_features"] = _media_features_sql()
 
 
 def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1359,15 +1359,21 @@ h1 AS (
          sum(coalesce(on_rank, 0)) AS r_on
   FROM joined GROUP BY item_id, dataset_id
 ), g AS (
-  SELECT dataset_id, count(*) AS num_items, sum(n_exp) AS expected_total,
-         sum(i_off) AS hits_off, sum(i_on) AS hits_on,
-         sum(CASE WHEN i_on > i_off THEN 1 ELSE 0 END) AS items_gained,
-         sum(r_off) AS sum_rank_off, sum(r_on) AS sum_rank_on
+  -- BIGINT casts: DuckDB integer sum() widens to HUGEINT (r5 red)
+  SELECT dataset_id, count(*) AS num_items,
+         CAST(sum(n_exp) AS BIGINT) AS expected_total,
+         CAST(sum(i_off) AS BIGINT) AS hits_off,
+         CAST(sum(i_on) AS BIGINT) AS hits_on,
+         CAST(sum(CASE WHEN i_on > i_off THEN 1 ELSE 0 END) AS BIGINT)
+           AS items_gained,
+         CAST(sum(r_off) AS BIGINT) AS sum_rank_off,
+         CAST(sum(r_on) AS BIGINT) AS sum_rank_on
   FROM per_item GROUP BY dataset_id
   UNION ALL
-  SELECT 'ALL', count(*), sum(n_exp), sum(i_off), sum(i_on),
-         sum(CASE WHEN i_on > i_off THEN 1 ELSE 0 END),
-         sum(r_off), sum(r_on)
+  SELECT 'ALL', count(*), CAST(sum(n_exp) AS BIGINT),
+         CAST(sum(i_off) AS BIGINT), CAST(sum(i_on) AS BIGINT),
+         CAST(sum(CASE WHEN i_on > i_off THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(r_off) AS BIGINT), CAST(sum(r_on) AS BIGINT)
   FROM per_item
 )
 SELECT dataset_id, num_items, expected_total, hits_off, hits_on, items_gained,
@@ -1610,12 +1616,15 @@ d AS (
          CASE WHEN tp + fp + fn > 0 THEN 1 ELSE 0 END AS nz
   FROM base
 ), g AS (
+  -- BIGINT casts: DuckDB integer sum() widens to HUGEINT (r5 red)
   SELECT dataset_id, count(*) AS items_scored,
-         sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
+         CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+         CAST(sum(fn) AS BIGINT) AS fn,
          avg(p) AS mp, avg(r) AS mr, max(nz) AS any_nz
   FROM d GROUP BY dataset_id
   UNION ALL
-  SELECT 'ALL', count(*), sum(tp), sum(fp), sum(fn), avg(p), avg(r), max(nz)
+  SELECT 'ALL', count(*), CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+         CAST(sum(fn) AS BIGINT), avg(p), avg(r), max(nz)
   FROM d
 ), m AS (
   SELECT *,

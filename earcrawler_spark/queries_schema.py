@@ -988,7 +988,8 @@ WITH items AS (
   FROM documents WHERE doc_id % 4 = 0
 ), stats AS (
   SELECT item_id, count(*) AS n_docs, max(score) AS top_score,
-         sum(n_chars) AS total_chars
+         -- BIGINT cast: DuckDB integer sum() widens to HUGEINT (r5 red)
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
   FROM rdocs GROUP BY item_id
 ), j AS (
   SELECT i.item_id, i.temporal_refuse, i.temporal_reason,

@@ -61,6 +61,54 @@ def strict_normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out)
 
 
+# DuckDB result types the driver's Arrow-level hash is known to
+# canonicalize identically to the matching Spark dtype.  Everything else
+# — most importantly HUGEINT/INT128, which DuckDB silently widens bare
+# integer sum() to while count(*) stays BIGINT — hashes differently even
+# when every value is identical (the round-4/5 driver-red root cause:
+# fetchall() yields plain Python ints for HUGEINT, so value-level strict
+# compare is structurally blind to the declared-type divergence).
+# int32 vs int64 across the two engines is hash-equal on the driver:
+# 19 registry queries (citation_metrics, rrf_hybrid, bm25_tokenized,
+# knn_l2_bucket, ...) hold green driver rows with Spark `int` against
+# DuckDB BIGINT — the driver canonicalizes both to int64 before hashing.
+# Only the 128-bit widening (HUGEINT) falls outside that canonical form.
+_DUCK_TYPE_ALLOWED: dict[str, set[str]] = {
+    "BIGINT": {"bigint", "int"},
+    "INTEGER": {"int", "bigint"},
+    "VARCHAR": {"string"},
+    "DOUBLE": {"double"},
+    "BOOLEAN": {"boolean"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "DATE": {"date"},
+}
+
+
+def lint_result_types(spark_dtypes, con, sql: str) -> tuple[bool, str]:
+    """Check the oracle's DECLARED DuckDB result types — the layer the
+    driver's hash actually compares on, which fetchall()-based value
+    comparison cannot see.
+
+    Two assertions per column: (1) the DuckDB type is in the whitelist
+    of types known to hash-match Spark, and (2) it maps to the Spark
+    dtype of the same-named column."""
+    rel = con.sql(sql)
+    d_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    s_types = dict(spark_dtypes)
+    errs = []
+    for col, dt in d_types.items():
+        allowed = _DUCK_TYPE_ALLOWED.get(dt)
+        if allowed is None:
+            errs.append(f"{col}: DuckDB type {dt} not in hash-safe whitelist")
+        elif col in s_types and s_types[col] not in allowed:
+            errs.append(
+                f"{col}: DuckDB {dt} vs Spark {s_types[col]} (want one of {sorted(allowed)})"
+            )
+    if errs:
+        return False, "TYPE LINT: " + "; ".join(errs[:5])
+    return True, "types ok"
+
+
 def compare(spark_df, con, sql: str, strict: bool = True) -> tuple[bool, str]:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
@@ -81,4 +129,7 @@ def compare(spark_df, con, sql: str, strict: bool = True) -> tuple[bool, str]:
         if ss != dd:
             diffs = [(a, b) for a, b in zip(ss, dd) if a != b][:3]
             return False, f"STRICT repr/type mismatch, first diffs: {diffs}"
+        ok, msg = lint_result_types(spark_df.dtypes, con, sql)
+        if not ok:
+            return False, msg
     return True, f"OK ({len(s_rows)} rows, strict)" if strict else f"OK ({len(s_rows)} rows)"

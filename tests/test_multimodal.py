@@ -158,8 +158,17 @@ def test_media_features_query(spark):
     # by d%4!=3 (120%4==0 -> 90 reachable refs) + secondary d%40+200
     # restricted by d%8==0 (-> 5 reachable refs)
     assert sum(r[1] for r in r1) == 95
-    for r in r1:
-        assert r[2] > 0  # avg feature norm
+    by_kind = {r[0]: r for r in r1}
+    # decode metadata (the round-6 oracled columns): images sample one
+    # frame each, audio zero; video samples every synthetic frame
+    assert by_kind["image"][2] == by_kind["image"][1]
+    assert by_kind["audio"][2] == 0
+    assert by_kind["video"][2] >= 2 * by_kind["video"][1]
+    # audio carries no thumbnail; image/video thumbs are 32x32
+    assert by_kind["audio"][3] is None
+    assert by_kind["image"][3] == 32.0 and by_kind["video"][3] == 32.0
+    # every asset's feature vector honors the fixed 8-wide contract
+    assert all(r[7] == 8 for r in r1)
 
 
 def test_media_manifest_matches_sidecar_identity(spark):

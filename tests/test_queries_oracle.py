@@ -24,6 +24,60 @@ def test_query_matches_oracle(name, spark, sf_small, con):
     assert ok, f"{name}: {msg}"
 
 
+def test_oracle_result_types_whitelisted(con):
+    """Every oracle's DECLARED DuckDB result types must sit in the
+    hash-safe whitelist.  This is the lint that would have caught the
+    round-4/5 driver reds before shipping: DuckDB widens bare integer
+    sum() to HUGEINT/INT128, the driver's Arrow hash canonicalizes
+    int128 != int64, and fetchall()-based value comparison never sees
+    the difference (VERDICT r5, What's-wrong #1/#2)."""
+    from tests.oracle_harness import _DUCK_TYPE_ALLOWED
+
+    bad = {}
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)
+        offenders = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) not in _DUCK_TYPE_ALLOWED
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"non-hash-safe oracle result types: {bad}"
+
+
+def test_oracle_type_lint_catches_bare_sum(con):
+    """Seeded regression: a bare integer sum() — the exact construct
+    behind the round-4/5 driver hash-reds — must fail the lint, and the
+    CAST(... AS BIGINT) form must pass."""
+    from tests.oracle_harness import lint_result_types
+
+    spark_dtypes = [("s", "bigint")]
+    ok, msg = lint_result_types(
+        spark_dtypes, con, "SELECT sum(r_regionkey) AS s FROM region"
+    )
+    assert not ok and "HUGEINT" in msg
+    ok, _ = lint_result_types(
+        spark_dtypes,
+        con,
+        "SELECT CAST(sum(r_regionkey) AS BIGINT) AS s FROM region",
+    )
+    assert ok
+    # Spark int32 against DuckDB BIGINT is allowed (19 driver-green
+    # precedents: the driver canonicalizes both to int64)...
+    ok, _ = lint_result_types(
+        [("s", "int")], con,
+        "SELECT CAST(sum(r_regionkey) AS BIGINT) AS s FROM region",
+    )
+    assert ok
+    # ...but a genuine declared-type/Spark-dtype mismatch is caught
+    ok, msg = lint_result_types(
+        [("s", "double")], con,
+        "SELECT CAST(sum(r_regionkey) AS BIGINT) AS s FROM region",
+    )
+    assert not ok and "Spark double" in msg
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
