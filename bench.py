@@ -60,11 +60,45 @@ def _warm_python_workers(spark) -> None:
     )
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+# Queries that materialize state per invocation (localCheckpoint /
+# per-round checkpoints): never re-run for best-of-2 — the rerun
+# re-executes the full pipeline AND re-pins storage blocks (ADVICE r5).
+BENCH_NO_RERUN = {
+    "dedup_clusters", "link_pagerank", "hits_scores", "connected_components",
+}
+
+
+def _shared_materializations() -> dict:
+    """The four cross-query materializations, timed as their OWN labeled
+    bench rows so per-query numbers are marginal costs instead of
+    attribution-order artifacts (r5: rag_context read 0.046 s only
+    because multihop_ablation happened to pay its 9.3 s pass first)."""
+    from earcrawler_spark.queries_fidelity import _decided_pairs
+    from earcrawler_spark.queries_rag import _rag_context_materialized
+    from earcrawler_spark.queries_tokens import trained_centroids
+    from earcrawler_spark.queries_training import _train_bpe
+
+    return {
+        "shared:rag_context": lambda s, d: _rag_context_materialized(s, d).count(),
+        "shared:decided_pairs": lambda s, d: _decided_pairs(s, d).count(),
+        "shared:ivf_centroids": lambda s, d: trained_centroids(s, d).count(),
+        "shared:bpe_train": lambda s, d: _train_bpe(s, d)[1].count(),
+    }
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (best, first): per-entry best-of timing plus the raw
+    first-run timing (recorded so rounds with different rerun policies
+    stay comparable — ADVICE r5)."""
     from earcrawler_spark.queries import QUERIES
 
     _warm_python_workers(spark)
-    out: dict[str, float] = {}
+    best: dict[str, float] = {}
+    first: dict[str, float] = {}
+    for name, build in _shared_materializations().items():
+        t0 = time.perf_counter()
+        build(spark, sf_dir)
+        best[name] = first[name] = round(time.perf_counter() - t0, 3)
     for name, fn in QUERIES.items():
         if name in BENCH_EXCLUDE:
             continue
@@ -72,18 +106,18 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         df = fn(spark, sf_dir)
         n = df.count()
         t = time.perf_counter() - t0
+        first[name] = round(t, 3)
         # best-of-2 for the sub-2s band only: scheduling jitter dominates
         # there (r4 showed 1.3x phantom "regressions" on sparql_ask /
-        # knn_l2_bucket).  Multi-second queries are NOT re-run — the
-        # first pass of a materialization family pays the honest
-        # pipeline cost and a rerun would read its cache.
-        if t < 2.0:
+        # knn_l2_bucket).  Multi-second queries are NOT re-run, nor are
+        # per-invocation materializers (BENCH_NO_RERUN).
+        if t < 2.0 and name not in BENCH_NO_RERUN:
             t1 = time.perf_counter()
             fn(spark, sf_dir).count()
             t = min(t, time.perf_counter() - t1)
-        out[name] = round(t, 3)
+        best[name] = round(t, 3)
         _ = n
-    return out
+    return best, first
 
 
 def run_crawl(spark, n_partitions: int, max_iters: int = 4, wave_seconds: float = 120.0):
@@ -327,7 +361,7 @@ def main() -> None:
 
     spark = _fresh_spark(f"local[{cpus}]", cpus)
     t0 = time.perf_counter()
-    queries = run_queries(spark, sf_dir)
+    queries, queries_first = run_queries(spark, sf_dir)
     # best-of-2 for the noise-prone frontier line (r3 showed a 74k->58k
     # host-noise dip on a single run)
     frontier = run_frontier_ops(spark, n_urls, n_partitions=cpus * 2)
@@ -350,6 +384,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_first_run": queries_first,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "frontier_ops": frontier,
         "crawl_e2e": crawl,
@@ -369,6 +404,7 @@ def main() -> None:
     if len(line) > 1900:
         slowest = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:30])
         compact = dict(payload)
+        compact.pop("queries_first_run", None)  # full detail in BENCH_FULL.json
         compact["queries"] = {k: round(v, 2) for k, v in slowest.items()}
         compact["queries_total_sec"] = round(sum(queries.values()), 2)
         compact["queries_n"] = len(queries)

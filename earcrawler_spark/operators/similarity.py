@@ -632,89 +632,100 @@ def dedup_clusters(
         F.min("doc_id").alias("g_rep"), F.count(F.lit(1)).alias("g_n")
     )
     member = th.join(groups, "th").select("doc_id", "g_rep", "g_n").cache()
-    rep_docs = docs.join(
-        member.filter(F.col("doc_id") == F.col("g_rep")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
+    cands = sh = None
+    try:
+        rep_docs = docs.join(
+            member.filter(F.col("doc_id") == F.col("g_rep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
 
-    # The candidate set is near-dup-bounded (tiny relative to the corpus)
-    # and feeds three consumers — materialize it once so the LSH pipeline
-    # runs once, and shingle ONLY candidate docs for the verify (the
-    # whole-corpus shingling already happened inside the LSH hash pass;
-    # re-running it corpus-wide for the verify doubled the query cost).
-    cands = lsh_candidate_pairs(rep_docs, n=n, bands=bands, rows=rows).cache()
-    cands.count()
-    cand_ids = cands.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    # candidate-doc shingle sets: native window-lead rows re-assembled
-    # into arrays, cached because BOTH join sides read them (uncached,
-    # the semi-join + shingling subtree ran twice and dominated the
-    # whole verify stage)
-    sh = (
-        shingle_rows(rep_docs.join(cand_ids, "doc_id", "left_semi"), n)
-        .groupBy("doc_id")
-        .agg(F.collect_list("s").alias("shingles"))
-        .cache()
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size("_sa") + F.size("_sb") - inter
-    verified = (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter((union > 0) & (inter / union >= threshold))
-        .select("doc_a", "doc_b")
-    )
-    cc = connected_components(verified, src="doc_a", dst="doc_b")
-    # multi-member exact-dup groups whose rep never met another rep form
-    # a component of their own IF the rep is shingle-eligible (≥ n
-    # tokens) — exactly the pairs the uncollapsed graph would have
-    # verified among the identical members.  Shorter docs never shingle,
-    # never become candidates, and stay out — mirroring the uncollapsed
-    # behavior.
-    eligible = rep_docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("_ntok")
-    ).filter(F.col("_ntok") >= n).select("doc_id")
-    self_groups = (
-        member.filter((F.col("doc_id") == F.col("g_rep")) & (F.col("g_n") >= 2))
-        .join(eligible, "doc_id", "left_semi")
-        .join(cc.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
-        .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("component"))
-    )
-    rep_cc = cc.unionByName(self_groups)
-    # expand rep components back to every member of each text group
-    doc_cc = (
-        member.join(
-            rep_cc.select(F.col("id").alias("g_rep"), "component"), "g_rep"
+        # The candidate set is near-dup-bounded (tiny relative to the corpus)
+        # and feeds three consumers — materialize it once so the LSH pipeline
+        # runs once, and shingle ONLY candidate docs for the verify (the
+        # whole-corpus shingling already happened inside the LSH hash pass;
+        # re-running it corpus-wide for the verify doubled the query cost).
+        cands = lsh_candidate_pairs(rep_docs, n=n, bands=bands, rows=rows).cache()
+        cands.count()
+        cand_ids = cands.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        # candidate-doc shingle sets: native window-lead rows re-assembled
+        # into arrays, cached because BOTH join sides read them (uncached,
+        # the semi-join + shingling subtree ran twice and dominated the
+        # whole verify stage)
+        sh = (
+            shingle_rows(rep_docs.join(cand_ids, "doc_id", "left_semi"), n)
+            .groupBy("doc_id")
+            .agg(F.collect_list("s").alias("shingles"))
+            .cache()
         )
-        .select(F.col("doc_id").alias("id"), "component")
-    )
-    stats = docs.select(F.col("doc_id").alias("id"), "n_chars")
-    labeled = doc_cc.join(stats, "id")
-    rep = (
-        labeled.select(
-            "component",
-            F.struct(
-                (-F.col("n_chars")).alias("neg"), F.col("id").alias("rep_id")
-            ).alias("r"),
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb"))
+        inter = F.size(F.array_intersect("_sa", "_sb"))
+        union = F.size("_sa") + F.size("_sb") - inter
+        verified = (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter((union > 0) & (inter / union >= threshold))
+            .select("doc_a", "doc_b")
         )
-        .groupBy("component")
-        .agg(F.min("r").alias("r"), F.count(F.lit(1)).alias("cluster_size"))
-        .select("component", F.col("r.rep_id").alias("rep_id"), "cluster_size")
-    )
-    return (
-        labeled.join(rep, "component")
-        .select(
+        cc = connected_components(verified, src="doc_a", dst="doc_b")
+        # multi-member exact-dup groups whose rep never met another rep form
+        # a component of their own IF the rep is shingle-eligible (≥ n
+        # tokens) — exactly the pairs the uncollapsed graph would have
+        # verified among the identical members.  Shorter docs never shingle,
+        # never become candidates, and stay out — mirroring the uncollapsed
+        # behavior.
+        eligible = rep_docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("_ntok")
+        ).filter(F.col("_ntok") >= n).select("doc_id")
+        self_groups = (
+            member.filter((F.col("doc_id") == F.col("g_rep")) & (F.col("g_n") >= 2))
+            .join(eligible, "doc_id", "left_semi")
+            .join(cc.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+            .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("component"))
+        )
+        rep_cc = cc.unionByName(self_groups)
+        # expand rep components back to every member of each text group
+        doc_cc = (
+            member.join(
+                rep_cc.select(F.col("id").alias("g_rep"), "component"), "g_rep"
+            )
+            .select(F.col("doc_id").alias("id"), "component")
+        )
+        stats = docs.select(F.col("doc_id").alias("id"), "n_chars")
+        labeled = doc_cc.join(stats, "id")
+        rep = (
+            labeled.select(
+                "component",
+                F.struct(
+                    (-F.col("n_chars")).alias("neg"), F.col("id").alias("rep_id")
+                ).alias("r"),
+            )
+            .groupBy("component")
+            .agg(F.min("r").alias("r"), F.count(F.lit(1)).alias("cluster_size"))
+            .select("component", F.col("r.rep_id").alias("rep_id"), "cluster_size")
+        )
+        out = labeled.join(rep, "component").select(
             "component",
             F.col("id").alias("doc_id"),
             (F.col("id") == F.col("rep_id")).alias("is_rep"),
             "cluster_size",
         )
-        .orderBy("component", "doc_id")
-    )
+        # eager localCheckpoint: the output is O(clustered docs), tiny
+        # relative to the corpus, and pinning it lets the finally block
+        # release member/cands/sh immediately — a long-lived session
+        # invoking dedup repeatedly no longer accumulates executor
+        # storage (ADVICE r5 #5)
+        return out.localCheckpoint().orderBy("component", "doc_id")
+    finally:
+        for df in (member, cands, sh):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
 
 def dedup_clusters_sql(

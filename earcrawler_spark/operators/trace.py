@@ -90,14 +90,19 @@ def section_quotes_json(col: Column) -> Column:
     normalizable section_id and non-empty quote; source_url '' -> null;
     sort by (section_id, quote, source_url or '', score or -1)."""
     kept = _section_quotes_kept(col)
+    # the original index as the FINAL sort key emulates Python's stable
+    # sorted(): entries tying on the reference keys (e.g. score null vs
+    # -1.0, which coalesce collapses in k4 but serializes differently in
+    # j) keep arrival order instead of re-sorting lexicographically by j
     sortable = F.array_sort(
         F.transform(
             kept,
-            lambda e: F.struct(
+            lambda e, i: F.struct(
                 e["sid"].alias("k1"),
                 e["quote"].alias("k2"),
                 F.coalesce(e["url"], F.lit("")).alias("k3"),
                 F.coalesce(e["score"], F.lit(-1.0)).alias("k4"),
+                i.alias("k5"),
                 F.concat(
                     F.lit('{"quote":'), _jstr(e["quote"]),
                     F.lit(',"score":'), _jnum(e["score"]),
@@ -157,11 +162,14 @@ def kg_paths_json(col: Column) -> Column:
     edges sort by (source, predicate, target); paths without id or
     edges drop; paths sort by path_id."""
     kept = _kg_paths_kept(col)
+    # stable sort: paths sharing a path_id keep arrival order (Python
+    # sorted() parity) — the index key stops array_sort comparing j
     sortable = F.array_sort(
         F.transform(
             kept,
-            lambda p: F.struct(
+            lambda p, i: F.struct(
                 p["pid"].alias("k1"),
+                i.alias("k2"),
                 F.concat(
                     F.lit('{"edges":['),
                     F.array_join(
@@ -256,15 +264,18 @@ def retrieval_metadata_json(col: Column) -> Column:
         lambda r: (r["rid"] != "")
         | (r["section"].isNotNull() & (r["section"] != "")),
     )
+    # stable sort: rows tying on (id, section, score) but differing in
+    # url/title/source keep arrival order (Python sorted() parity)
     sortable = F.array_sort(
         F.transform(
             kept,
-            lambda r: F.struct(
+            lambda r, i: F.struct(
                 F.when(r["rid"] != "", r["rid"])
                 .otherwise(F.coalesce(r["section"], F.lit("")))
                 .alias("k1"),
                 F.coalesce(r["section"], F.lit("")).alias("k2"),
                 F.coalesce(r["score"], F.lit(-1.0)).alias("k3"),
+                i.alias("k4"),
                 F.concat(
                     F.lit('{"id":'),
                     _jstr(

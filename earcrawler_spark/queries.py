@@ -1276,14 +1276,21 @@ _GATED_R5: frozenset[str] = frozenset(
         "ann_ivf_lists", "ann_ivf_search", "answer_scoring", "bpe_merges",
         "bpe_segment", "canary_eval", "chunk_dedup", "cms_heavy_hitters",
         "cross_source_overlap", "curation_verdict", "curriculum_order",
-        "dataset_split", "decontamination", "dedup_clusters", "dsir_weights",
+        # dedup_clusters left this set in round 6: the cache-release
+        # rework (eager localCheckpoint + try/finally unpersist, ADVICE
+        # r5 #5) modified its impl — it re-enters the window.
+        "dataset_split", "decontamination", "dsir_weights",
         "dup_span_coverage", "embedding_outliers", "hitl_summary",
         "id_consistency", "index_binding", "link_pagerank",
         "llm_output_violations", "media_manifest", "minhash_lsh_pairs",
         "ngram_novelty", "pq_codes", "repetition_quality",
         "seen_set_cardinality", "semantic_decontamination", "semdedup",
         "shard_packing", "source_mix", "stratified_sample",
-        "temperature_mix", "tfidf_topk", "trace_validation",
+        # trace_validation left this set in round 6: the stable-sort
+        # index keys added to operators/trace.py (ADVICE r5) modified
+        # its impl — modified-since-certification counts as never
+        # certified, so it re-enters the window.
+        "temperature_mix", "tfidf_topk",
         "unigram_quality", "upstream_status", "weighted_sample", "zipf_fit",
     }
 )

@@ -43,8 +43,14 @@ FLUSH_EVENT = "__flush__"
 OUTPUT_SCHEMA = (
     "user_id bigint, session_no bigint, n_events bigint, session_value double"
 )
-# (session_no, n_events, value_sum, last_epoch) of the one open session
-STATE_SCHEMA = "session_no bigint, n_events bigint, value_sum double, last_epoch double"
+# (session_no, n_events, value_sum, last_epoch) of the one open session.
+# last_epoch is INTEGER seconds: the batch twin compares integer
+# unix_timestamp diffs, and int64-ns epochs (~1.7e18) exceed float64's
+# 53-bit exact range — a float gap can flip the strict '>' at an
+# exactly-30-minute boundary where the integer compare cannot.
+STATE_SCHEMA = "session_no bigint, n_events bigint, value_sum double, last_epoch bigint"
+
+_GAP_SEC = SESSION_GAP_MIN * 60
 
 
 def _sessionize_fn(
@@ -59,10 +65,9 @@ def _sessionize_fn(
         session_no, n_events, value_sum, last_epoch = 0, 0, 0.0, None
 
     closed: list[tuple] = []
-    flushed = False
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
-        epochs = pdf["ts"].astype("int64").to_numpy() / 1e9
+        epochs = pdf["ts"].astype("int64").to_numpy() // 10**9
         values = pdf["value"].to_numpy()
         kinds = pdf["event_type"].to_numpy()
         for ep, val, kind in zip(epochs, values, kinds):
@@ -72,10 +77,9 @@ def _sessionize_fn(
                         (user_id, session_no, n_events, round(value_sum, 4))
                     )
                     n_events, value_sum = 0, 0.0
-                flushed = True
                 continue
-            gap_min = None if last_epoch is None else (ep - last_epoch) / 60.0
-            if n_events and (gap_min is None or gap_min > SESSION_GAP_MIN):
+            gap_sec = None if last_epoch is None else int(ep) - int(last_epoch)
+            if n_events and (gap_sec is None or gap_sec > _GAP_SEC):
                 closed.append(
                     (user_id, session_no, n_events, round(value_sum, 4))
                 )
@@ -84,12 +88,15 @@ def _sessionize_fn(
                 session_no += 1
             n_events += 1
             value_sum += float(val)
-            last_epoch = ep
+            last_epoch = int(ep)
 
-    if flushed and not n_events:
-        state.remove()
-    else:
-        state.update((session_no, n_events, value_sum, last_epoch))
+    # Always keep (session_no, ..., last_epoch) — even after a flush with
+    # nothing open.  Dropping state at flush would restart a user whose
+    # events resume in a LATER micro-batch at session 1 while same-batch
+    # post-flush events kept counting — inconsistent numbering, and it
+    # breaks row-for-row parity with the batch sessionizer for
+    # multi-wave streams.  One open-or-flushed user costs 4 scalars.
+    state.update((session_no, n_events, value_sum, last_epoch))
     if closed:
         yield pd.DataFrame(
             closed, columns=["user_id", "session_no", "n_events", "session_value"]

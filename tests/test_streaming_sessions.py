@@ -85,3 +85,78 @@ def test_stateful_sessionizer_matches_batch(spark, tmp_path):
     assert got == want
     # sessions genuinely straddle micro-batches (multi-event sessions exist)
     assert any(n > 1 for n, _ in got.values())
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _sessionize_fn directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+
+def _run_batch(state, rows):
+    import pandas as pd
+
+    from earcrawler_spark.streaming.sessions import _sessionize_fn
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    out = list(_sessionize_fn((7,), iter([pdf]), state))
+    return [tuple(r) for o in out for r in o.itertuples(index=False)]
+
+
+def test_session_numbering_survives_flush_across_batches():
+    """ADVICE r5 (medium): a flush must NOT reset the session counter.
+    A user flushed in wave 1 whose events resume in a later micro-batch
+    continues numbering where it left off — identical to post-flush
+    events landing in the SAME batch, and to the batch sessionizer run
+    over the concatenated event log."""
+    t0 = 1_700_000_000
+    gap = 31 * 60  # > SESSION_GAP_MIN, so batch semantics also split here
+
+    state = _FakeState()
+    got = _run_batch(
+        state,
+        [(1, t0, "view", 1.0), (2, t0 + 60, "view", 2.0),
+         (-1, t0 + 120, FLUSH_EVENT, 0.0)],
+    )
+    assert got == [(7, 1, 2, 3.0)]
+    assert state.exists  # counter survives the flush
+
+    # wave 2, later micro-batch: numbering continues at 2, not 1
+    got = _run_batch(
+        state,
+        [(3, t0 + 120 + gap, "view", 5.0),
+         (-2, t0 + 240 + gap, FLUSH_EVENT, 0.0)],
+    )
+    assert got == [(7, 2, 1, 5.0)]
+
+
+def test_exact_30_minute_gap_is_integer_compared():
+    """ADVICE r5 (low): an exactly-30-minute gap must NOT split the
+    session (batch uses strict '>' on integer-second diffs); 30 min + 1 s
+    must.  Drive both through the integer-epoch path."""
+    t0 = 1_700_000_000
+    state = _FakeState()
+    got = _run_batch(
+        state,
+        [(1, t0, "view", 1.0),
+         (2, t0 + 30 * 60, "view", 2.0),          # exactly 30 min: same session
+         (3, t0 + 60 * 60 + 1, "view", 4.0),      # 30 min + 1 s: new session
+         (-1, t0 + 2 * 60 * 60, FLUSH_EVENT, 0.0)],
+    )
+    assert got == [(7, 1, 2, 3.0), (7, 2, 1, 4.0)]

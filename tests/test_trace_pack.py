@@ -186,6 +186,32 @@ def test_provenance_hash_matches_reference_model(spark):
             "section_quotes": [], "kg_paths": [], "citations": [],
             "retrieval_metadata": [], "run_provenance": {},
         },
+        {  # stable-sort ties (ADVICE r5): entries equal on the reference
+            # sort keys but serializing differently must keep arrival
+            # order, exactly like Python's stable sorted() — input order
+            # chosen so a lexicographic tiebreak on the JSON would flip it
+            "section_quotes": [
+                # score None vs -1.0 both key as -1.0; "null" > "-1.0"
+                {"section_id": "EAR-700.1", "quote": "q", "source_url": None, "score": None},
+                {"section_id": "EAR-700.1", "quote": "q", "source_url": None, "score": -1.0},
+            ],
+            "kg_paths": [
+                # same path_id, different edges: arrival order wins
+                {"path_id": "p1", "edges": [
+                    {"source": "z", "predicate": "r", "target": "z"}]},
+                {"path_id": "p1", "edges": [
+                    {"source": "a", "predicate": "r", "target": "a"}]},
+            ],
+            "citations": [],
+            "retrieval_metadata": [
+                # tie on (id, section, score); url/title differ
+                {"id": "d1", "section": "EAR-736.2", "score": 0.5,
+                 "source": "faiss", "url": "https://z", "title": "zz"},
+                {"id": "d1", "section": "EAR-736.2", "score": 0.5,
+                 "source": "kg", "url": "https://a", "title": "aa"},
+            ],
+            "run_provenance": {},
+        },
     ]
 
     def row(pack, idx):
