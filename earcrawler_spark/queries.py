@@ -1256,7 +1256,10 @@ _GATED_R4: frozenset[str] = frozenset(
         "label_inference", "citation_metrics", "temporal_requests",
         "knn_l2_bucket", "bm25_tokenized", "citation_boost", "rag_context",
         "context_lines", "rag_context_kg", "kg_expansion_index",
-        "shape_violations", "sparql_update", "claims_extraction",
+        "shape_violations", "sparql_update",
+        # claims_extraction left this set in round 6: the (?U) unicode-
+        # whitespace normalization fix (hypothesis-fuzz finding) modified
+        # extract_claims — it re-enters the window.
         "eval_schema_violations", "snapshot_violations", "telemetry_scrub",
         "egress_audit",
     }

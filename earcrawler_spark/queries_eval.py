@@ -104,9 +104,14 @@ def section_mentions(text_col):
 def extract_claims(answers: DataFrame, text_col: str = "answer") -> DataFrame:
     """(item_id, answer) -> one row per claim: (item_id, claim_idx,
     claim, decisive, tokens, sections)."""
+    # (?U): Java \s is ASCII-only while the reference's Python \s+ is
+    # Unicode — without the flag an NBSP/em-space survives the collapse
+    # and becomes a phantom claim (caught by the round-6 hypothesis fuzz)
     normalized = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col(text_col), r"\s+", " "), r"^\s+|\s+$", ""
+            F.regexp_replace(F.col(text_col), r"(?U)\s+", " "),
+            r"(?U)^\s+|\s+$",
+            "",
         ),
         r"U\.S\.?",
         "US",

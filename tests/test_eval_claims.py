@@ -147,3 +147,81 @@ def test_fuzz_extract_claims(spark):
     for i, case in enumerate(cases):
         want = model_claims(case)
         assert got.get(i, []) == want, (case, got.get(i, []), want)
+
+
+# --- hypothesis property fuzz (VERDICT r5 task 8) ---------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# atoms chosen to stress every operator boundary: split markers glued to
+# words, decimals and section ids that must NOT split, verdicts and
+# hedges in odd case, the U.S. normalization, stemming-ladder suffixes,
+# unicode whitespace the \s+ collapse must flatten
+_ATOMS = [
+    "U.S.", "U.S", "US.", "EAR-744.11(b)", "EAR-744.11(b)#frag", "740.13",
+    "3.5", "version 3.5 applies", ".", "..", ";", "!", "?", "!?;",
+    "but", "However", "YET", ", not", ",not", "not",
+    "Yes:", "no,", "FALSE", "true ", "yesterday", "noon",
+    "may", "might", "Cannot determine", "insufficient evidence",
+    "depends", "dependent", "butterfly", "yetis",
+    "shipping", "cases", "bodies", "exported", "classes", "glass",
+    "is", "the", "under", "a1", "x", ",:", " , : ", " ", "\t", "\n\n",
+]
+_WORD = st.from_regex(r"[A-Za-z0-9]{1,9}", fullmatch=True)
+_ANSWER = st.lists(
+    st.one_of(st.sampled_from(_ATOMS), _WORD), min_size=0, max_size=14
+).map(" ".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_ANSWER)
+def test_lookahead_free_split_equivalent_on_normalized_text(answer):
+    """The engine ships `\\.\\s|\\.$` because DuckDB's RE2 has no
+    lookahead; the reference uses `\\.(?=\\s|$)`.  On whitespace-
+    normalized input the two split + clean pipelines must agree for ANY
+    answer shape (python-side twin of the Spark expression chain)."""
+    normalized = re.sub(r"\s+", " ", answer).strip()
+    normalized = normalized.replace("U.S.", "US").replace("U.S", "US")
+    free = re.compile(
+        r"\s*(?:[;!?]+|\.\s|\.$|\bbut\b|\bhowever\b|\byet\b|,\s*not\b)\s*",
+        flags=re.IGNORECASE,
+    )
+
+    def clean(parts):
+        out = []
+        for raw in parts:
+            claim = _LEADING_VERDICT_RE.sub("", str(raw or "")).strip(" ,:")
+            if claim:
+                out.append(claim)
+        return out
+
+    assert clean(free.split(normalized)) == clean(
+        _CLAIM_SPLIT_RE.split(normalized)
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_ANSWER, min_size=30, max_size=60), st.integers(0, 2**31))
+def test_hypothesis_fuzz_extract_claims_matches_model(spark, answers, seed):
+    """Full-pipeline property fuzz: extract_claims (Spark Column chain)
+    row-for-row against the reference model for hypothesis-generated
+    answer shapes — splits, verdict strips, hedges, stemming, section
+    mentions, tokens.  One Spark batch per example keeps it tractable."""
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(answers)], "item_id int, answer string"
+    )
+    rows = extract_claims(df).collect()
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["item_id"], r["claim_idx"])):
+        got.setdefault(r["item_id"], []).append(
+            {
+                "claim": r["claim"],
+                "decisive": r["decisive"],
+                "tokens": list(r["tokens"]),
+                "sections": list(r["sections"]),
+            }
+        )
+    for i, case in enumerate(answers):
+        want = model_claims(case)
+        assert got.get(i, []) == want, (case, got.get(i, []), want)
