@@ -1,12 +1,17 @@
 """Query batch — training-data CURATION operators (brief §LLM-pipeline:
 the operations a large-scale training-data pipeline needs beyond the
-reference's own surface).  Five first-class ops over `documents`:
+reference's own surface).  First-class ops over `documents`:
 
 - ``dataset_split``     deterministic hash split (train/val/test) + stats
 - ``decontamination``   benchmark-overlap check (8-gram shingle join)
 - ``repetition_quality`` Gopher-style repetition filters per document
 - ``stratified_sample`` deterministic per-language quota sample
 - ``source_mix``        per-source corpus composition / dup-rate audit
+- ``weighted_sample``   Efraimidis-Spirakis deterministic weighted sample
+- round-6 reporting batch: ``token_length_histogram`` (packing planning),
+  ``ttr_hapax`` (per-source vocabulary health),
+  ``contamination_by_source`` (decontamination rollup at drop/keep
+  granularity), ``lang_source_matrix`` (mix report)
 
 All plans are shuffle-minimal: per-doc work is key-partitioned
 (posexplode + windows partitioned by doc_id — no global sorts), the
@@ -497,5 +502,325 @@ CURATION_ORACLES.update(
         "stratified_sample": _SQL_STRATIFIED,
         "source_mix": _SQL_SOURCE_MIX,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+    }
+)
+
+
+# --- round-6 curation-reporting batch ---------------------------------------
+# Four source/shape reporting ops a curation run reads before committing a
+# training mix: sequence-length histogram (packing planning), per-source
+# vocabulary health (TTR/hapax), the decontamination rollup by source
+# (drop/keep decisions happen at source granularity), and the lang-x-source
+# composition matrix.
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of per-document token counts with doc and
+    token-mass shares plus the cumulative token share — the view packing
+    planners read to size max_seq_len (what fraction of the token budget
+    lives in docs longer than 2^k?).
+
+    Cross-engine floor(log2(n)) without float logs: both engines render
+    a binary literal (Spark ``bin``, DuckDB ``bin``) whose length-1 is
+    the exponent — integer-exact, no 1-ulp boundary risk.  One partial
+    aggregation on a tiny key space (≤64 buckets at any corpus size),
+    then a window over the bucket axis."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = F.greatest(F.size(tokens(F.col("text"))), F.lit(1))
+    per_bucket = (
+        docs.select((F.length(F.bin(n_tok)) - 1).cast("long").alias("bucket_exp"),
+                    n_tok.alias("n_tok"))
+        .groupBy("bucket_exp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("token_mass"),
+        )
+    )
+    total = per_bucket.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("token_mass").alias("t_tok")
+    )
+    # bounded global ordering (<= 64 bucket rows at any corpus size):
+    # the non-foldable constant partition key keeps one partition group
+    # without tripping the unpartitioned-window guard
+    w = (
+        W.partitionBy(F.crc32(F.col("bucket_exp").cast("string")) * F.lit(0))
+        .orderBy("bucket_exp")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(total))
+        .withColumn("cum_mass", F.sum("token_mass").over(w))
+        .select(
+            "bucket_exp",
+            "n_docs",
+            "token_mass",
+            F.round(F.col("n_docs").cast("double") / F.col("t_docs"), 6)
+            .alias("doc_share"),
+            F.round(F.col("token_mass").cast("double") / F.col("t_tok"), 6)
+            .alias("token_share"),
+            F.round(F.col("cum_mass").cast("double") / F.col("t_tok"), 6)
+            .alias("cum_token_share"),
+        )
+        .orderBy("bucket_exp")
+    )
+
+
+_SQL_TOKEN_LENGTH_HISTOGRAM = f"""
+WITH lens AS (
+  SELECT greatest(len({_TOKENS_SQL}), 1) AS n_tok FROM documents
+), b AS (
+  SELECT CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket_exp,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS token_mass
+  FROM lens GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+         CAST(sum(token_mass) AS BIGINT) AS t_tok FROM b
+)
+SELECT bucket_exp, n_docs, token_mass,
+       round(CAST(n_docs AS DOUBLE) / t_docs, 6) AS doc_share,
+       round(CAST(token_mass AS DOUBLE) / t_tok, 6) AS token_share,
+       round(CAST(sum(token_mass) OVER (ORDER BY bucket_exp
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t_tok, 6)
+         AS cum_token_share
+FROM b CROSS JOIN tot
+ORDER BY bucket_exp
+"""
+
+
+def q_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus vocabulary health: distinct terms, type/token
+    ratio, hapax-legomena share, and the mass of the most frequent term
+    — corpus-level signals (repetition_quality is the per-document twin)
+    curation runs use to spot template-y or boilerplate-heavy sources.
+    Plan: one (source, term) partial-agg shuffle, then a per-source
+    rollup on the already-small key space."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_terms"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax_terms"),
+            F.max("c").cast("long").alias("top_term_count"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "distinct_terms",
+            "hapax_terms",
+            F.round(
+                F.col("distinct_terms").cast("double") / F.col("total_tokens"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("hapax_terms").cast("double") / F.col("distinct_terms"), 6
+            ).alias("hapax_share"),
+            F.round(
+                F.col("top_term_count").cast("double") / F.col("total_tokens"), 6
+            ).alias("top_term_mass"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TTR_HAPAX = f"""
+WITH tc AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest({_TOKENS_SQL}) AS t FROM documents
+  ) GROUP BY source, t
+), per_src AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_terms,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+         CAST(max(c) AS BIGINT) AS top_term_count
+  FROM tc GROUP BY source
+)
+SELECT source, total_tokens, distinct_terms, hapax_terms,
+       round(CAST(distinct_terms AS DOUBLE) / total_tokens, 6) AS type_token_ratio,
+       round(CAST(hapax_terms AS DOUBLE) / distinct_terms, 6) AS hapax_share,
+       round(CAST(top_term_count AS DOUBLE) / total_tokens, 6) AS top_term_mass
+FROM per_src
+ORDER BY source
+"""
+
+
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination verdict rolled up to source granularity —
+    where the actual drop/keep decision happens (a source with 30%
+    contaminated token mass gets cut; one leaky doc gets filtered).
+    Reuses the 8-gram broadcast-probe pipeline: per source, training-doc
+    totals, contaminated-doc counts and token-mass share, and the worst
+    per-doc severity."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingle_rows(docs, DECON_N)
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == 0
+    ev = sh.filter(is_eval).select("s")
+    tr = sh.filter(~is_eval)
+    tr_tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev.distinct()), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("hit_shingles"))
+    )
+    per_doc = (
+        docs.filter((F.col("doc_id") % _EVAL_MOD) != 0)
+        .select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .join(tr_tot, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "source",
+            "n_tok",
+            F.coalesce("hit_shingles", F.lit(0)).alias("hit_shingles"),
+            F.when(
+                F.col("n_shingles").isNotNull() & (F.col("hit_shingles") > 0),
+                F.col("hit_shingles").cast("double") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("severity"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("train_docs"),
+            F.sum(F.when(F.col("hit_shingles") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("contaminated_docs"),
+            F.sum("n_tok").cast("long").alias("train_tokens"),
+            F.sum(F.when(F.col("hit_shingles") > 0, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("contaminated_tokens"),
+            F.round(F.max("severity"), 6).alias("max_severity"),
+        )
+        .select(
+            "source",
+            "train_docs",
+            "contaminated_docs",
+            F.round(
+                F.col("contaminated_docs").cast("double") / F.col("train_docs"), 6
+            ).alias("doc_contamination_rate"),
+            "train_tokens",
+            "contaminated_tokens",
+            F.round(
+                F.col("contaminated_tokens").cast("double")
+                / F.col("train_tokens"),
+                6,
+            ).alias("token_contamination_share"),
+            "max_severity",
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_CONTAMINATION_BY_SOURCE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - {DECON_N - 1}, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + {DECON_N - 1}), ' '))) AS s
+    FROM toks)
+), ev AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+), tr AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % {_EVAL_MOD} <> 0
+), tr_tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id
+), hits AS (
+  SELECT tr.doc_id, CAST(count(DISTINCT tr.s) AS BIGINT) AS hit_shingles
+  FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id
+), per_doc AS (
+  SELECT d.source,
+         len({_TOKENS_SQL.replace('text', 'd.text')}) AS n_tok,
+         coalesce(h.hit_shingles, 0) AS hit_shingles,
+         CASE WHEN t.n_shingles IS NOT NULL AND coalesce(h.hit_shingles, 0) > 0
+              THEN CAST(h.hit_shingles AS DOUBLE) / t.n_shingles
+              ELSE CAST(0.0 AS DOUBLE) END AS severity
+  FROM documents d
+  LEFT JOIN tr_tot t ON d.doc_id = t.doc_id
+  LEFT JOIN hits h ON d.doc_id = h.doc_id
+  WHERE d.doc_id % {_EVAL_MOD} <> 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS train_docs,
+       CAST(sum(CASE WHEN hit_shingles > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS contaminated_docs,
+       round(CAST(sum(CASE WHEN hit_shingles > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS doc_contamination_rate,
+       CAST(sum(n_tok) AS BIGINT) AS train_tokens,
+       CAST(sum(CASE WHEN hit_shingles > 0 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS contaminated_tokens,
+       round(CAST(sum(CASE WHEN hit_shingles > 0 THEN n_tok ELSE 0 END) AS DOUBLE)
+             / sum(n_tok), 6) AS token_contamination_share,
+       round(max(severity), 6) AS max_severity
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x source composition matrix with each cell's char-mass
+    share within its source — the mix report a multilingual curation run
+    reads before setting per-language sampling temperatures.  One
+    groupBy on the (source, lang) key, shares via a window over the
+    already-aggregated rows (no second shuffle of the corpus)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    w = W.partitionBy("source")
+    return (
+        cell.withColumn("src_chars", F.sum("chars").over(w))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "chars",
+            F.round(F.col("chars").cast("double") / F.col("src_chars"), 6)
+            .alias("share_in_source"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_SQL_LANG_SOURCE_MATRIX = """
+WITH cell AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, chars,
+       round(CAST(chars AS DOUBLE) /
+             sum(chars) OVER (PARTITION BY source), 6) AS share_in_source
+FROM cell
+ORDER BY source, lang
+"""
+
+
+CURATION_QUERIES.update(
+    {
+        "token_length_histogram": q_token_length_histogram,
+        "ttr_hapax": q_ttr_hapax,
+        "contamination_by_source": q_contamination_by_source,
+        "lang_source_matrix": q_lang_source_matrix,
+    }
+)
+CURATION_ORACLES.update(
+    {
+        "token_length_histogram": _SQL_TOKEN_LENGTH_HISTOGRAM,
+        "ttr_hapax": _SQL_TTR_HAPAX,
+        "contamination_by_source": _SQL_CONTAMINATION_BY_SOURCE,
+        "lang_source_matrix": _SQL_LANG_SOURCE_MATRIX,
     }
 )

@@ -140,3 +140,93 @@ def test_source_mix_shares_and_dup_rate(spark, tmp_path):
     assert round(out["a"]["exact_dup_rate"], 6) == round(1 / 3, 6)
     assert out["b"]["exact_dup_rate"] == 0.0
     assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-4
+
+
+# --- round-6 reporting batch -------------------------------------------------
+
+def test_token_length_histogram_buckets_and_shares(spark):
+    import math
+
+    from earcrawler_spark.queries_curation import q_token_length_histogram
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_token_length_histogram(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("text").collect()
+    want: dict[int, list[int]] = {}
+    for (text,) in docs:
+        n = max(len([t for t in text.lower().split() if t]), 1)
+        want.setdefault(int(math.floor(math.log2(n))), []).append(n)
+    assert {r["bucket_exp"]: r["n_docs"] for r in rows} == {
+        k: len(v) for k, v in want.items()
+    }
+    assert {r["bucket_exp"]: r["token_mass"] for r in rows} == {
+        k: sum(v) for k, v in want.items()
+    }
+    # cumulative token share is monotone and ends at 1.0
+    cums = [r["cum_token_share"] for r in sorted(rows, key=lambda r: r["bucket_exp"])]
+    assert cums == sorted(cums) and cums[-1] == 1.0
+
+
+def test_ttr_hapax_matches_counter_model(spark):
+    from collections import Counter
+
+    from earcrawler_spark.queries_curation import q_ttr_hapax
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["source"]: r for r in q_ttr_hapax(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+    per_src: dict[str, Counter] = {}
+    for src, text in docs:
+        per_src.setdefault(src, Counter()).update(
+            t for t in text.lower().split() if t
+        )
+    assert set(rows) == set(per_src)
+    for src, c in per_src.items():
+        r = rows[src]
+        assert r["total_tokens"] == sum(c.values())
+        assert r["distinct_terms"] == len(c)
+        assert r["hapax_terms"] == sum(1 for v in c.values() if v == 1)
+        assert r["type_token_ratio"] == round(len(c) / sum(c.values()), 6)
+
+
+def test_contamination_by_source_consistent_with_per_doc(spark):
+    from earcrawler_spark.queries_curation import (
+        _EVAL_MOD,
+        q_contamination_by_source,
+        q_decontamination,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = q_decontamination(spark, sf).collect()
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    want_contam: dict[str, int] = {}
+    for r in per_doc:
+        want_contam[docs[r["doc_id"]]] = want_contam.get(docs[r["doc_id"]], 0) + 1
+    rows = {r["source"]: r for r in q_contamination_by_source(spark, sf).collect()}
+    # every source appears (even zero-contamination ones), train universe only
+    n_train = sum(1 for d in docs if d % _EVAL_MOD != 0)
+    assert sum(r["train_docs"] for r in rows.values()) == n_train
+    for src, r in rows.items():
+        assert r["contaminated_docs"] == want_contam.get(src, 0)
+        assert 0.0 <= r["token_contamination_share"] <= 1.0
+
+
+def test_lang_source_matrix_shares_sum_to_one(spark):
+    from earcrawler_spark.queries_curation import q_lang_source_matrix
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_lang_source_matrix(spark, sf).collect()
+    by_src: dict[str, float] = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0.0) + r["share_in_source"]
+    # rounding noise only
+    assert all(abs(v - 1.0) < 1e-4 for v in by_src.values()), by_src
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
