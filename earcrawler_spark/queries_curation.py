@@ -540,10 +540,11 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("t_docs"), F.sum("token_mass").alias("t_tok")
     )
     # bounded global ordering (<= 64 bucket rows at any corpus size):
-    # the non-foldable constant partition key keeps one partition group
-    # without tripping the unpartitioned-window guard
+    # partition on t_docs — a real data column that is constant across
+    # rows — so the single partition group is deliberate and the
+    # optimizer cannot fold the key away (crc32(x)*0 got folded here)
     w = (
-        W.partitionBy(F.crc32(F.col("bucket_exp").cast("string")) * F.lit(0))
+        W.partitionBy("t_docs")
         .orderBy("bucket_exp")
         .rowsBetween(W.unboundedPreceding, 0)
     )
