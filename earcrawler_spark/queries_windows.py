@@ -184,12 +184,181 @@ ORDER BY segment
 """
 
 
+
+
+# --- ordered funnel conversion ----------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): a user reaches step k
+    only with an event of that type AT OR AFTER their earliest
+    qualifying step-(k-1) time (the classic min-time-propagation
+    funnel).  Output: one row per step with users reached, conversion
+    from the previous step and from the funnel start.
+
+    Scale shape: each step is one user-keyed partial-agg (min ts) plus
+    one user-keyed join — shuffles stay on the user key end to end;
+    nothing is collected or windowed globally.  At 100 TB the step
+    frames are one row per surviving user, shrinking monotonically."""
+    ev = _t(spark, sf_dir, "events")
+    reached = []
+    prev = None
+    for step in FUNNEL_STEPS:
+        cur = ev.filter(F.col("event_type") == step)
+        if prev is None:
+            cur = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                cur.join(prev.select("user_id", F.col("t").alias("t_prev")),
+                         "user_id")
+                .filter(F.col("ts") >= F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        reached.append(cur)
+        prev = cur
+    counts = None
+    for i, (step, df) in enumerate(zip(FUNNEL_STEPS, reached)):
+        row = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i + 1).cast("long").alias("step_no"),
+            F.lit(step).alias("step"),
+            F.col("users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    first = counts.filter(F.col("step_no") == 1).select(
+        F.col("users").alias("u_first")
+    )
+    with_prev = (
+        counts.alias("c")
+        .join(
+            counts.select(
+                (F.col("step_no") + 1).alias("step_no"),
+                F.col("users").alias("u_prev"),
+            ),
+            "step_no",
+            "left",
+        )
+        .crossJoin(F.broadcast(first))
+    )
+    return with_prev.select(
+        "step_no",
+        "step",
+        "users",
+        F.round(
+            F.when(
+                F.col("u_prev").isNotNull(),
+                F.col("users").cast("double") / F.col("u_prev"),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("conv_from_prev"),
+        F.round(F.col("users").cast("double") / F.col("u_first"), 6).alias(
+            "conv_from_start"
+        ),
+    ).orderBy("step_no")
+
+
+_SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id
+), counts AS (
+  SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step,
+         CAST(count(*) AS BIGINT) AS users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT c.step_no, c.step, c.users,
+       round(CASE WHEN p.users IS NOT NULL
+                  THEN CAST(c.users AS DOUBLE) / p.users
+                  ELSE CAST(1.0 AS DOUBLE) END, 6) AS conv_from_prev,
+       round(CAST(c.users AS DOUBLE) /
+             (SELECT users FROM counts WHERE step_no = 1), 6)
+         AS conv_from_start
+FROM counts c
+LEFT JOIN counts p ON p.step_no = c.step_no - 1
+ORDER BY c.step_no
+"""
+
+
+# --- weekly retention cohorts ------------------------------------------------
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-activity week
+    (cohort), counted as active in each later week; retention = active
+    share of the cohort.  Weeks are integer epoch-week indices
+    (epoch_seconds // 604800) so BOTH engines bucket identically with
+    no calendar/week-start semantics in play.
+
+    Scale shape: first-week per user is one user-keyed partial agg;
+    the (user, week) activity set is a distinct on the same key; the
+    matrix is a (cohort, offset) agg over that — three key-partitioned
+    shuffles, no windows, no driver-side state."""
+    ev = _t(spark, sf_dir, "events")
+    wk = (F.unix_timestamp("ts") / F.lit(604800)).cast("long")
+    uw = ev.select("user_id", wk.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        cells.join(cohort_sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "active_users",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+_SQL_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM cohort GROUP BY cohort_week
+), cells AS (
+  SELECT c.cohort_week, uw.week - c.cohort_week AS offset_weeks,
+         CAST(count(*) AS BIGINT) AS active_users
+  FROM uw JOIN cohort c ON uw.user_id = c.user_id
+  GROUP BY c.cohort_week, uw.week - c.cohort_week
+)
+SELECT l.cohort_week, l.offset_weeks, l.active_users,
+       round(CAST(l.active_users AS DOUBLE) / s.cohort_users, 6) AS retention
+FROM cells l JOIN sizes s ON l.cohort_week = s.cohort_week
+ORDER BY l.cohort_week, l.offset_weeks
+"""
+
 WINDOW_QUERIES = {
     "running_totals": q_running_totals,
     "sessionization": q_sessionization,
     "sales_rollup": q_sales_rollup,
     "event_pivot": q_event_pivot,
     "set_operations": q_set_operations,
+    "funnel_conversion": q_funnel_conversion,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 WINDOW_ORACLES = {
@@ -198,4 +367,6 @@ WINDOW_ORACLES = {
     "sales_rollup": _SQL_ROLLUP,
     "event_pivot": _SQL_PIVOT,
     "set_operations": _SQL_SET_OPS,
+    "funnel_conversion": _SQL_FUNNEL,
+    "retention_cohorts": _SQL_RETENTION,
 }
