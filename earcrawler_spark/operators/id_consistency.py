@@ -94,12 +94,21 @@ def scan_kg_sections(lines: DataFrame, line_col: str = "line"):
     section ids (tokens that fail the part/number grammar drop, exactly
     like the reference's None returns)."""
     c = F.col(line_col)
+    # Dedup the RAW extracted token before the (very large) normalizer
+    # expression runs: (a) the heavy unquote+normalize tree then executes
+    # once per distinct token instead of once per occurrence — the right
+    # cost model when the same section IRI appears on billions of KG
+    # lines — and (b) it keeps the Generate stage's codegen method small
+    # (explode+string only); fusing the normalizer into the explode
+    # consume path overflows janino's 64 KB method limit and silently
+    # drops the whole stage to interpreted mode.
     canonical = (
         lines.select(
             F.explode(F.regexp_extract_all(c, F.lit(_CANONICAL_RE), 1)).alias(
                 "encoded"
             )
         )
+        .distinct()
         .select(
             normalize_ear_section_id(pct_unquote(F.col("encoded"))).alias(
                 "section_id"
@@ -115,6 +124,7 @@ def scan_kg_sections(lines: DataFrame, line_col: str = "line"):
                 "tok"
             )
         )
+        .distinct()
         .select(legacy_token_to_section(F.col("tok")).alias("section_id"))
         .filter(F.col("section_id").isNotNull())
         .distinct()

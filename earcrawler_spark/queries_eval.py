@@ -2177,7 +2177,7 @@ def q_id_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from earcrawler_spark.functions.iri import section_iri
     from earcrawler_spark.sources import (
-        normalize_ear_doc_id,
+        _DOC_SUFFIX_RE as _ID_DOC_SUFFIX_RE,
         normalize_ear_section_id,
     )
 
@@ -2219,14 +2219,50 @@ def q_id_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.field").alias("field"),
             F.col("r.raw").alias("raw"),
         )
+        # Single-copy normalizer: '#' is outside the section-body grammar
+        # and no strip step removes it, so for hash-free values
+        # normalize_ear_doc_id(v) == normalize_ear_section_id(v) ==
+        # normalize(left-of-#); only the doc_id field may attach a
+        # validated '#suffix'.  The expensive normalizer is materialized
+        # ONCE as its own column (CollapseProject keeps non-cheap
+        # multiply-referenced aliases in their own Project), instead of
+        # the three copies normalize_ear_doc_id would fuse in — which
+        # overflowed janino's 64 KB method limit in this stage (it
+        # consumes an exploded column, so codegen cannot split it).
+        .withColumn(
+            "left_norm",
+            normalize_ear_section_id(
+                F.element_at(F.split(F.col("raw"), "#", 2), 1)
+            ),
+        )
         .withColumn(
             "norm",
-            F.when(
-                F.col("field") == "evidence.doc_spans.doc_id",
-                normalize_ear_doc_id(F.col("raw")),
-            ).otherwise(normalize_ear_section_id(F.col("raw"))),
+            F.when(~F.col("raw").contains("#"), F.col("left_norm")).when(
+                (F.col("field") == "evidence.doc_spans.doc_id")
+                & F.col("left_norm").isNotNull()
+                & F.lower(
+                    F.trim(F.element_at(F.split(F.col("raw"), "#", 2), 2))
+                ).rlike(_ID_DOC_SUFFIX_RE),
+                F.concat(
+                    F.col("left_norm"),
+                    F.lit("#"),
+                    F.lower(
+                        F.trim(F.element_at(F.split(F.col("raw"), "#", 2), 2))
+                    ),
+                ),
+            ),
         )
+        .drop("left_norm")
     )
+
+    # refs feeds four consumers (pairs, per-dataset items, invalid-ref
+    # counts, the ALL-row aggregate); materialize it once instead of
+    # re-running the scan+explode+normalize four times (the lazy plan
+    # showed four FileScan+Generate subtrees).  This also stops
+    # InferFiltersFromGenerate from duplicating the whole fixture-array
+    # expression into pushed-down Filters, which overflowed janino's
+    # 64 KB codegen method limit (interpreted fallback).
+    refs = refs.localCheckpoint(eager=False)
 
     # corpus + KG fixture over the full (part, minor, tail) section space
     p, m, t = F.col("p"), F.col("m"), F.col("t")
@@ -2285,6 +2321,13 @@ def q_id_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Materialize the fixture line relation once: it feeds BOTH scan
+    # passes (canonical + legacy), and leaving it lazy fuses the two
+    # fixture explodes with the scan explode into a single nested-
+    # generate codegen span that overflows janino's 64 KB method limit
+    # (interpreted fallback).  At real scale `lines` is a stored KG
+    # table, so reading it twice is the natural plan anyway.
+    lines = lines.localCheckpoint(eager=False)
     canonical, legacy = scan_kg_sections(lines)
     canon_agg = canonical.groupBy("section_id").agg(
         F.countDistinct("iri").alias("n_iri"), F.max("iri").alias("one_iri")
