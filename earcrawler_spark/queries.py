@@ -687,14 +687,24 @@ WITH toks AS (
          list_distinct(list_transform(range(1, greatest(len(tk)-2, 0)+1),
              i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS s
   FROM toks
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0
+), g AS (
+  SELECT doc_id, unnest(s) AS gram FROM sh WHERE len(s) > 0
+), inter AS (
+  -- inverted shingle join: only pairs sharing >=1 gram are candidates
+  -- (a zero-overlap pair has jaccard 0 < 0.5, so the inner join loses
+  -- nothing); CAST keeps the shared-gram count BIGINT like len() was
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.s, b.s)) * 1.0
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(a.s) > 0 AND len(b.s) > 0
-  AND len(list_intersect(a.s, b.s)) * 1.0
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+SELECT i.doc_a, i.doc_b,
+       round(i.c * 1.0 / (na.n + nb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sz na ON na.doc_id = i.doc_a
+JOIN sz nb ON nb.doc_id = i.doc_b
+WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
 ORDER BY doc_a, doc_b
 """
 
@@ -1197,7 +1207,13 @@ _GATED_R1_R3: frozenset[str] = frozenset(
         # oracle were rewritten in round 4 (4-lane substring minhash) —
         # modified-since-certification counts as never-certified, so it
         # is deliberately NOT in this set (ADVICE r4 #1).
-        "ngram_jaccard_pairs", "bm25_topk",
+        # NOTE: ngram_jaccard_pairs left this set in round 6: its oracle
+        # was rewritten from the all-pairs list_intersect join (O(n²),
+        # ~50 min at sf0.1) to a value-identical inverted shingle join
+        # (4 s at sf0.1; old-vs-new fetchall identity proven at sf0.001
+        # and sf0.01) — modified-since-certification, so it re-enters
+        # the window.
+        "bm25_topk",
         "rrf_fusion", "knn_bruteforce", "reconcile_parts",
         "connected_components", "sparql_construct", "events_json",
         "simhash_buckets", "ann_lsh_buckets", "entity_classification",
@@ -1284,7 +1300,11 @@ _GATED_R5: frozenset[str] = frozenset(
         # r5 #5) modified its impl — it re-enters the window.
         "dataset_split", "decontamination", "dsir_weights",
         "dup_span_coverage", "embedding_outliers", "hitl_summary",
-        "id_consistency", "index_binding", "link_pagerank",
+        # id_consistency left this set in round 6: the codegen-overflow
+        # fix (single-copy normalizer, refs/lines materialization, raw-
+        # token dedup before normalize in scan_kg_sections) modified its
+        # impl — it re-enters the window.
+        "index_binding", "link_pagerank",
         "llm_output_violations", "media_manifest", "minhash_lsh_pairs",
         "ngram_novelty", "pq_codes", "repetition_quality",
         "seen_set_cardinality", "semantic_decontamination", "semdedup",
