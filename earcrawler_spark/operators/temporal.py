@@ -135,3 +135,57 @@ def refusal_reason_col(classified: DataFrame) -> DataFrame:
         .otherwise(F.lit("no_temporally_applicable_evidence"))
         .alias("refusal_reason")
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bucketed point-in-interval join: rows of `points` matched to every
+    row of `intervals` with start <= point < end (half-open), optionally
+    also equi-matched on `keys`.
+
+    Spark has no native range-join strategy — a raw theta join
+    (p >= start AND p < end) plans as BroadcastNestedLoopJoin, which is
+    a scale-killer the moment the interval side outgrows the broadcast
+    threshold.  This operator makes the join an EQUI-join Catalyst can
+    shuffle-hash/sort-merge (and AQE can skew-split): each interval is
+    replicated to every `bucket_s`-second bucket it overlaps
+    (one `sequence` explode, replication factor = ceil(span/bucket)+1),
+    each point hashes to exactly its own bucket, and the exact
+    inequality runs as a cheap post-join filter.  A (point, interval)
+    pair can meet in at most one bucket — the point's — so no dedup
+    pass is needed.
+
+    `point_col`/`start_col`/`end_col` are epoch-second longs; pick
+    `bucket_s` near the MEDIAN interval span so replication stays O(1)
+    while each bucket pairs only adjacent data.  All columns from both
+    inputs survive (callers project); `_bkt` is internal.
+    """
+    b = F.lit(int(bucket_s)).cast("long")
+    ivl = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b),
+                # end is exclusive: an interval ending exactly on a
+                # bucket boundary owes that bucket no replica
+                F.floor((F.col(end_col) - 1) / b),
+            )
+        ),
+    )
+    pts = points.withColumn("_bkt", F.floor(F.col(point_col) / b))
+    on = ["_bkt", *keys]
+    return (
+        pts.join(ivl, on)
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_bkt")
+    )

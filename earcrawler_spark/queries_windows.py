@@ -351,6 +351,91 @@ FROM cells l JOIN sizes s ON l.cohort_week = s.cohort_week
 ORDER BY l.cohort_week, l.offset_weeks
 """
 
+# --- bucketed interval (range) join -------------------------------------------
+
+# incident window each error event opens, and the bucket width the join
+# hashes on — equal, so each interval lands in at most 2 buckets.
+INCIDENT_US = 2 * 3600 * 1_000_000
+
+
+def q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval attribution via the bucketed range join
+    (`operators/temporal.py:interval_join`): every error event opens a
+    half-open 2 h incident window for its user; purchases of the same
+    user falling inside any window are "attributed".  Output: per
+    purchase-day pair count, distinct attributed purchases/users, and
+    value over DISTINCT purchases (a purchase inside two overlapping
+    windows counts once toward value).
+
+    Scale shape: Spark has no range-join strategy — the naive theta
+    join is a BroadcastNestedLoopJoin that dies when the interval side
+    outgrows the broadcast threshold.  interval_join turns it into a
+    (bucket, user) EQUI-join (shuffle-hash/SMJ, AQE-splittable) with
+    replication factor ≤ 2 and an exact post-filter; both downstream
+    aggs stay on the day key.  Timestamps compare as microsecond
+    epochs (unix_micros ↔ DuckDB epoch_us) so sub-second order is
+    exact."""
+    from earcrawler_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC (session.py:45, and
+    # the driver-green sessionization query proves the same parity), so
+    # the cast is an exact reinterpretation.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", us.alias("p_us")
+    )
+    ivl = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        us.alias("w_start"),
+        (us + F.lit(INCIDENT_US)).alias("w_end"),
+    )
+    pairs = interval_join(
+        pts, ivl, "p_us", "w_start", "w_end", INCIDENT_US, keys=("user_id",)
+    ).withColumn("day", F.floor(F.col("p_us") / F.lit(86_400_000_000)))
+    per_pair = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("n_pairs"))
+    per_purchase = (
+        pairs.select("day", "event_id", "user_id", "value")
+        .distinct()
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+    return per_pair.join(per_purchase, "day").orderBy("day")
+
+
+_SQL_INTERVAL = f"""
+WITH pts AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), ivl AS (
+  SELECT user_id, epoch_us(ts) AS w_start,
+         epoch_us(ts) + {INCIDENT_US} AS w_end
+  FROM events WHERE event_type = 'error'
+), pairs AS (
+  SELECT p.event_id, p.user_id, p.value,
+         CAST(floor(p.p_us / 86400000000) AS BIGINT) AS day
+  FROM pts p JOIN ivl i
+    ON p.user_id = i.user_id
+   AND p.p_us >= i.w_start AND p.p_us < i.w_end
+), per_pair AS (
+  SELECT day, count(*) AS n_pairs FROM pairs GROUP BY day
+), per_purchase AS (
+  SELECT day, count(*) AS n_purchases,
+         count(DISTINCT user_id) AS n_users,
+         round(sum(value), 4) AS value_sum
+  FROM (SELECT DISTINCT day, event_id, user_id, value FROM pairs)
+  GROUP BY day
+)
+SELECT a.day, a.n_pairs, b.n_purchases, b.n_users, b.value_sum
+FROM per_pair a JOIN per_purchase b ON a.day = b.day
+ORDER BY a.day
+"""
+
+
 WINDOW_QUERIES = {
     "running_totals": q_running_totals,
     "sessionization": q_sessionization,
@@ -359,6 +444,7 @@ WINDOW_QUERIES = {
     "set_operations": q_set_operations,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
+    "interval_attribution": q_interval_attribution,
 }
 
 WINDOW_ORACLES = {
@@ -369,4 +455,5 @@ WINDOW_ORACLES = {
     "set_operations": _SQL_SET_OPS,
     "funnel_conversion": _SQL_FUNNEL,
     "retention_cohorts": _SQL_RETENTION,
+    "interval_attribution": _SQL_INTERVAL,
 }

@@ -131,3 +131,66 @@ def test_fuzz_temporal_requests(spark):
         w = model(q, param)
         want = (w[0], w[1], w[2], "|".join(w[3]), w[4])
         assert got[i] == want, (q, param, got[i], want)
+
+
+# --- bucketed interval join ---------------------------------------------------
+
+
+def _ij(spark, points, intervals, bucket, keys=()):
+    from earcrawler_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(points, "pid long, k long, p long")
+    ivl = spark.createDataFrame(intervals, "iid long, k long, s long, e long")
+    return interval_join(
+        pts, ivl, "p", "s", "e", bucket, keys=(("k",) if keys else ())
+    )
+
+
+def test_interval_join_half_open_boundaries(spark):
+    # point == start included, point == end excluded
+    got = _ij(
+        spark,
+        [(1, 0, 100), (2, 0, 200), (3, 0, 150)],
+        [(10, 0, 100, 200)],
+        bucket=64,
+    ).select("pid", "iid").collect()
+    assert sorted((r.pid, r.iid) for r in got) == [(1, 10), (3, 10)]
+
+
+def test_interval_join_pair_met_exactly_once_across_buckets(spark):
+    # interval spans many buckets; each matching point pairs exactly once
+    pts = [(i, 0, 1000 + i * 7) for i in range(50)]
+    got = _ij(spark, pts, [(10, 0, 990, 1400)], bucket=16).collect()
+    want = {p[0] for p in pts if 990 <= p[2] < 1400}
+    assert sorted(r.pid for r in got) == sorted(want)
+
+
+def test_interval_join_end_on_bucket_boundary_owes_no_replica(spark):
+    # interval [0, 64) with bucket 64 must not match a point in bucket 1
+    got = _ij(spark, [(1, 0, 64), (2, 0, 63)], [(10, 0, 0, 64)], bucket=64).collect()
+    assert [r.pid for r in got] == [2]
+
+
+def test_interval_join_keys_partition_matches(spark):
+    got = _ij(
+        spark,
+        [(1, 1, 50), (2, 2, 50)],
+        [(10, 1, 0, 100), (11, 2, 40, 60), (12, 3, 0, 100)],
+        bucket=32,
+        keys=True,
+    ).select("pid", "iid").collect()
+    assert sorted((r.pid, r.iid) for r in got) == [(1, 10), (2, 11)]
+
+
+def test_interval_join_plans_as_equi_join(spark):
+    # the whole point of the operator: no BroadcastNestedLoopJoin even
+    # when the interval side is too big to broadcast
+    from earcrawler_spark.operators.temporal import interval_join
+
+    pts = spark.range(1000).selectExpr("id as pid", "id * 13 as p")
+    ivl = spark.range(1000).selectExpr("id as iid", "id * 11 as s", "id * 11 + 40 as e")
+    plan = interval_join(
+        pts.hint("merge"), ivl, "p", "s", "e", 32
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
