@@ -168,7 +168,10 @@ def interval_join(
     inputs survive (callers project); `_bkt` is internal.
     """
     b = F.lit(int(bucket_s)).cast("long")
-    ivl = intervals.withColumn(
+    # an empty half-open interval (end <= start) matches nothing, and on
+    # a bucket boundary it would make sequence() run DESCENDING (stop <
+    # start) — drop such rows before the explode
+    ivl = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "_bkt",
         F.explode(
             F.sequence(

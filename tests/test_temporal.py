@@ -194,3 +194,35 @@ def test_interval_join_plans_as_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_matches_bruteforce_dense_random(spark):
+    # one seeded dense case: zero-length / boundary-aligned / long-span
+    # intervals, duplicate points, several keys, bucket much smaller
+    # than the longest span — compared row-for-row to the O(n*m) model
+    import random
+
+    from earcrawler_spark.operators.temporal import interval_join
+
+    rng = random.Random(20260818)
+    pts = [
+        (i, rng.randrange(4), rng.randrange(-50, 450))
+        for i in range(300)
+    ]
+    ivl = []
+    for j in range(120):
+        s = rng.randrange(-60, 420)
+        span = rng.choice([0, 1, 7, 32, 64, 65, 200])
+        ivl.append((j, rng.randrange(4), s, s + span))
+    want = sorted(
+        (p[0], v[0])
+        for p in pts
+        for v in ivl
+        if p[1] == v[1] and v[2] <= p[2] < v[3]
+    )
+    got = interval_join(
+        spark.createDataFrame(pts, "pid long, k long, p long"),
+        spark.createDataFrame(ivl, "iid long, k long, s long, e long"),
+        "p", "s", "e", 32, keys=("k",),
+    ).select("pid", "iid").collect()
+    assert sorted((r.pid, r.iid) for r in got) == want
