@@ -393,18 +393,22 @@ def q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = interval_join(
         pts, ivl, "p_us", "w_start", "w_end", INCIDENT_US, keys=("user_id",)
     ).withColumn("day", F.floor(F.col("p_us") / F.lit(86_400_000_000)))
-    per_pair = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("n_pairs"))
-    per_purchase = (
-        pairs.select("day", "event_id", "user_id", "value")
-        .distinct()
-        .groupBy("day")
+    # reduce to purchase grain FIRST, carrying the pair count — the join
+    # output is consumed exactly once (two separate day-aggs would
+    # recompute the whole join per branch)
+    per_purchase = pairs.groupBy("day", "event_id", "user_id", "value").agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    return (
+        per_purchase.groupBy("day")
         .agg(
+            F.sum("n_p").alias("n_pairs"),
             F.count(F.lit(1)).alias("n_purchases"),
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 4).alias("value_sum"),
         )
+        .orderBy("day")
     )
-    return per_pair.join(per_purchase, "day").orderBy("day")
 
 
 _SQL_INTERVAL = f"""
