@@ -825,3 +825,229 @@ CURATION_ORACLES.update(
         "lang_source_matrix": _SQL_LANG_SOURCE_MATRIX,
     }
 )
+
+
+# --- distribution drift (PSI) --------------------------------------------------
+
+PSI_BINS = 10          # fixed-width value bins, 50-wide, last bin open
+PSI_BIN_W = 50
+PSI_SPLIT_DAY = 19738  # 2024-01-16 as epoch-day: period A is days before
+PSI_MICRO = 100_000_000  # per-bin PSI terms frozen at 1e-8 (ln-parity idiom)
+PSI_DRIFT_MICRO = 20_000_000  # flag threshold 0.2, compared in exact integers
+
+
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor between two halves of the
+    events timeline, per event_type — the standard check a training-data
+    pipeline runs between dataset snapshots before retraining.
+
+    value is bucketed into 10 fixed-width bins (integer-exact floor, last
+    bin open); each (type, period) histogram is Laplace-smoothed
+    ((c+1)/(n+10)) so empty bins contribute; the per-bin term
+    (pA-pB)*ln(pA/pB) is frozen to a 1e-8 micro-integer (the zipf_fit /
+    tfidf_topk ln-parity idiom) so the cross-bin sum is exact-integer in
+    both engines, and the drift flag compares micro-integers.
+
+    Scale shape: one (type, bin, period) partial-count shuffle over the
+    fact table, then everything is per-type arithmetic over ≤ 10·types
+    rows; the dense bin frame comes from a sequence explode over the
+    distinct types, never from the fact table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+    binned = ev.select(
+        "event_type",
+        F.when(day < PSI_SPLIT_DAY, F.lit("a")).otherwise(F.lit("b")).alias("period"),
+        F.least(
+            F.lit(PSI_BINS - 1), F.floor(F.col("value") / PSI_BIN_W).cast("int")
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dense = (
+        binned.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin"))
+    )
+    cells = (
+        dense.join(
+            counts.filter(F.col("period") == "a").select(
+                "event_type", "bin", F.col("c").alias("ca")
+            ),
+            ["event_type", "bin"],
+            "left",
+        )
+        .join(
+            counts.filter(F.col("period") == "b").select(
+                "event_type", "bin", F.col("c").alias("cb")
+            ),
+            ["event_type", "bin"],
+            "left",
+        )
+        .na.fill(0, ["ca", "cb"])
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + PSI_BINS)
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + PSI_BINS)
+    term = F.round((pa - pb) * F.log(pa / pb) * PSI_MICRO, 0).cast("long")
+    return (
+        cells.join(totals, "event_type")
+        .select("event_type", "na", "nb", term.alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+            F.sum("t").alias("psi_micro"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "psi_micro",
+            F.round(F.col("psi_micro").cast("double") / PSI_MICRO, 6).alias("psi"),
+            (F.col("psi_micro") > PSI_DRIFT_MICRO).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_FEATURE_DRIFT = f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN floor(epoch(ts) / 86400) < {PSI_SPLIT_DAY}
+              THEN 'a' ELSE 'b' END AS period,
+         LEAST({PSI_BINS - 1}, CAST(floor(value / {PSI_BIN_W}) AS INTEGER)) AS bin
+  FROM events
+), counts AS (
+  SELECT event_type, period, bin, count(*) AS c
+  FROM binned GROUP BY event_type, period, bin
+), dense AS (
+  SELECT t.event_type, s.bin
+  FROM (SELECT DISTINCT event_type FROM binned) t,
+       (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin) s
+), cells AS (
+  SELECT d.event_type, d.bin,
+         coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+  FROM dense d
+  LEFT JOIN counts a ON a.event_type = d.event_type AND a.bin = d.bin
+                    AND a.period = 'a'
+  LEFT JOIN counts b ON b.event_type = d.event_type AND b.bin = d.bin
+                    AND b.period = 'b'
+), totals AS (
+  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb
+  FROM cells GROUP BY event_type
+), terms AS (
+  SELECT c.event_type, t.na, t.nb,
+         CAST(round(
+           (CAST(c.ca + 1 AS DOUBLE) / (t.na + {PSI_BINS})
+            - CAST(c.cb + 1 AS DOUBLE) / (t.nb + {PSI_BINS}))
+           * ln((CAST(c.ca + 1 AS DOUBLE) / (t.na + {PSI_BINS}))
+                / (CAST(c.cb + 1 AS DOUBLE) / (t.nb + {PSI_BINS})))
+           * {PSI_MICRO}, 0) AS BIGINT) AS t
+  FROM cells c JOIN totals t ON c.event_type = t.event_type
+)
+SELECT event_type,
+       CAST(min(na) AS BIGINT) AS n_a,
+       CAST(min(nb) AS BIGINT) AS n_b,
+       CAST(sum(t) AS BIGINT) AS psi_micro,
+       round(CAST(sum(t) AS DOUBLE) / {PSI_MICRO}, 6) AS psi,
+       CAST(sum(t) AS BIGINT) > {PSI_DRIFT_MICRO} AS drift_flag
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- inter-annotator agreement (Cohen's kappa) ---------------------------------
+
+KAPPA_CLASSES = 10
+
+
+def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the embeddings label column and a
+    deterministic pseudo-second-annotator (label shifted by one class on
+    every 7th item) — the label-quality audit run before trusting a
+    labeled training set.  po and pe derive from EXACT integer counts
+    (pe's numerator is an integer dot product of the two marginal
+    histograms), so every double is a single CAST division — no float
+    aggregation at all.
+
+    Scale shape: one pass for the confusion diagonal + two marginal
+    histograms (10 classes each); the kappa arithmetic runs on a
+    broadcast-sized frame."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lab = emb.select(
+        F.col("label").alias("l1"),
+        F.pmod(
+            F.col("label")
+            + F.when(F.pmod(F.col("vec_id"), F.lit(7)) == 0, 1).otherwise(0),
+            F.lit(KAPPA_CLASSES),
+        ).alias("l2"),
+    )
+    base = lab.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.when(F.col("l1") == F.col("l2"), 1).otherwise(0)).alias("n_agree"),
+    )
+    m1 = lab.groupBy(F.col("l1").alias("c")).agg(F.count(F.lit(1)).alias("n1"))
+    m2 = lab.groupBy(F.col("l2").alias("c")).agg(F.count(F.lit(1)).alias("n2"))
+    pe_num = (
+        m1.join(m2, "c")
+        .select((F.col("n1") * F.col("n2")).alias("p"))
+        .agg(F.sum("p").alias("pe_num"))
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_items")
+    pe = F.col("pe_num").cast("double") / (F.col("n_items") * F.col("n_items"))
+    return (
+        base.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n_items",
+            "n_agree",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )
+
+
+_SQL_KAPPA = f"""
+WITH lab AS (
+  SELECT label AS l1,
+         (label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+           % {KAPPA_CLASSES} AS l2
+  FROM embeddings
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM lab
+), m1 AS (SELECT l1 AS c, count(*) AS n1 FROM lab GROUP BY l1),
+m2 AS (SELECT l2 AS c, count(*) AS n2 FROM lab GROUP BY l2),
+pe AS (
+  SELECT CAST(sum(n1 * n2) AS BIGINT) AS pe_num
+  FROM m1 JOIN m2 ON m1.c = m2.c
+)
+SELECT b.n_items, b.n_agree,
+       round(CAST(b.n_agree AS DOUBLE) / b.n_items, 6) AS po,
+       round(CAST(p.pe_num AS DOUBLE) / (b.n_items * b.n_items), 6) AS pe,
+       round((CAST(b.n_agree AS DOUBLE) / b.n_items
+              - CAST(p.pe_num AS DOUBLE) / (b.n_items * b.n_items))
+             / (1 - CAST(p.pe_num AS DOUBLE) / (b.n_items * b.n_items)), 6)
+         AS kappa
+FROM base b, pe p
+"""
+
+
+CURATION_QUERIES.update(
+    {
+        "feature_drift": q_feature_drift,
+        "annotator_agreement": q_annotator_agreement,
+    }
+)
+CURATION_ORACLES.update(
+    {
+        "feature_drift": _SQL_FEATURE_DRIFT,
+        "annotator_agreement": _SQL_KAPPA,
+    }
+)

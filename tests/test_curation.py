@@ -230,3 +230,77 @@ def test_lang_source_matrix_shares_sum_to_one(spark):
     assert all(abs(v - 1.0) < 1e-4 for v in by_src.values()), by_src
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_feature_drift_matches_python_model(spark):
+    """psi_micro reproduced exactly by a direct Python PSI model."""
+    import math
+
+    from earcrawler_spark.queries_curation import (
+        PSI_BIN_W,
+        PSI_BINS,
+        PSI_DRIFT_MICRO,
+        PSI_MICRO,
+        PSI_SPLIT_DAY,
+        q_feature_drift,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = {r["event_type"]: r for r in q_feature_drift(spark, SF_SMALL).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "floor(unix_timestamp(cast(ts as timestamp)) / 86400) as day",
+            "value",
+        )
+        .collect()
+    )
+    by_type: dict[str, list[list[int]]] = {}
+    for et, day, value in ev:
+        bins = by_type.setdefault(et, [[0] * PSI_BINS, [0] * PSI_BINS])
+        period = 0 if day < PSI_SPLIT_DAY else 1
+        bins[period][min(PSI_BINS - 1, int(value // PSI_BIN_W))] += 1
+    assert set(got) == set(by_type)
+    for et, (ha, hb) in by_type.items():
+        na, nb = sum(ha), sum(hb)
+        micro = 0
+        for ca, cb in zip(ha, hb):
+            pa = (ca + 1) / (na + PSI_BINS)
+            pb = (cb + 1) / (nb + PSI_BINS)
+            # Python round() is half-even vs the engines' half-up; no
+            # term in the fixed sf0.001 fixture lands on a .5 boundary
+            # (engine-vs-engine parity is the strict oracle's job)
+            micro += round((pa - pb) * math.log(pa / pb) * PSI_MICRO)
+        r = got[et]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["psi_micro"] == micro, (et, r["psi_micro"], micro)
+        assert r["drift_flag"] == (micro > PSI_DRIFT_MICRO)
+
+
+def test_annotator_agreement_matches_python_model(spark):
+    from earcrawler_spark.queries_curation import (
+        KAPPA_CLASSES,
+        q_annotator_agreement,
+    )
+    from tests.conftest import SF_SMALL
+
+    row = q_annotator_agreement(spark, SF_SMALL).collect()[0]
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "label"
+    ).collect()
+    pairs = [
+        (l, (l + (1 if v % 7 == 0 else 0)) % KAPPA_CLASSES) for v, l in emb
+    ]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    m1 = [sum(1 for a, _ in pairs if a == c) for c in range(KAPPA_CLASSES)]
+    m2 = [sum(1 for _, b in pairs if b == c) for c in range(KAPPA_CLASSES)]
+    po = agree / n
+    pe = sum(x * y for x, y in zip(m1, m2)) / (n * n)
+    assert (row["n_items"], row["n_agree"]) == (n, agree)
+    assert row["po"] == round(po, 6)
+    assert row["pe"] == round(pe, 6)
+    assert row["kappa"] == round((po - pe) / (1 - pe), 6)
+    # the pseudo-annotator disagrees on ~1/7 of items: kappa well below 1
+    assert 0.5 < row["kappa"] < 1.0
