@@ -1051,3 +1051,106 @@ CURATION_ORACLES.update(
         "annotator_agreement": _SQL_KAPPA,
     }
 )
+
+
+# --- exact two-sample KS drift -------------------------------------------------
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the same two
+    event-timeline halves as feature_drift, per event_type — the
+    bin-free companion statistic (PSI needs a binning choice; KS does
+    not).  KS = max_x |F_a(x) - F_b(x)| evaluated at every distinct
+    value; cross-multiplying the step CDFs makes the whole computation
+    INTEGER-exact: d_num = max |cum_a*n_b - cum_b*n_a|, ks = d_num /
+    (n_a*n_b) as one cast division.
+
+    Scale shape: ties collapse at (type, value) grain first (one
+    key-partitioned shuffle), then a single window ordered by value
+    WITHIN each event_type partition builds both step CDFs in one pass;
+    nothing is global — skew is bounded by the largest single type."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+    per_value = (
+        ev.select(
+            "event_type",
+            "value",
+            F.when(day < PSI_SPLIT_DAY, 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("in_a").alias("ca"),
+            F.sum(1 - F.col("in_a")).alias("cb"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt = W.partitionBy("event_type")
+    stepped = per_value.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.min("na").alias("n_a"),
+            F.min("nb").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+            ).alias("d_num"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("ks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_KS_DRIFT = f"""
+WITH per_value AS (
+  SELECT event_type, value,
+         CAST(sum(CASE WHEN floor(epoch(ts) / 86400) < {PSI_SPLIT_DAY}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN floor(epoch(ts) / 86400) < {PSI_SPLIT_DAY}
+                       THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM events GROUP BY event_type, value
+), stepped AS (
+  SELECT event_type, ca, cb,
+         CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_a,
+         CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_b,
+         CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+  FROM per_value
+)
+SELECT event_type,
+       CAST(min(na) AS BIGINT) AS n_a,
+       CAST(min(nb) AS BIGINT) AS n_b,
+       CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(cum_a * nb - cum_b * na)) AS DOUBLE)
+             / (min(na) * min(nb)), 6) AS ks
+FROM stepped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+CURATION_QUERIES.update({"ks_drift": q_ks_drift})
+CURATION_ORACLES.update({"ks_drift": _SQL_KS_DRIFT})

@@ -304,3 +304,41 @@ def test_annotator_agreement_matches_python_model(spark):
     assert row["kappa"] == round((po - pe) / (1 - pe), 6)
     # the pseudo-annotator disagrees on ~1/7 of items: kappa well below 1
     assert 0.5 < row["kappa"] < 1.0
+
+
+def test_ks_drift_matches_python_model(spark):
+    """d_num (integer KS numerator) reproduced by a direct model; the
+    statistic is exact-integer end to end, so equality is literal."""
+    from earcrawler_spark.queries_curation import PSI_SPLIT_DAY, q_ks_drift
+    from tests.conftest import SF_SMALL
+
+    got = {r["event_type"]: r for r in q_ks_drift(spark, SF_SMALL).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "floor(unix_timestamp(cast(ts as timestamp)) / 86400) as day",
+            "value",
+        )
+        .collect()
+    )
+    samples: dict[str, tuple[list[float], list[float]]] = {}
+    for et, day, value in ev:
+        a, b = samples.setdefault(et, ([], []))
+        (a if day < PSI_SPLIT_DAY else b).append(value)
+    assert set(got) == set(samples)
+    for et, (a, b) in samples.items():
+        na, nb = len(a), len(b)
+        a.sort()
+        b.sort()
+        d_num = 0
+        import bisect
+
+        for x in sorted(set(a) | set(b)):
+            cum_a = bisect.bisect_right(a, x)
+            cum_b = bisect.bisect_right(b, x)
+            d_num = max(d_num, abs(cum_a * nb - cum_b * na))
+        r = got[et]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["d_num"] == d_num, (et, r["d_num"], d_num)
+        assert r["ks"] == round(d_num / (na * nb), 6)
