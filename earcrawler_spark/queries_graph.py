@@ -169,3 +169,102 @@ ORDER BY n.node
 
 GRAPH_QUERIES["link_pagerank"] = q_link_pagerank
 GRAPH_ORACLES["link_pagerank"] = _SQL_LINK_PAGERANK
+
+
+# --- exact triangle count + global clustering ---------------------------------
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count and global clustering coefficient over the
+    undirected form of the same doc_id-derived link graph — the graph-
+    health statistic a crawl-analytics pipeline tracks (link farms and
+    boilerplate navigation show up as clustering anomalies).
+
+    Method: canonical-order orientation.  Every undirected edge is kept
+    once as (u < v); a triangle a<b<c is counted exactly once as the
+    wedge (a,b),(a,c) closed by (b,c) — two equi-joins, no dedup pass.
+    Wedge count comes from the degree histogram (sum d*(d-1)/2), so
+    clustering = 3T/W needs no second pass over pairs.
+
+    Scale note: id-order orientation bounds wedge fan-out by per-node
+    degree, which is ~2*PR_FANOUT here by construction.  On a real web
+    graph you orient by (degree, id) instead — same plan, hub wedges
+    collapse from deg(hub)^2 to near-linear — and pre-bucket the edge
+    list by u for AQE skew splitting.  All counts are exact BIGINTs;
+    the one float is the final clustering division."""
+    _, edges = _nodes_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        # consumed by three joins + the degree agg: materialize once,
+        # like the edge table itself (IVF-Lloyd precedent)
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d * (d - 1) div 2)").cast("long").alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        base.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                (F.col("n_triangles") * 3).cast("double") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+        )
+    )
+
+
+_SQL_GRAPH_TRIANGLES = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+dirc AS (
+  SELECT doc_id AS src, (doc_id * {_STRIDE} + 11 * j) % n.n AS dst
+  FROM documents, n, (SELECT unnest([1, 2, 3]) AS j)
+  WHERE (doc_id * {_STRIDE} + 11 * j) % n.n != doc_id
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM dirc
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT b.n_nodes, (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       b.n_wedges, t.n_triangles,
+       round(CAST(t.n_triangles * 3 AS DOUBLE) / b.n_wedges, 6) AS clustering
+FROM base b, tri t
+"""
+
+
+GRAPH_QUERIES["graph_triangles"] = q_graph_triangles
+GRAPH_ORACLES["graph_triangles"] = _SQL_GRAPH_TRIANGLES

@@ -174,3 +174,43 @@ def test_histogram_quantiles_bound_and_exact_rank(spark):
         hi = max(v for v, _ in vals)
         wi = (hi - lo) // HQ_BINS + 1
         assert r["bin_width"] == wi / 1_000_000
+
+
+def test_graph_triangles_matches_bruteforce(spark):
+    """n_triangles / n_wedges / clustering reproduced by a direct
+    adjacency-set model over the same synthesized graph."""
+    from itertools import combinations
+
+    from earcrawler_spark.queries_graph import _STRIDE, PR_FANOUT, q_graph_triangles
+    from tests.conftest import SF_SMALL
+
+    row = q_graph_triangles(spark, SF_SMALL).collect()[0]
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    und = set()
+    for s in ids:
+        for j in range(1, PR_FANOUT + 1):
+            d = (s * _STRIDE + 11 * j) % n
+            if d != s:
+                und.add((min(s, d), max(s, d)))
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    tris = sum(
+        1
+        for node, nbrs in adj.items()
+        for a, b in combinations(sorted(nbrs), 2)
+        if node < a and b in adj[a]
+    )
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(und)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tris
+    assert row["clustering"] == round(3 * tris / wedges, 6)
