@@ -461,3 +461,106 @@ WINDOW_ORACLES = {
     "retention_cohorts": _SQL_RETENTION,
     "interval_attribution": _SQL_INTERVAL,
 }
+
+
+# --- conversion latency percentiles -------------------------------------------
+
+LAT_PS = (50, 90, 99)
+_WEEK_US = 604_800 * 1_000_000
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles (first view → first subsequent
+    purchase) per first-view-week cohort: p50/p90/p99 as EXACT k-th
+    order statistics (k = ceil(p*n/100), the histogram_quantiles
+    idiom) — integer-exact in µs, so both engines agree bit-for-bit;
+    the one float is the hours conversion.
+
+    Scale shape: two user-keyed partial aggs build (t_view,
+    t_purchase); the rank window partitions by cohort week — never
+    global — and the percentile join probes it with a broadcast of
+    (week, p, k) targets."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_v"))
+    )
+    lat = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t_p"))
+        .join(tv, "user_id")
+        .filter(F.col("t_p") >= F.col("t_v"))
+        .groupBy("user_id", "t_v")
+        .agg(F.min("t_p").alias("t_p"))
+        .select(
+            "user_id",
+            F.floor(F.col("t_v") / F.lit(_WEEK_US)).alias("week"),
+            (F.col("t_p") - F.col("t_v")).alias("lat_us"),
+        )
+    )
+    targets = (
+        lat.groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+        .select(
+            "week",
+            "n_conv",
+            F.explode(F.array(*[F.lit(p) for p in LAT_PS])).alias("p"),
+        )
+        .withColumn("k", F.expr("(p * n_conv + 99) div 100"))
+    )
+    ranked = lat.select(
+        F.col("week").alias("r_week"),
+        "lat_us",
+        F.row_number()
+        .over(W.partitionBy("week").orderBy("lat_us", "user_id"))
+        .alias("rn"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            (F.col("r_week") == F.col("week")) & (F.col("rn") == F.col("k")),
+        )
+        .select(
+            "week",
+            F.col("p").cast("long").alias("p"),
+            "n_conv",
+            F.col("lat_us").alias("latency_us"),
+            F.round(F.col("lat_us").cast("double") / 3_600_000_000, 6).alias(
+                "latency_h"
+            ),
+        )
+        .orderBy("week", "p")
+    )
+
+
+_SQL_CONVERSION_LATENCY = f"""
+WITH tv AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_v FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), lat AS (
+  SELECT e.user_id, t_v // {_WEEK_US} AS week,
+         min(epoch_us(e.ts)) - t_v AS lat_us
+  FROM events e JOIN tv ON e.user_id = tv.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= tv.t_v
+  GROUP BY e.user_id, t_v
+), targets AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_conv, p.p,
+         (p.p * count(*) + 99) // 100 AS k
+  FROM lat, (SELECT unnest([{', '.join(str(p) for p in LAT_PS)}]) AS p) p
+  GROUP BY week, p.p
+), ranked AS (
+  SELECT week, lat_us,
+         row_number() OVER (PARTITION BY week ORDER BY lat_us, user_id) AS rn
+  FROM lat
+)
+SELECT t.week, CAST(t.p AS BIGINT) AS p, t.n_conv,
+       CAST(r.lat_us AS BIGINT) AS latency_us,
+       round(CAST(r.lat_us AS DOUBLE) / 3600000000, 6) AS latency_h
+FROM targets t JOIN ranked r ON r.week = t.week AND r.rn = t.k
+ORDER BY t.week, t.p
+"""
+
+WINDOW_QUERIES["conversion_latency"] = q_conversion_latency
+WINDOW_ORACLES["conversion_latency"] = _SQL_CONVERSION_LATENCY

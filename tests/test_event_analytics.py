@@ -65,3 +65,52 @@ def test_retention_cohorts_matches_model(spark):
     # offset 0 is always the full cohort
     for cw, sz in sizes.items():
         assert got[(cw, 0)][0] == sz and got[(cw, 0)][1] == 1.0
+
+
+def test_conversion_latency_matches_model(spark):
+    """Per-cohort exact k-th order statistics reproduced by a direct
+    Python model over microsecond epochs."""
+    from earcrawler_spark.queries_windows import (
+        LAT_PS,
+        _WEEK_US,
+        q_conversion_latency,
+    )
+
+    got = {
+        (r["week"], r["p"]): r
+        for r in q_conversion_latency(spark, SF_SMALL).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "unix_micros(cast(ts as timestamp)) as us",
+        )
+        .collect()
+    )
+    t_view: dict[int, int] = {}
+    for u, et, us in ev:
+        if et == "view" and (u not in t_view or us < t_view[u]):
+            t_view[u] = us
+    t_purch: dict[int, int] = {}
+    for u, et, us in ev:
+        if et == "purchase" and u in t_view and us >= t_view[u]:
+            if u not in t_purch or us < t_purch[u]:
+                t_purch[u] = us
+    cohorts: dict[int, list[tuple[int, int]]] = {}
+    for u, tp in t_purch.items():
+        tv = t_view[u]
+        cohorts.setdefault(tv // _WEEK_US, []).append((tp - tv, u))
+    want = {}
+    for wk, lats in cohorts.items():
+        lats.sort()
+        n = len(lats)
+        for p in LAT_PS:
+            k = (p * n + 99) // 100
+            want[(wk, p)] = (n, lats[k - 1][0])
+    assert set(got) == set(want)
+    for key, (n, lat) in want.items():
+        r = got[key]
+        assert (r["n_conv"], r["latency_us"]) == (n, lat), key
+        assert r["latency_h"] == round(lat / 3_600_000_000, 6)
