@@ -140,3 +140,46 @@ def change_detection(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             "user_id", "event_type", "state_hash", "last_ts",
         )
     )
+
+
+def incident_attribution(
+    events: DataFrame,
+    incident_type: str = "error",
+    point_type: str = "purchase",
+    window: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with watermarks — the continuous twin of
+    the batch ``interval_attribution`` query (queries_windows.py): every
+    ``incident_type`` event opens a half-open [ts, ts + window) incident
+    for its user; ``point_type`` events of the same user landing inside
+    any open incident emit an attribution pair.
+
+    The time-range condition (p_ts >= e_ts AND p_ts < e_ts + window)
+    plus a watermark on BOTH sides is what lets Spark bound join state
+    on an unbounded source: incident rows are dropped once the global
+    event-time watermark passes e_ts + window, point rows once it
+    passes p_ts (batch mode needs the bucketed interval_join instead
+    because it has no watermark to bound a theta join's state).
+
+    Output (append mode): one row per (point, incident) pair with both
+    ids, the user, the point's value and both event times."""
+    pts = events.filter(F.col("event_type") == point_type).select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    ivl = events.filter(F.col("event_type") == incident_type).select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return pts.withWatermark("p_ts", watermark).join(
+        ivl.withWatermark("e_ts", watermark),
+        F.expr(
+            f"user_id = e_user AND p_ts >= e_ts"
+            f" AND p_ts < e_ts + interval {window}"
+        ),
+        "inner",
+    )

@@ -164,3 +164,38 @@ def test_session_rollup_matches_batch_sessionizer(spark, events_stream):
     assert not (have - want), f"stream emitted sessions absent from batch: {(have - want).most_common(3)}"
     missing = sum((want - have).values())
     assert missing <= max(5, 0.05 * sum(want.values())), f"too many unemitted sessions: {missing}"
+
+
+def test_incident_attribution_matches_batch_join(spark, events_stream):
+    """Stream-stream watermarked join emits exactly the batch theta-join
+    pair set (the gold-standard equality, same as the other operators)."""
+    from earcrawler_spark.streaming.monitor import incident_attribution
+
+    stream, batch = events_stream
+    name = _run_to_memory(
+        incident_attribution(stream).select("p_id", "e_id"),
+        "incident_pairs",
+        "append",
+    )
+    got = sorted(
+        (r["p_id"], r["e_id"]) for r in spark.sql(f"select * from {name}").collect()
+    )
+    pts = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    ivl = batch.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    want = sorted(
+        (r["p_id"], r["e_id"])
+        for r in pts.join(
+            ivl,
+            F.expr(
+                "user_id = e_user AND p_ts >= e_ts"
+                " AND p_ts < e_ts + interval 2 hours"
+            ),
+        ).collect()
+    )
+    assert got == want and len(want) > 0
