@@ -18,6 +18,9 @@ identical logic:
 - ``change_detection`` — per (user, type) latest-value hash maintained by
                          a stateful flatMapGroupsWithState-style pandas
                          stage; emits only changed rows (monitor delta).
+- ``incident_attribution`` — watermarked stream-stream time-range join
+                         (continuous twin of the batch
+                         interval_attribution query).
 
 All transformations are source-agnostic: they take a streaming DataFrame
 (file/kafka/rate source) and return a streaming DataFrame.
