@@ -214,8 +214,18 @@ def blocking_pairs_v2(entities: DataFrame) -> DataFrame:
 
     Scale: one explode to (key_type, key_value) rows, a broadcast
     hot-bucket filter for the lexical families, a single self equi-join on
-    the key, distinct on the pair."""
-    norm = normalize_name_v2(F.col("name"))
+    the key, distinct on the pair.
+
+    A precomputed per-entity ``norm`` column is reused when present (the
+    staged/materialized caller carries it): the four lexical key exprs
+    each embed the normalize regex+HOF chain otherwise, and on a
+    one-split source table those duplicated evaluations all run at scan
+    parallelism."""
+    norm = (
+        F.col("norm")
+        if "norm" in entities.columns
+        else normalize_name_v2(F.col("name"))
+    )
     alnum = F.regexp_replace(norm, "[^0-9a-z]", "")
     token0 = F.element_at(F.split(norm, " "), 1)
     keyed = entities.select(
@@ -286,10 +296,15 @@ def score_pairs_v2(pairs_with_attrs: DataFrame) -> DataFrame:
     # without the coalesce a null name on either side nulls the normalized
     # join key and the inner join back silently drops the pair — reachable
     # via the id-key blocks (duns/cage/fr_doc/url_host), which don't require
-    # a name.
-    na = normalize_name_v2(F.coalesce(F.col("name_a"), F.lit("")))
-    nb = normalize_name_v2(F.coalesce(F.col("name_b"), F.lit("")))
-    d = d.withColumn("norm_a", na).withColumn("norm_b", nb)
+    # a name.  When the caller already carries per-ENTITY normalized names
+    # (norm_a/norm_b), reuse them: recomputing here costs 2 regex+HOF
+    # evaluations per PAIR row — the measured hot spot of the final stage
+    # (65 CPU-s at sf0.1; the expression is a pure function of the name,
+    # so per-entity and per-pair evaluation are identical).
+    if not {"norm_a", "norm_b"}.issubset(set(d.columns)):
+        na = normalize_name_v2(F.coalesce(F.col("name_a"), F.lit("")))
+        nb = normalize_name_v2(F.coalesce(F.col("name_b"), F.lit("")))
+        d = d.withColumn("norm_a", na).withColumn("norm_b", nb)
     a, b = F.col("norm_a"), F.col("norm_b")
     # ALL name-derived features compute on the DISTINCT normalized name
     # pairs and join back: blocking emits each hot name pair many times

@@ -1270,8 +1270,13 @@ _GATED_R4: frozenset[str] = frozenset(
         "record_merge_full", "iri_minting",
         "part_mining", "provenance_upsert", "part_anchors", "rrf_hybrid",
         "label_inference", "citation_metrics", "temporal_requests",
-        "knn_l2_bucket", "bm25_tokenized", "citation_boost", "rag_context",
-        "context_lines", "rag_context_kg", "kg_expansion_index",
+        "knn_l2_bucket", "bm25_tokenized", "citation_boost",
+        # rag_context + context_lines + rag_context_kg left this set in
+        # round 7: the shared materialization now localCheckpoints the
+        # two ≤20-row narrow-waist frames inside build_rag_context
+        # (round-7 giant-DAG fix) — modified-since-certification counts
+        # as never certified, so they re-enter the window.
+        "kg_expansion_index",
         "shape_violations", "sparql_update",
         # claims_extraction left this set in round 6: the (?U) unicode-
         # whitespace normalization fix (hypothesis-fuzz finding) modified

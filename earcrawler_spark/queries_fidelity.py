@@ -276,19 +276,51 @@ def _synth_entities(part: DataFrame) -> DataFrame:
 _DECIDED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def build_decided_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_decided_pairs(
+    spark: SparkSession, sf_dir: str, materialize_stages: bool = False
+) -> DataFrame:
     """The raw (un-checkpointed) blocking → scoring → decisions plan —
     also the target of the plan-shape regression guard, which must see
-    the joins, not the materialized scan."""
+    the joins, not the materialized scan.
+
+    ``materialize_stages`` (the materialized/bench path, guide §1.2 "the
+    distributed algorithm first") fixes the two measured hot spots of the
+    raw plan at one-file scale:
+
+    * the entity table derives from ONE tiny parquet split, so the whole
+      synthesis (normalize/soundex regexes, key explode) runs at scan
+      parallelism 1-2 — and the raw plan re-executes that subtree in
+      every self-reference (keyed/sizes/a/b/left/right ≈ 6 scans).
+      Repartition to the cluster and localCheckpoint: one distributed
+      synthesis, every consumer reads the materialized 40k-row frame.
+    * the normalized name is computed per PAIR ROW (2 × 416k regex+HOF
+      evaluations — 65 CPU-s in the final stage) instead of per ENTITY
+      (2 × 20k).  Carrying norm through the enrichment join cuts that
+      stage ~4×; score_pairs_v2 reuses a present norm_a/norm_b.
+
+    Both are O(entities) materializations — at 100 TB the entity table is
+    a real distributed table and the same shape holds (the checkpoint
+    stands in for the persisted table scan).  Default False keeps the raw
+    single-plan shape the guard inspects."""
     from earcrawler_spark.operators.reconcile import (
         blocking_pairs_v2,
         decide_pairs_v2,
+        normalize_name_v2,
         score_pairs_v2,
     )
 
     ents = _synth_entities(_t(spark, sf_dir, "part"))
-    pairs = blocking_pairs_v2(ents)
     attrs = ents
+    if materialize_stages:
+        par = spark.sparkContext.defaultParallelism
+        ents = ents.repartition(par).localCheckpoint()
+        attrs = ents.withColumn(
+            "norm", normalize_name_v2(F.coalesce(F.col("name"), F.lit("")))
+        )
+    # attrs carries the precomputed norm; blocking_pairs_v2 reuses it
+    pairs = blocking_pairs_v2(attrs if materialize_stages else ents)
+    if materialize_stages:
+        pairs = pairs.localCheckpoint()
     left = attrs.select(*[F.col(c).alias(f"{c}_a") for c in attrs.columns])
     right = attrs.select(*[F.col(c).alias(f"{c}_b") for c in attrs.columns])
     enriched = pairs.join(left, "id_a").join(right, "id_b")
@@ -317,7 +349,7 @@ def _decided_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wide rows re-executes the plan as a raw RDD job (~3x the cost
         # of the pipeline itself); a storage-level cache materializes at
         # pipeline cost and serves every later consumer at read cost
-        d = build_decided_pairs(spark, sf_dir).cache()
+        d = build_decided_pairs(spark, sf_dir, materialize_stages=True).cache()
         d.count()
         _DECIDED_CACHE[key] = d
     return _DECIDED_CACHE[key]

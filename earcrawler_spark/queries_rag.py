@@ -240,7 +240,9 @@ FROM boosted_out ORDER BY rank
 
 # --- rag_context -------------------------------------------------------------
 
-def build_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_rag_context(
+    spark: SparkSession, sf_dir: str, materialize_stages: bool = False
+) -> DataFrame:
     """The reference's #3 entry point end-to-end as ONE (raw,
     un-checkpointed) Spark plan: BM25 + dense over-fetch
     (candidate_k=80) → RRF(60) top-20 → citation boost (query_k=20) →
@@ -248,7 +250,19 @@ def build_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     applicable-only, truncated to top_k=5, textless rows skipped after
     truncation (retrieval_runtime.py:188-297). The plan-shape guard
     inspects this builder; the registered query serves a shared
-    materialization (context-bundle contract)."""
+    materialization (context-bundle contract).
+
+    ``materialize_stages`` (the materialized/bench path) localCheckpoints
+    the two ≤20-row narrow-waist frames — ``results`` (fused top-20) and
+    ``boosted`` — before fan-out consumers re-reference them.
+    apply_citation_boost references results 3× (present/max/base) and
+    classify_temporal references its input 2× (chosen + join-back), so
+    the raw plan duplicates the whole BM25+dense+RRF subtree ~6× and one
+    cold materialization re-executes it that many times (22.0 s vs
+    11.2 s measured at sf0.1, identical rows — guide §3.3 "materialising
+    an intermediate truncates the plan").  Checkpoint cost is O(20 rows)
+    at any corpus scale.  Default False keeps the raw single-plan shape
+    the guard inspects."""
     from earcrawler_spark.operators.ranking import bm25_scores, rrf_fuse, topk_ranked
     from earcrawler_spark.operators.similarity import cosine
     from earcrawler_spark.operators.temporal import classify_temporal
@@ -281,10 +295,14 @@ def build_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "section_id",
         F.col("rrf").alias("score"),
     )
+    if materialize_stages:
+        results = results.localCheckpoint()
 
     boosted = apply_citation_boost(
         results, meta, extract_targets(spark, RAG_PROMPT), k=RAG_QUERY_K
     )
+    if materialize_stages:
+        boosted = boosted.localCheckpoint()
 
     tm = meta.select(
         F.col("row_id").cast("string").alias("ref_id"),
@@ -498,7 +516,9 @@ def _rag_context_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         from earcrawler_spark.session import bound_materialization_cache
 
         bound_materialization_cache(_CTX_CACHE, key)
-        _CTX_CACHE[key] = build_rag_context(spark, sf_dir).localCheckpoint()
+        _CTX_CACHE[key] = build_rag_context(
+            spark, sf_dir, materialize_stages=True
+        ).localCheckpoint()
     return _CTX_CACHE[key]
 
 
