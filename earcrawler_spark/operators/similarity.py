@@ -385,18 +385,31 @@ def kmeans_train(
         # argmin on round(sim, 6) + centroid-id tie-break — the repo's
         # deterministic bucket+tie-break ranking pattern, which also makes
         # the Lloyd assignment reproducible across engines (the DuckDB
-        # oracle replays the identical unrolled rounds)
+        # oracle replays the identical unrolled rounds).  The k centroids
+        # ride along as ONE broadcast array row and the argmin is an
+        # array_min over per-centroid structs (identical struct ordering
+        # to the aggregate min), so assignment is a pure projection — the
+        # former crossJoin+groupBy(vid) re-shuffled every vector (with its
+        # payload) once per Lloyd round for nothing (guide §2.4).
+        cent_arr = cents.agg(
+            F.collect_list(F.struct("centroid_id", "cv")).alias("cs")
+        )
         best = (
-            e.crossJoin(F.broadcast(cents))
+            e.crossJoin(F.broadcast(cent_arr))
             .select(
                 "vid", "v",
-                F.struct(
-                    (-F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("negsim"),
-                    F.col("centroid_id").alias("cid"),
-                ).alias("cand"),
+                F.array_min(
+                    F.transform(
+                        "cs",
+                        lambda c: F.struct(
+                            (-F.round(cosine(F.col("v"), c["cv"]), 6)).alias(
+                                "negsim"
+                            ),
+                            c["centroid_id"].alias("cid"),
+                        ),
+                    )
+                ).alias("best"),
             )
-            .groupBy("vid")
-            .agg(F.min("cand").alias("best"), F.first("v").alias("v"))
             .select("vid", F.col("best.cid").alias("centroid_id"), "v")
         )
         dims = best.select(
@@ -456,17 +469,29 @@ def kmeans_train_grouped(
         .localCheckpoint()
     )
     for _ in range(iters):
+        # per-group centroid ARRAY broadcast + array_min projection
+        # (identical struct ordering to the aggregate min): assignment
+        # no longer re-shuffles every vector per Lloyd round — see
+        # kmeans_train for the rationale.
+        cent_arr = cents.groupBy("grp").agg(
+            F.collect_list(F.struct("centroid_id", "cv")).alias("cs")
+        )
         best = (
-            e.join(F.broadcast(cents), "grp")
+            e.join(F.broadcast(cent_arr), "grp")
             .select(
                 "grp", "vid", "v",
-                F.struct(
-                    (-F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("negsim"),
-                    F.col("centroid_id").alias("cid"),
-                ).alias("cand"),
+                F.array_min(
+                    F.transform(
+                        "cs",
+                        lambda c: F.struct(
+                            (-F.round(cosine(F.col("v"), c["cv"]), 6)).alias(
+                                "negsim"
+                            ),
+                            c["centroid_id"].alias("cid"),
+                        ),
+                    )
+                ).alias("best"),
             )
-            .groupBy("grp", "vid")
-            .agg(F.min("cand").alias("best"), F.first("v").alias("v"))
             .select("grp", F.col("best.cid").alias("centroid_id"), "v")
         )
         means = (
@@ -509,18 +534,24 @@ def ivf_assign_grouped(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    cent_arr = centroids.groupBy(g).agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("cs")
+    )
     return (
-        e.join(F.broadcast(centroids), g)
+        e.join(F.broadcast(cent_arr), g)
         .select(
             g,
             "vec_id",
-            F.struct(
-                (-F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("negsim"),
-                F.col("centroid_id").alias("cid"),
-            ).alias("cand"),
+            F.array_min(
+                F.transform(
+                    "cs",
+                    lambda c: F.struct(
+                        (-F.round(cosine(F.col("v"), c["cv"]), 6)).alias("negsim"),
+                        c["centroid_id"].alias("cid"),
+                    ),
+                )
+            ).alias("best"),
         )
-        .groupBy(g, "vec_id")
-        .agg(F.min("cand").alias("best"))
         .select(
             g,
             "vec_id",
@@ -538,17 +569,23 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("cs")
+    )
     return (
-        e.crossJoin(F.broadcast(centroids))
+        e.crossJoin(F.broadcast(cent_arr))
         .select(
             "vec_id",
-            F.struct(
-                (-F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("negsim"),
-                F.col("centroid_id").alias("cid"),
-            ).alias("cand"),
+            F.array_min(
+                F.transform(
+                    "cs",
+                    lambda c: F.struct(
+                        (-F.round(cosine(F.col("v"), c["cv"]), 6)).alias("negsim"),
+                        c["centroid_id"].alias("cid"),
+                    ),
+                )
+            ).alias("best"),
         )
-        .groupBy("vec_id")
-        .agg(F.min("cand").alias("best"))
         .select(
             "vec_id",
             F.col("best.cid").alias("centroid_id"),
