@@ -243,12 +243,17 @@ def groundedness_gate(
     context: DataFrame,
     decisive_claims: DataFrame,
     thresholds: dict | None = None,
+    scored_citations: DataFrame | None = None,
 ) -> DataFrame:
     """Dataset-level gate rows (per dataset_id + ALL).
 
     items: (item_id, dataset_id, label, predicted_label)
     citations / context: see score_citations
     decisive_claims: see score_claims
+    scored_citations: optional pre-materialized score_citations(citations,
+    context) output — the caller-shared frame; the plan references it
+    twice (citation rollup + claim scoring), so passing a materialized
+    frame halves the scoring work per action.
     -> one row per dataset + the ALL rollup row with the
     finalize_groundedness_metrics rates, unanswerable accuracy
     (test_phase2_golden_gate.py:496-500), and the pass/fail verdicts
@@ -256,7 +261,11 @@ def groundedness_gate(
     """
     th = thresholds or load_phase2_gate_thresholds()
 
-    sc = score_citations(citations, context)
+    sc = (
+        scored_citations
+        if scored_citations is not None
+        else score_citations(citations, context)
+    )
     cit_item = sc.groupBy("item_id").agg(
         F.count(F.lit(1)).alias("n_cit"),
         F.sum(F.col("valid").cast("long")).alias("n_valid"),

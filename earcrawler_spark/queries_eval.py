@@ -451,6 +451,16 @@ EVAL_ORACLES["evidence_resolution"] = _evidence_sql()
 COVERAGE_TOP_N = 5
 
 
+from earcrawler_spark.session import cache_query_output
+
+# Gate OUTPUT cache (≤ 5-row aggregates): eval_report composes these
+# four gates; without the cache each standalone gate query AND the
+# report re-ran the full scoring pipeline (≈2x total work per bench
+# sweep).  At scale the report reads the persisted gate tables.
+_GATE_OUT_CACHE: dict = {}
+
+
+@cache_query_output("fr_coverage", _GATE_OUT_CACHE, ["dataset_id"])
 def q_fr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """build_fr_coverage_report's aggregation core
     (eval/coverage_checks.py:276-505): per item, the sorted-distinct
@@ -806,6 +816,28 @@ def _groundedness_fixture(spark: SparkSession, sf_dir: str):
     return _groundedness_fixture_impl(spark, sf_dir)
 
 
+# Scored-citations materialization: the gate and the reasons histogram
+# both run score_citations over the same fixture, and the reasons query
+# references it three times (melt pass + twice via score_claims) — the
+# raw plan re-executed the token-overlap scoring subtree per reference.
+_SC_CACHE: dict = {}
+
+
+def _scored_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SC_CACHE:
+        from earcrawler_spark.operators.groundedness import score_citations
+        from earcrawler_spark.session import bound_materialization_cache
+
+        bound_materialization_cache(_SC_CACHE, key)
+        _, citations, context, _ = _groundedness_fixture(spark, sf_dir)
+        sc = score_citations(citations, context).cache()
+        sc.count()
+        _SC_CACHE[key] = sc
+    return _SC_CACHE[key]
+
+
+@cache_query_output("groundedness_gate", _GATE_OUT_CACHE, ["dataset_id"])
 def q_groundedness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The phase-2 groundedness gate verdict
     (eval/groundedness_gates.py:106-470 +
@@ -822,9 +854,10 @@ def q_groundedness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from earcrawler_spark.operators.groundedness import groundedness_gate
 
     items, citations, context, decisive = _groundedness_fixture(spark, sf_dir)
-    return groundedness_gate(items, citations, context, decisive).orderBy(
-        "dataset_id"
-    )
+    return groundedness_gate(
+        items, citations, context, decisive,
+        scored_citations=_scored_citations(spark, sf_dir),
+    ).orderBy("dataset_id")
 
 
 def _groundedness_fixture_impl(spark: SparkSession, sf_dir: str):
@@ -1574,14 +1607,13 @@ def q_groundedness_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dataset_id, reason) with occurrence counts — citation reasons count
     per citation, claim reasons per claim, overclaim_present per item —
     plus the ALL rollup."""
-    from earcrawler_spark.operators.groundedness import (
-        score_citations,
-        score_claims,
-    )
+    from earcrawler_spark.operators.groundedness import score_claims
 
     items, citations, context, decisive = _groundedness_fixture(spark, sf_dir)
     ds = items.select("item_id", "dataset_id")
-    sc = score_citations(citations, context)
+    # shared materialized frame (see _scored_citations): this query
+    # references it three times — melt pass + twice via score_claims
+    sc = _scored_citations(spark, sf_dir)
 
     # ONE pass over the scored citations: melt the four reason flags
     # into rows instead of four filtered re-scans of the subtree

@@ -1221,6 +1221,16 @@ RAG_ORACLES["rag_context_kg"] = _rag_context_kg_sql()
 
 # --- multihop ablation compare (expansion on/off A/B) -------------------------
 
+from earcrawler_spark.session import cache_query_output
+
+# eval_report composes multihop_ablation + citation_scores_agg with the
+# queries_eval gates — cache the ≤5-row outputs per (session, sf) so the
+# report reads them instead of re-running the pipelines (see
+# queries_eval._GATE_OUT_CACHE).
+_RAG_GATE_OUT_CACHE: dict = {}
+
+
+@cache_query_output("multihop_ablation", _RAG_GATE_OUT_CACHE, ["dataset_id"])
 def q_multihop_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multihop retrieval-ablation compare
     (scripts/eval/run_multihop_ablation_compare_stubbed.py +
@@ -1559,6 +1569,7 @@ RAG_ORACLES["kg_expansion_index"] = _kg_expansion_sql()
 
 # --- citation score aggregation ----------------------------------------------
 
+@cache_query_output("citation_scores_agg", _RAG_GATE_OUT_CACHE, ["dataset_id"])
 def q_citation_scores_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregate_citation_scores (scripts/eval/eval_rag_metrics.py:26-87)
     over the citation_metrics per-item scores, per dataset + ALL: micro

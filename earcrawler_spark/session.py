@@ -56,6 +56,42 @@ def get_spark(
     return spark
 
 
+def cache_query_output(name: str, cache: dict, order_cols: list[str]):
+    """Decorator: session-bounded cache of a query's (tiny, aggregate)
+    OUTPUT so composition queries read persisted gate outputs instead of
+    re-running the scoring pipelines — the report-over-persisted-tables
+    contract at scale, mirrored in-session (same pattern as the shared
+    materializations; eviction rules identical to
+    bound_materialization_cache).  The cached frame is re-ordered on
+    every read so callers see the declared output order regardless of
+    cache state.  Only use for metadata-scale outputs (≤ thousands of
+    rows): the cache pins executor storage for the session."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+            if key not in cache:
+                app_id = key[0]
+                for k in [k for k in cache if k[0] == app_id and k[1] != sf_dir]:
+                    df = cache.pop(k)
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+                for k in [k for k in cache if k[0] != app_id]:
+                    cache.pop(k, None)
+                df = fn(spark, sf_dir).cache()
+                df.count()
+                cache[key] = df
+            return cache[key].orderBy(*order_cols)
+
+        return wrapped
+
+    return deco
+
+
 def bound_materialization_cache(cache: dict, key: tuple[str, str]) -> None:
     """Bound a per-(applicationId, sf_dir) materialization dict to the most
     recent sf_dir per session: evict (and best-effort unpersist) every
