@@ -153,6 +153,10 @@ def shape_violations(
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("n_bad", F.lit(0)).alias("n_bad"),
     )
+    # three violation filters re-reference carded — materialize the
+    # O(focus x constrained-props) frame once instead of re-running the
+    # property aggregation per filter
+    carded = carded.localCheckpoint()
     min_viol = carded.filter(F.col("n") < F.col("min_count")).select(
         "shape",
         "focus",

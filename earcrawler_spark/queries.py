@@ -1259,7 +1259,10 @@ _GATE_OVERFLOW: frozenset[str] = frozenset()
 # slots with harmless re-certification.
 _GATED_R4: frozenset[str] = frozenset(
     {
-        "retrieval_compare", "token_stats_bpe", "rolling_fingerprint",
+        # retrieval_compare left this set in round 7: the 1-row combined
+        # metrics frame is now localCheckpointed before the three metric
+        # rows re-reference it — modified-since-certification.
+        "token_stats_bpe", "rolling_fingerprint",
         # reconcile_v2 + reconcile_summary left this set in round 5:
         # the score fold was rewritten to exact integer micro-arithmetic
         # (a 1-ulp float-sum divergence flipped round(.,6) at sf0.1) and
@@ -1270,18 +1273,24 @@ _GATED_R4: frozenset[str] = frozenset(
         "record_merge_full", "iri_minting",
         "part_mining", "provenance_upsert", "part_anchors", "rrf_hybrid",
         "label_inference", "citation_metrics", "temporal_requests",
-        "knn_l2_bucket", "bm25_tokenized", "citation_boost",
+        "knn_l2_bucket", "bm25_tokenized",
+        # citation_boost left this set in round 7: its top-k results
+        # frame is now localCheckpointed before the boost (giant-DAG
+        # fix) — modified-since-certification, re-enters the window.
         # rag_context + context_lines + rag_context_kg left this set in
         # round 7: the shared materialization now localCheckpoints the
         # two ≤20-row narrow-waist frames inside build_rag_context
         # (round-7 giant-DAG fix) — modified-since-certification counts
         # as never certified, so they re-enter the window.
         "kg_expansion_index",
-        "shape_violations", "sparql_update",
+        # shape_violations, sparql_update and eval_schema_violations left
+        # this set in round 7: their repeatedly-referenced intermediate
+        # frames (triple graph / carded counts / items fixture) are now
+        # localCheckpointed (giant-DAG fix) — modified-since-certification.
         # claims_extraction left this set in round 6: the (?U) unicode-
         # whitespace normalization fix (hypothesis-fuzz finding) modified
         # extract_claims — it re-enters the window.
-        "eval_schema_violations", "snapshot_violations", "telemetry_scrub",
+        "snapshot_violations", "telemetry_scrub",
         "egress_audit",
     }
 )
@@ -1299,7 +1308,10 @@ _GATED_R5: frozenset[str] = frozenset(
     {
         "ann_ivf_lists", "ann_ivf_search", "answer_scoring", "bpe_merges",
         "bpe_segment", "canary_eval", "chunk_dedup", "cms_heavy_hitters",
-        "cross_source_overlap", "curation_verdict", "curriculum_order",
+        # cross_source_overlap left this set in round 7: the distinct
+        # (source, gram) shingle set is now localCheckpointed before its
+        # four consumers — modified-since-certification.
+        "curation_verdict", "curriculum_order",
         # dedup_clusters left this set in round 6: the cache-release
         # rework (eager localCheckpoint + try/finally unpersist, ADVICE
         # r5 #5) modified its impl — it re-enters the window.
@@ -1390,11 +1402,15 @@ def q_retrieval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rank").alias(f"{prefix}_first"),
         )
 
+    # the three metric rows each re-reference this 1-row aggregate — on
+    # the raw plan every reference re-executed both retrieval pipelines
+    # (96 Exchange / 54 scans); checkpoint the single row so the dense
+    # and hybrid rankings compute once (guide §3.3 plan truncation)
     combined = (
         metrics(dense20, "d")
         .crossJoin(metrics(hybrid20, "h"))
         .crossJoin(F.broadcast(n_gt))
-    )
+    ).localCheckpoint()
 
     def row(name, d_expr, h_expr):
         return combined.select(

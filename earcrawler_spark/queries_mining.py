@@ -558,11 +558,16 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate (nav chrome / license footers) — the exclusion is both
     the honest mixing-audit semantics AND the bound that keeps the
     gram self-join linear (<= C(8,2)=28 pair rows per gram) at 100 TB."""
+    # the distinct (source, gram) set feeds the boilerplate cap AND the
+    # pair join's two sides AND the totals — the raw plan re-ran the
+    # corpus shingle explode per reference (62 Exchange / 16 scans).
+    # Checkpoint it once: O(distinct source-grams), the frame a mixing
+    # audit would persist anyway at scale.
     gs = (
         _pos_grams(_docs(spark, sf_dir), SPAN_N, extra=("source",))
         .select("source", "gram")
         .distinct()
-    )
+    ).localCheckpoint()
     kept = (
         gs.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("ns"))

@@ -214,6 +214,11 @@ def q_citation_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = bm.join(
         meta.select(F.col("row_id").alias("doc_id"), "section_id"), "doc_id"
     ).select("rank", "doc_id", "section_id", "score")
+    # apply_citation_boost references results 3x (present/max/base) — on
+    # the raw plan each reference re-executed the BM25 corpus pass (74
+    # Exchange / 28 scans).  Checkpoint the <=k-row frame so the corpus
+    # is scanned once; same narrow-waist fix as build_rag_context.
+    results = results.localCheckpoint()
     out = apply_citation_boost(
         results, meta, extract_targets(spark, CITATION_PROMPT), k=CITATION_K
     )

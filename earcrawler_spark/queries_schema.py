@@ -287,7 +287,10 @@ def q_eval_schema_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     namespace) yields exactly its ValidationIssue rows."""
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
-    items = _fixture_items(docs)
+    # the validator unions one check per rule family, each re-referencing
+    # the items fixture — checkpoint it once (was 44 parquet scans); the
+    # manifests are dimension tables and ride broadcasts as before
+    items = _fixture_items(docs).localCheckpoint()
     # manifest references: every section registers its own span body and
     # the next one; entity nodes e0..e6; paths path-0..2 (path-3 is the
     # seeded unregistered value)
@@ -297,6 +300,7 @@ def q_eval_schema_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select(_sec(d).alias("mdoc_id"), _body(d + 1).alias("mspan_id"))
         )
         .distinct()
+        .localCheckpoint()
     )
     node_ns = RESOURCE_NS + "ear/entity/"
     manifest_nodes = spark.createDataFrame(

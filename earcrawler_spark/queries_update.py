@@ -118,10 +118,19 @@ def _update_batch(parts: DataFrame) -> tuple[DataFrame, DataFrame]:
 def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from earcrawler_spark.operators.kg import apply_graph_update, graph_delta
 
-    parts = _parts(spark, sf_dir)
-    before = _base_graph(parts)
+    # The update algebra references each frame repeatedly (after embeds
+    # before twice via kept, the delta reads before and after twice
+    # each), so the raw composed plan re-derived the part synthesis ~80x
+    # (208 Exchange / 242 parquet scans, a 200 KB plan whose planning +
+    # codegen dominated the query).  The graph frames are update-batch
+    # sized — checkpoint the narrow waists (guide §3.3: materialise an
+    # intermediate to truncate a very wide plan); the delta then reads
+    # materialized before/after exactly like the reference diffs two
+    # graph snapshots.  9 Exchange / 0 re-scans after.
+    parts = _parts(spark, sf_dir).localCheckpoint()
+    before = _base_graph(parts).localCheckpoint()
     inserts, deletes = _update_batch(parts)
-    after = apply_graph_update(before, inserts, deletes)
+    after = apply_graph_update(before, inserts, deletes).localCheckpoint()
     return graph_delta(before, after).orderBy("op", "s", "p", "o")
 
 
