@@ -112,6 +112,16 @@ class CrawlConfig:
     # the 10^10 design point never depends on a hand-set flag.
     probe_mode: str = "auto"
     probe_broadcast_max_bytes: int = 64 * 1024 * 1024
+    # filter lifecycle I/O: 'driver' round-trips shard bytes through a
+    # driver dict (fine while the filter is MBs); 'distributed' keeps the
+    # (shard, bits) table executor-side END TO END — build/merge via
+    # extend_filter_join, cuckoo retention via delete_filter_join, bloom
+    # retention rebuild via extend_filter_join over the surviving rows —
+    # so no full-filter collect or broadcast ever happens (the 10^10-URL
+    # path where the shard map would OOM the driver). 'auto' (default)
+    # follows resolved_probe_mode: past the broadcast threshold both the
+    # probe AND the lifecycle go shard-local together.
+    filter_io: str = "auto"
 
     def estimated_filter_bytes(self) -> int:
         if self.seen_filter == "cuckoo":
@@ -126,6 +136,11 @@ class CrawlConfig:
             return self.probe_mode
         big = self.estimated_filter_bytes() > self.probe_broadcast_max_bytes
         return "join" if big else "broadcast"
+
+    def resolved_filter_io(self) -> str:
+        if self.filter_io != "auto":
+            return self.filter_io
+        return "distributed" if self.resolved_probe_mode() == "join" else "driver"
 
 
 class Crawler:
@@ -710,33 +725,64 @@ class Crawler:
         # in-place overwrite could delete the only filter snapshot and the
         # very base dir `keep` was being read from).
         bloom_gen = self.state.fresh_gen("bloom", "iter", upto)
+        distributed = self.cfg.resolved_filter_io() == "distributed"
         if self.cfg.seen_filter == "cuckoo" and n_expired > 0:
-            blooms = self._load_bloom(upto)
-            bc = self.spark.sparkContext.broadcast(blooms)
-            n_shards = self.cfg.n_shards
+            if distributed:
+                # shard-local deletion: expired hashes cogroup with their
+                # own shard row — the shard map never leaves the executors
+                # (the former broadcast-the-whole-map path was the last
+                # driver route for filter bytes at the 10^10-URL design
+                # point)
+                from earcrawler_spark.crawler.bloom import delete_filter_join
 
-            def drop(pdf: pd.DataFrame) -> pd.DataFrame:
-                from earcrawler_spark.crawler.cuckoo import CuckooShard
+                bloom_df = self.state.read_latest("bloom", upto)
+                if bloom_df is None:
+                    bloom_df = self.spark.createDataFrame(
+                        [], "shard int, bits binary"
+                    )
+                delete_filter_join(
+                    expired.select("url_hash"), bloom_df, self.cfg.n_shards
+                ).write.mode("overwrite").parquet(
+                    self.state._iter_dir("bloom", upto, bloom_gen)
+                )
+            else:
+                blooms = self._load_bloom(upto)
+                bc = self.spark.sparkContext.broadcast(blooms)
+                n_shards = self.cfg.n_shards
 
-                shard = int(pdf["shard"].iloc[0])
-                raw = bc.value.get(shard)
-                if raw is None:
-                    return pd.DataFrame({"shard": [], "bits": []})
-                f = CuckooShard.from_bytes(raw)
-                f.delete_many(pdf["url_hash"].tolist())
-                return pd.DataFrame({"shard": [shard], "bits": [f.to_bytes()]})
+                def drop(pdf: pd.DataFrame) -> pd.DataFrame:
+                    from earcrawler_spark.crawler.cuckoo import CuckooShard
 
-            delta = {
-                r["shard"]: bytes(r["bits"])
-                for r in expired.withColumn(
-                    "shard",
-                    (F.conv(F.substring("url_hash", 1, 8), 16, 10).cast("long") % n_shards).cast("int"),
-                ).groupBy("shard").applyInPandas(drop, "shard int, bits binary").collect()
-            }
-            merged = {**blooms, **delta}
-            self.spark.createDataFrame(
-                [(sh, bytearray(b)) for sh, b in sorted(merged.items())],
-                "shard int, bits binary",
+                    shard = int(pdf["shard"].iloc[0])
+                    raw = bc.value.get(shard)
+                    if raw is None:
+                        return pd.DataFrame({"shard": [], "bits": []})
+                    f = CuckooShard.from_bytes(raw)
+                    f.delete_many(pdf["url_hash"].tolist())
+                    return pd.DataFrame({"shard": [shard], "bits": [f.to_bytes()]})
+
+                delta = {
+                    r["shard"]: bytes(r["bits"])
+                    for r in expired.withColumn(
+                        "shard",
+                        (F.conv(F.substring("url_hash", 1, 8), 16, 10).cast("long") % n_shards).cast("int"),
+                    ).groupBy("shard").applyInPandas(drop, "shard int, bits binary").collect()
+                }
+                merged = {**blooms, **delta}
+                self.spark.createDataFrame(
+                    [(sh, bytearray(b)) for sh, b in sorted(merged.items())],
+                    "shard int, bits binary",
+                ).write.mode("overwrite").parquet(
+                    self.state._iter_dir("bloom", upto, bloom_gen)
+                )
+        elif distributed:
+            # blooms can't delete: rebuild shard-locally from the surviving
+            # rows (extend over an empty shard table) into the staged dir
+            empty = self.spark.createDataFrame([], "shard int, bits binary")
+            extend_filter_join(
+                keep.select("url_hash"), empty, self.cfg.n_shards,
+                self.cfg.seen_filter, self.cfg.bloom_bits_per_shard,
+                self.cfg.cuckoo_capacity_per_shard,
             ).write.mode("overwrite").parquet(
                 self.state._iter_dir("bloom", upto, bloom_gen)
             )
