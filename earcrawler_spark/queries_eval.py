@@ -2461,23 +2461,25 @@ def q_id_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("missing_in_kg") + F.col("duplicate_in_kg")
         + F.col("noncanonical_in_kg")
     )
-    return (
-        ds_rows.unionByName(all_row)
-        .select(
-            "dataset_id",
-            "num_items",
-            "expected_sections",
-            F.greatest(
-                F.lit(0).cast("long"), F.col("expected_sections") - issues
-            ).alias("ok_sections"),
-            "missing_in_corpus", "duplicate_in_corpus", "missing_in_kg",
-            "duplicate_in_kg", "noncanonical_in_kg", "invalid_dataset_refs",
-            F.when(
-                issues + F.col("invalid_dataset_refs") > 0, F.lit("fail")
-            ).otherwise(F.lit("ok")).alias("status"),
-        )
-        .orderBy("dataset_id")
+    out = ds_rows.unionByName(all_row).select(
+        "dataset_id",
+        "num_items",
+        "expected_sections",
+        F.greatest(
+            F.lit(0).cast("long"), F.col("expected_sections") - issues
+        ).alias("ok_sections"),
+        "missing_in_corpus", "duplicate_in_corpus", "missing_in_kg",
+        "duplicate_in_kg", "noncanonical_in_kg", "invalid_dataset_refs",
+        F.when(
+            issues + F.col("invalid_dataset_refs") > 0, F.lit("fail")
+        ).otherwise(F.lit("ok")).alias("status"),
     )
+    # eager tiny-output pin (ADVICE r6 #2, dedup_clusters pattern): the
+    # lazy refs/lines checkpoints above are only referenced by this
+    # function's locals once the 4-row result is materialized, so a
+    # long-lived session invoking the query repeatedly no longer
+    # accumulates their executor-storage blocks (freed with RDD GC).
+    return out.localCheckpoint().orderBy("dataset_id")
 
 
 def _id_consistency_sql() -> str:

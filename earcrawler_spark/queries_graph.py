@@ -222,7 +222,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return (
+    out = (
         base.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(tri))
         .select(
@@ -235,6 +235,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+    # eager 1-row pin (ADVICE r6 #2): once the result is materialized the
+    # `und` checkpoint is referenced only by this frame's (now truncated)
+    # lineage, so repeated invocations no longer accumulate its blocks
+    return out.localCheckpoint()
 
 
 _SQL_GRAPH_TRIANGLES = f"""

@@ -96,6 +96,15 @@ def _sessionize_fn(
     # post-flush events kept counting — inconsistent numbering, and it
     # breaks row-for-row parity with the batch sessionizer for
     # multi-wave streams.  One open-or-flushed user costs 4 scalars.
+    #
+    # Retention expectation (ADVICE r6 #4): this state is per-ever-seen
+    # user and has no TTL here, matching the batch twin's unbounded
+    # replay horizon — cross-batch session NUMBERING requires remembering
+    # every user's counter.  On a production stream bound it with
+    # ``applyInPandasWithState``'s GroupStateTimeout (evict users idle
+    # past the horizon; their numbering restarts, exactly as the batch
+    # twin would if its replay window slid), or periodically snapshot the
+    # (user_id, session_no) table and re-seed a fresh query from it.
     state.update((session_no, n_events, value_sum, last_epoch))
     if closed:
         yield pd.DataFrame(

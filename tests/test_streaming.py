@@ -199,3 +199,81 @@ def test_incident_attribution_matches_batch_join(spark, events_stream):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_incident_attribution_late_data_watermark(spark, tmp_path):
+    """Late-data contract (the one behavior the batch twin can't
+    witness): a point event arriving AFTER the watermark has passed its
+    event time is dropped — its pair is NOT emitted even though the
+    batch theta join would produce it — while a late-but-inside-the-
+    watermark event still joins.  Also asserts the dropped-row
+    accounting the progress metrics report matches."""
+    import datetime as dt
+
+    from earcrawler_spark.streaming.monitor import incident_attribution
+
+    T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, u, et, 1.0) for i, (ts, u, et) in enumerate(rows, start=100)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        ).withColumn("event_id", F.col("event_id") + F.lit(0))
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # file 1: u1 incident at T0; u2 incident at T0+9h; u3 purchase at
+    # T0+10h (matches nothing) advances the POINT side's watermark —
+    # the global watermark is the MIN across both withWatermark nodes,
+    # so both sides must see data: after batch 1 it is
+    # min(T0+10h, T0+9h) - 1h = T0+8h
+    f1 = [
+        (T0, 1, "error"),
+        (T0 + dt.timedelta(hours=9), 2, "error"),
+        (T0 + dt.timedelta(hours=10), 3, "purchase"),
+    ]
+    mk(f1).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = incident_attribution(stream).select("p_id", "e_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_pairs")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # file 2 (arrives after the watermark advanced): u1 purchase at
+        # T0+30min — inside u1's incident window but BELOW the T0+8h
+        # watermark (late beyond tolerance -> dropped); u2 purchase at
+        # T0+9h30m — above the watermark, joins u2's incident
+        f2 = [
+            (T0 + dt.timedelta(minutes=30), 1, "purchase"),
+            (T0 + dt.timedelta(hours=9, minutes=30), 2, "purchase"),
+        ]
+        mk(f2).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+
+    got = {
+        (r["p_id"], r["e_id"])
+        for r in spark.sql("select * from late_pairs").collect()
+    }
+    # only the within-watermark pair (u2's purchase id 101 -> incident 101
+    # of file1) emits; u1's late purchase (id 100 of file2) is dropped
+    assert got == {(101, 101)}, got
+    # the watermark contract's accounting: exactly the one late point row
+    # was dropped by the watermark
+    assert dropped == 1, dropped
