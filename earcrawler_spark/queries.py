@@ -1306,7 +1306,10 @@ _GATED_R4: frozenset[str] = frozenset(
 # greens are the highest-value re-certification canaries.
 _GATED_R5: frozenset[str] = frozenset(
     {
-        "ann_ivf_lists", "ann_ivf_search", "answer_scoring", "bpe_merges",
+        # ann_ivf_lists + ann_ivf_search (and pq_codes below) left this
+        # set in round 7: they consume the restructured shuffle-free IVF
+        # assignment — modified-since-certification.
+        "answer_scoring", "bpe_merges",
         "bpe_segment", "canary_eval", "chunk_dedup", "cms_heavy_hitters",
         # cross_source_overlap left this set in round 7: the distinct
         # (source, gram) shingle set is now localCheckpointed before its
@@ -1323,8 +1326,11 @@ _GATED_R5: frozenset[str] = frozenset(
         # impl — it re-enters the window.
         "index_binding", "link_pagerank",
         "llm_output_violations", "media_manifest", "minhash_lsh_pairs",
-        "ngram_novelty", "pq_codes", "repetition_quality",
-        "seen_set_cardinality", "semantic_decontamination", "semdedup",
+        "ngram_novelty", "repetition_quality",
+        "seen_set_cardinality", "semantic_decontamination",
+        # semdedup left this set in round 7: it consumes the restructured
+        # shuffle-free IVF assignment (operators/similarity) —
+        # modified-since-certification.
         "shard_packing", "source_mix", "stratified_sample",
         # trace_validation left this set in round 6: the stable-sort
         # index keys added to operators/trace.py (ADVICE r5) modified
@@ -1336,9 +1342,41 @@ _GATED_R5: frozenset[str] = frozenset(
 )
 
 
+# Queries fully green in CORRECTNESS_r06.json whose impl AND oracle are
+# unchanged since.  Round-7 exclusions (modified-since-certification
+# counts as never certified — every one re-enters the window):
+# reconcile_v2 + reconcile_summary (staged decided-pairs materialization,
+# per-entity norm), multihop_ablation + citation_scores_agg + fr_coverage
+# + groundedness_gate (gate-output caches), eval_report (reads them),
+# groundedness_reasons (shared scored-citations frame), id_consistency +
+# graph_triangles (eager tiny-output pin), ann_ivf_lists + ann_ivf_search
+# + pq_codes (shuffle-free IVF assignment).
+_GATED_R6: frozenset[str] = frozenset(
+    {
+        "ngram_jaccard_pairs", "dedup_clusters", "funnel_conversion",
+        "retention_cohorts", "interval_attribution", "conversion_latency",
+        "media_features", "claims_extraction", "evidence_resolution",
+        "phase2_contract_gate", "citation_regressions", "generation_policy",
+        "trace_validation", "token_length_histogram", "ttr_hapax",
+        "contamination_by_source", "lang_source_matrix", "feature_drift",
+        "annotator_agreement", "ks_drift", "histogram_quantiles",
+        "gopher_rules", "domain_quota", "hits_scores", "span_integrity",
+        "url_canonicalize", "anchor_text_agg", "recrawl_priority",
+        "frontier_shard_skew", "inverted_index", "robots_compliance",
+        "frontier_dequeue", "url_templates", "sitemap_parse",
+        "bloom_fp_audit", "minhash_lsh_pairs", "seen_set_cardinality",
+    }
+)
+
+
 def _reorder_for_gate() -> None:
-    """Put never-driver-certified queries first in registry iteration order."""
-    certified = _GATED_R1_R3 | _GATED_R4 | _GATED_R5
+    """Put never-driver-certified queries first in registry iteration
+    order.  Round-7 fill order (VERDICT r6 task 4): after the
+    never-certified set, the STALE r1-r3 greens cycle through the spare
+    window slots first — 44 of them were last driver-gated in r03 and the
+    rotation should not let any green row go more than ~3 rounds stale —
+    then the newest greens (R6, R5, R4) as re-certification canaries."""
+    certified = _GATED_R1_R3 | _GATED_R4 | _GATED_R5 | _GATED_R6
     order = [
         k
         for k in QUERIES
@@ -1348,11 +1386,19 @@ def _reorder_for_gate() -> None:
     ]
     order += [k for k in QUERIES if k in _GATE_OVERFLOW]
     order += [k for k in QUERIES if k in _GATE_DEPRIORITIZED]
-    order += [
-        k for k in QUERIES if k in _GATED_R5 and k not in _GATED_R1_R3 | _GATED_R4
-    ]
-    order += [k for k in QUERIES if k in _GATED_R4 and k not in _GATED_R1_R3]
     order += [k for k in QUERIES if k in _GATED_R1_R3]
+    order += [
+        k for k in QUERIES
+        if k in _GATED_R6 and k not in _GATED_R1_R3
+    ]
+    order += [
+        k for k in QUERIES
+        if k in _GATED_R5 and k not in _GATED_R1_R3 | _GATED_R6
+    ]
+    order += [
+        k for k in QUERIES
+        if k in _GATED_R4 and k not in _GATED_R1_R3 | _GATED_R5 | _GATED_R6
+    ]
     snap = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({k: snap[k] for k in order})

@@ -1,7 +1,7 @@
 """Driver-gate window invariants (queries._reorder_for_gate).
 
-The driver certifies the FIRST 50 registry entries each round.  Two
-regimes:
+The driver certifies the FIRST 50 registry entries each round.  Three
+regimes so far:
 
 - uncertified > 50 (round 5): every window slot is spent on an
   uncertified oracled query, and anything uncertified left outside the
@@ -9,9 +9,13 @@ regimes:
   — never registration-order luck.
 - uncertified <= 50 (round 6, after the _GATED_R5 rotation drained the
   overflow queue): every uncertified oracled query MUST be in the
-  window (overflow empty), and the spare slots re-certify the most
-  recently certified greens (_GATED_R5 before _GATED_R4 before
-  _GATED_R1_R3) as regression canaries.
+  window, and the spare slots re-certified the most recently certified
+  greens as regression canaries.
+- round 7 (VERDICT r6 task 4): with the round-7 changed queries
+  re-entering as the uncertified front, the spare slots now cycle the
+  STALE r1-r3 greens first — 44 of them were last driver-gated in r03
+  and no green row should go more than ~3 rounds stale — then the
+  newest greens (R6 before R5 before R4).
 """
 
 from earcrawler_spark.queries import (
@@ -22,13 +26,14 @@ from earcrawler_spark.queries import (
     _GATED_R1_R3,
     _GATED_R4,
     _GATED_R5,
+    _GATED_R6,
 )
 
 WINDOW = 50
 
 
 def _certified() -> frozenset:
-    return _GATED_R1_R3 | _GATED_R4 | _GATED_R5
+    return _GATED_R1_R3 | _GATED_R4 | _GATED_R5 | _GATED_R6
 
 
 def _uncertified_oracled() -> list[str]:
@@ -62,28 +67,19 @@ def test_overflow_only_used_when_window_is_full():
         )
 
 
-def test_spare_window_slots_recertify_newest_greens_first():
-    """When the window has spare capacity, re-cert canaries must be the
-    most recently certified queries: no _GATED_R4 name may occupy a
-    slot while a _GATED_R5 name (not also in an older set) waits
-    outside, and likewise R1-3 behind R4."""
+def test_spare_window_slots_cycle_stale_r1_r3_greens_first():
+    """Round-7 regime: spare slots go to the stalest greens.  No
+    R6/R5/R4 canary may hold a window slot while an r1-r3 green (last
+    driver-gated in r03) waits outside."""
     order = list(QUERIES)
     window = order[:WINDOW]
-    r5_only = _GATED_R5 - _GATED_R4 - _GATED_R1_R3
-    r4_only = _GATED_R4 - _GATED_R1_R3
-    r5_out = [k for k in order[WINDOW:] if k in r5_only]
-    r4_in = [k for k in window if k in r4_only]
-    r13_in = [k for k in window if k in _GATED_R1_R3]
-    if r5_out:
-        assert not r4_in and not r13_in, (
-            f"older-round canaries {r4_in + r13_in} hold window slots while "
-            f"round-5 greens wait: {r5_out[:5]}"
-        )
-    r4_out = [k for k in order[WINDOW:] if k in r4_only]
-    if r4_out:
-        assert not r13_in, (
-            f"r1-3 canaries {r13_in} hold window slots while round-4 greens "
-            f"wait: {r4_out[:5]}"
+    newer = (_GATED_R6 | _GATED_R5 | _GATED_R4) - _GATED_R1_R3
+    r13_out = [k for k in order[WINDOW:] if k in _GATED_R1_R3]
+    newer_in = [k for k in window if k in newer]
+    if r13_out:
+        assert not newer_in, (
+            f"newer-round canaries {newer_in[:5]} hold window slots while "
+            f"stale r1-3 greens wait: {r13_out[:5]}"
         )
 
 
@@ -97,15 +93,13 @@ def test_gated_sets_disjoint_from_deprioritized():
     assert not _GATE_OVERFLOW & _GATE_DEPRIORITIZED
 
 
-def test_gated_r5_matches_driver_greens():
-    """Everything in _GATED_R5 must have a fully-green row in
-    CORRECTNESS_r05.json — membership is evidence-backed, not asserted."""
+def _greens(path_name: str) -> set:
     import json
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
+    path = os.path.join(os.path.dirname(__file__), "..", path_name)
     rows = json.load(open(path))
-    green = {
+    return {
         k
         for k, r in rows.items()
         if isinstance(r, dict)
@@ -113,8 +107,34 @@ def test_gated_r5_matches_driver_greens():
         and r.get("schema_match") is True
         and r.get("hash_match") is True
     }
+
+
+def test_gated_r5_matches_driver_greens():
+    """Everything in _GATED_R5 must have a fully-green row in
+    CORRECTNESS_r05.json — membership is evidence-backed, not asserted."""
+    green = _greens("CORRECTNESS_r05.json")
     not_green = sorted(_GATED_R5 - green)
     assert not_green == [], f"_GATED_R5 entries without a green r5 row: {not_green}"
     # eval_report is deliberately excluded: green in r5 but its oracle
     # embeds the red queries' SQL, which the round-6 BIGINT casts edited.
     assert "eval_report" not in _GATED_R5
+
+
+def test_gated_r6_matches_driver_greens():
+    """Everything in _GATED_R6 must have a fully-green row in
+    CORRECTNESS_r06.json, and none of the round-7 modified queries may
+    sit in any certified set."""
+    green = _greens("CORRECTNESS_r06.json")
+    not_green = sorted(_GATED_R6 - green)
+    assert not_green == [], f"_GATED_R6 entries without a green r6 row: {not_green}"
+    r7_modified = {
+        "reconcile_v2", "reconcile_summary", "rag_context", "context_lines",
+        "rag_context_kg", "multihop_ablation", "citation_scores_agg",
+        "eval_report", "fr_coverage", "groundedness_gate",
+        "groundedness_reasons", "id_consistency", "graph_triangles",
+        "ann_ivf_lists", "ann_ivf_search", "pq_codes", "semdedup",
+        "citation_boost", "retrieval_compare", "sparql_update",
+        "shape_violations", "eval_schema_violations", "cross_source_overlap",
+    }
+    leaked = sorted(r7_modified & _certified())
+    assert leaked == [], f"round-7 modified queries still gate-certified: {leaked}"
