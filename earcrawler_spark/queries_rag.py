@@ -220,7 +220,8 @@ def q_citation_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is scanned once; same narrow-waist fix as build_rag_context.
     results = results.localCheckpoint()
     out = apply_citation_boost(
-        results, meta, extract_targets(spark, CITATION_PROMPT), k=CITATION_K
+        results, meta, extract_targets(spark, CITATION_PROMPT), k=CITATION_K,
+        materialize=True,
     )
     return out.select(
         "rank", "doc_id", "section_id", "score", "boost_reason"
@@ -304,7 +305,8 @@ def build_rag_context(
         results = results.localCheckpoint()
 
     boosted = apply_citation_boost(
-        results, meta, extract_targets(spark, RAG_PROMPT), k=RAG_QUERY_K
+        results, meta, extract_targets(spark, RAG_PROMPT), k=RAG_QUERY_K,
+        materialize=materialize_stages,
     )
     if materialize_stages:
         boosted = boosted.localCheckpoint()
