@@ -50,9 +50,76 @@ def canonicalize_one(url: str) -> str:
     return urlunsplit((scheme, host, path, query, ""))
 
 
+# Fast-path shape: scheme://host/path[?query][#frag] with a plain
+# non-empty host ([A-Za-z0-9.-]+ — no port, userinfo or IPv6 bracket)
+# and printable-ASCII text.  For these rows every canonicalize_one step
+# is expressible as a vectorized pandas op (plus a per-row query sort on
+# only the rows that HAVE a query); everything else — empty host (whose
+# urlunsplit round-trip drops a slash), ports, control characters that
+# urlsplit strips, non-ASCII — falls back to canonicalize_one.
+# Equality with canonicalize_one on every fast-path row is fuzz-tested
+# (tests/test_canonicalize_fuzz.py::test_batch_equals_reference).
+_FAST_PARTS = (
+    r"\A([A-Za-z][A-Za-z0-9+.\-]*)://([A-Za-z0-9.\-]+)"
+    r"(/[^?#]*)?(?:\?([^#]*))?(?:#.*)?\Z"
+)
+
+
+def _canon_query(qs) -> str:
+    if not isinstance(qs, str) or qs == "":
+        return ""
+    q = [
+        (k, v)
+        for k, v in parse_qsl(qs, keep_blank_values=True)
+        if not k.lower().startswith("utm_")
+    ]
+    return urlencode(sorted(q)) if q else ""
+
+
+def canonicalize_batch(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization of a string Series; row-for-row equal
+    to ``urls.map(canonicalize_one)`` (per-row Python only for the slow
+    tail and the per-UNIQUE-query-string parameter sort)."""
+    s = urls.str.strip()
+    ascii_ok = ~s.str.contains(r"[^\x20-\x7e]", regex=True, na=True)
+    out = pd.Series(index=urls.index, dtype=object)
+    # Identity tier: already-canonical shape (lowercase scheme+host,
+    # plain host, non-empty path, no query/fragment, and exactly the
+    # scheme's '//' so no duplicate path slashes) — steady-state crawls
+    # re-canonicalize their own output constantly, so this is the hot
+    # tier; every canonicalize_one step is a no-op on it.
+    ident = (
+        ascii_ok
+        & s.str.match(r"https?://[a-z0-9.\-]+/[^?#]*\Z", na=False)
+        & (s.str.count("//") == 1)
+    )
+    out[ident] = s[ident]
+    rest = ~ident
+    if rest.any():
+        r = s[rest]
+        ex = r.str.extract(_FAST_PARTS)
+        fast = ascii_ok[rest] & ex[0].notna()
+        if fast.any():
+            scheme = ex.loc[fast, 0].str.lower()
+            host = ex.loc[fast, 1].str.lower()
+            path = ex.loc[fast, 2].fillna("/").str.replace(
+                r"/{2,}", "/", regex=True
+            )
+            qs = ex.loc[fast, 3]
+            qmap = {u: _canon_query(u) for u in qs.dropna().unique()}
+            query = qs.map(qmap).fillna("")
+            res = scheme + "://" + host + path
+            res = res.where(query == "", res + "?" + query)
+            out.loc[res.index] = res
+        slow_idx = fast.index[~fast.to_numpy()]
+        if len(slow_idx):
+            out.loc[slow_idx] = urls.loc[slow_idx].map(canonicalize_one)
+    return out
+
+
 @F.pandas_udf(StringType())
 def canonical_url(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize_one)
+    return canonicalize_batch(urls)
 
 
 @F.pandas_udf(StringType())

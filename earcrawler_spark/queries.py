@@ -1361,7 +1361,11 @@ _GATED_R6: frozenset[str] = frozenset(
         "contamination_by_source", "lang_source_matrix", "feature_drift",
         "annotator_agreement", "ks_drift", "histogram_quantiles",
         "gopher_rules", "domain_quota", "hits_scores", "span_integrity",
-        "url_canonicalize", "anchor_text_agg", "recrawl_priority",
+        # url_canonicalize left for round-7 re-certification: its
+        # canonical_url UDF body was vectorized (canonicalize_batch) —
+        # outputs fuzz-proven identical, but modified-since-certification
+        # counts as never-certified.
+        "anchor_text_agg", "recrawl_priority",
         "frontier_shard_skew", "inverted_index", "robots_compliance",
         "frontier_dequeue", "url_templates", "sitemap_parse",
         "bloom_fp_audit", "minhash_lsh_pairs", "seen_set_cardinality",

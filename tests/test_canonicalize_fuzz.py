@@ -75,6 +75,71 @@ def test_canonicalize_idempotent_and_variant_stable(logical, seed):
     assert "#" not in c and "utm_" not in c and "//" not in c.split("://", 1)[1]
 
 
+# Hand-picked adversarial rows for the vectorized batch path: every
+# boundary between the fast tier and the canonicalize_one fallback.
+_BATCH_EDGE_CASES = [
+    "https://bis.doc.gov/page/1",
+    "HTTPS://BIS.DOC.GOV/page/1",
+    "https://bis.doc.gov/page/1?utm_source=x&b=2&a=1",
+    "https://bis.doc.gov/page/1?utm_source=x&b=2&a=1#frag",
+    "https://host",                      # no path -> '/'
+    "https://host?a=1",                  # query, no path
+    "https://host#f",                    # fragment, no path
+    "https://host/p?",                   # empty query dropped
+    "https://host/a//b////c/",           # slash collapse
+    "http://host:80/x",                  # default port -> slow path
+    "https://host:8443/x",               # explicit port -> slow path
+    "http://user@host/x",                # userinfo -> slow path
+    "https:///path",                     # empty host (urlunsplit quirk)
+    "https://host/a b/c",                # space in path
+    "https://host/a%2Fb",                # percent-escape passthrough
+    "https://host/p?a=%20&a=+",          # quote_plus round-trip
+    "https://host/p?a",                  # blank value kept
+    "https://host/p?=v&a=1",             # blank key
+    "https://host/p?b=2;a=1",            # ';' is not a separator (3.10+)
+    "  https://host/x  ",                # strip
+    "https://host/\tx",                  # control char -> slow path
+    "https://host/é",               # non-ASCII -> slow path
+    "ftp://host/x",                      # non-http scheme
+    "weird_scheme://host/x",             # invalid scheme char -> slow
+    "example.com/x",                     # no scheme
+    "",
+    "http://[::1]/x",                    # IPv6 -> slow path
+    "https://host/p?A=1&a=0",            # key case matters in sort
+    "https://host/p?Utm_Source=x&a=1",   # utm_ filter is case-insensitive
+]
+
+
+def test_batch_equals_reference_edge_cases():
+    import pandas as pd
+
+    from earcrawler_spark.crawler.canonicalize import canonicalize_batch
+
+    got = canonicalize_batch(pd.Series(_BATCH_EDGE_CASES)).tolist()
+    want = [canonicalize_one(u) for u in _BATCH_EDGE_CASES]
+    assert got == want, [
+        (u, g, w) for u, g, w in zip(_BATCH_EDGE_CASES, got, want) if g != w
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_logical_url(), st.integers(0, 2**31)), min_size=1, max_size=8))
+def test_batch_equals_reference_fuzz(batch):
+    """The vectorized Series path is row-for-row identical to the scalar
+    reference on random messy variants (mixed fast/slow rows per batch)."""
+    import pandas as pd
+
+    from earcrawler_spark.crawler.canonicalize import canonicalize_batch
+
+    urls = []
+    for (scheme, host, segs, params), seed in batch:
+        rng = random.Random(seed)
+        urls.append(_messy_variant(scheme, host, segs, params, rng))
+    got = canonicalize_batch(pd.Series(urls)).tolist()
+    want = [canonicalize_one(u) for u in urls]
+    assert got == want, list(zip(urls, got, want))
+
+
 @settings(max_examples=100, deadline=None)
 @given(_logical_url(), _HOST, st.integers(0, 2**31))
 def test_canonicalize_separates_hosts(logical, other_host, seed):

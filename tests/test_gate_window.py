@@ -135,6 +135,8 @@ def test_gated_r6_matches_driver_greens():
         "ann_ivf_lists", "ann_ivf_search", "pq_codes", "semdedup",
         "citation_boost", "retrieval_compare", "sparql_update",
         "shape_violations", "eval_schema_violations", "cross_source_overlap",
+        # late round-7: canonical_url UDF body vectorized
+        "url_canonicalize",
     }
     leaked = sorted(r7_modified & _certified())
     assert leaked == [], f"round-7 modified queries still gate-certified: {leaked}"
